@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs each headline query end-to-end (plan + execute + collect), prints
+ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query runs twice; the second (warm) time is reported so JVM/JIT
+and session startup don't dominate the per-query numbers. The metric
+value is the total warm wall-clock across all headline queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from laser_hadoop_spark import registry
+from laser_hadoop_spark.session import get_spark
+
+HEADLINE = [
+    "q_pricing_summary",
+    "q_broadcast_inner_join",
+    "q_shipping_priority",
+    "q_local_supplier_volume",
+    "q_large_join_multikey",
+    "q_rank_topk_per_group",
+    "q_window_running_sum",
+    "q_tumbling_window_agg",
+    "q_dedup_ngram_jaccard",
+    "q_embedding_threshold",
+    "q_text_quality",
+    "q_asof_join",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    specs = registry.specs()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = specs[name].fn
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_warm",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

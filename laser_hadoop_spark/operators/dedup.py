@@ -1,0 +1,210 @@
+"""Deduplication operators (SURVEY.md §2.11 L1/L2).
+
+Four tiers, cheapest to most robust:
+  exact_dedup          — dropDuplicates on keys (hash aggregate)
+  fingerprint_dedup    — group on md5 of normalized text (16-byte shuffle)
+  ngram_jaccard_pairs  — exact near-dup pairs via shingle equi-join
+  minhash_lsh_pairs    — LSH-banded candidates (pyspark.ml), the 100 TB path
+  simhash / simhash_pairs — 32-bit bit-sketch + hamming-distance pairs
+
+Everything except the MinHashLSH model is pure column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SIMHASH_BITS = 32
+
+
+def exact_dedup(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """L1: exact dedup — whole-row distinct or key-based dropDuplicates."""
+    return df.distinct() if keys is None else df.dropDuplicates(keys)
+
+
+def normalized_fingerprint(text_col: str = "text") -> Column:
+    """md5 digest of whitespace-normalized, case-folded text."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " "))))
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup on the normalized digest: the shuffle moves 16 bytes
+    per row instead of the document body."""
+    fp = normalized_fingerprint(text_col).alias("__fp")
+    return df.withColumn("__fp", fp).dropDuplicates(["__fp"]).drop("__fp")
+
+
+def word_shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingle array for a text column."""
+    t = F.split(F.col(text_col), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(-1))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact near-dup pairs with Jaccard(shingles) > threshold.
+
+    Candidates come from an equi-join on shingle value. At scale pass
+    max_shingle_df to drop ubiquitous shingles (stopword n-grams) before
+    the self-join — a shingle shared by m docs contributes m^2 candidate
+    rows, so capping document frequency bounds the join output.
+    """
+    shingles = df.select(
+        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("shingle")
+    )
+    if max_shingle_df is not None:
+        rare = (
+            shingles.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        shingles = shingles.join(rare, "shingle")
+    sizes = shingles.groupBy("doc").agg(F.count("*").alias("n"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_common") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc"))
+        .where(jac > threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    distance: float = 0.5,
+    num_hash_tables: int = 5,
+    num_features: int = 1 << 18,
+    seed: int = 42,
+) -> DataFrame:
+    """L2 scale path: MinHash-LSH candidate pairs (Jaccard distance < d).
+
+    shingle array -> HashingTF sparse vector -> MinHashLSH banding ->
+    approxSimilarityJoin. Candidate generation cost is bounded by the
+    LSH bands instead of shingle collisions. Deterministic per seed.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = df.select(
+        F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("shingles")
+    ).where(F.size("shingles") > 0)
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=num_features)
+    feat = tf.transform(docs)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
+    )
+    model = lsh.fit(feat)
+    joined = model.approxSimilarityJoin(feat, feat, distance, distCol="jaccard_dist")
+    return (
+        joined.where(F.col("datasetA.doc") < F.col("datasetB.doc"))
+        .select(
+            F.col("datasetA.doc").alias("doc_a"),
+            F.col("datasetB.doc").alias("doc_b"),
+            F.round(1 - F.col("jaccard_dist"), 4).alias("jaccard_est"),
+        )
+    )
+
+
+def simhash(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """32-bit SimHash sketch per document, entirely in column expressions.
+
+    Each token hashes once (xxhash64, JVM codegen); bit i of the sketch
+    is the majority vote of bit i across token hashes. Near-dup docs
+    differ in few bits -> pair via simhash_pairs.
+    """
+    hashes = F.transform(F.split(F.col(text_col), " "), lambda t: F.xxhash64(t))
+    n_tokens = F.size(hashes)
+    sketch = F.lit(0).cast("bigint")
+    for i in range(SIMHASH_BITS):
+        ones = F.size(
+            F.filter(hashes, lambda h: h.bitwiseAND(F.lit(1 << i)) != 0)
+        )
+        sketch = sketch + F.when(ones * 2 > n_tokens, F.lit(1 << i)).otherwise(0).cast(
+            "bigint"
+        )
+    return df.select(F.col(id_col), sketch.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 6,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Banding makes candidate generation an equi-join: a pair within
+    max_hamming must agree exactly on at least one of n_bands bit-bands
+    (pigeonhole, when max_hamming < n_bands), so only band-collisions
+    are compared — no O(n^2) scan.
+    """
+    sk = simhash(df, id_col=id_col, text_col=text_col)
+    band_width = SIMHASH_BITS // n_bands
+    bands = sk.select(
+        F.col(id_col).alias("doc"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * band_width)
+                        .bitwiseAND(F.lit((1 << band_width) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

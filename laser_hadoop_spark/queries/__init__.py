@@ -1,0 +1,26 @@
+"""Declared correctness queries (SURVEY.md §2), one module per family."""
+
+from __future__ import annotations
+
+_LOADED = False
+
+
+def load_all() -> None:
+    """Import all query modules so their @register decorators fire."""
+    global _LOADED
+    if _LOADED:
+        return
+    from laser_hadoop_spark.queries import (  # noqa: F401
+        aggregates,
+        joins,
+        llm,
+        scalars,
+        scans,
+        setops,
+        streaming_batch,
+        tpch,
+        udfs,
+        windows,
+    )
+
+    _LOADED = True

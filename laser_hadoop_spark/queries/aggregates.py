@@ -1,0 +1,208 @@
+"""Aggregation queries (SURVEY.md §2.4).
+
+The reference's result channel is Hadoop counters: global counts,
+conditional counts, per-batch grouped counts, partial->final merge at
+the driver, and TreeSet-based distinct cardinality
+(LASERInputCheckMapper.java:176-177,239-251; TRACEInputCheckMapper.java:267-269;
+LASERInputValidator.java:142-145). Each becomes a plain Spark aggregate
+with automatic partial/final HashAggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from laser_hadoop_spark.functions.scalar import money_sum
+from laser_hadoop_spark.registry import register
+from laser_hadoop_spark.tables import table
+
+
+@register(
+    "q_partial_final_agg",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 4) AS DOUBLE)
+               AS sum_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(MIN(l_extendedprice), 4) AS min_price,
+           ROUND(MAX(l_extendedprice), 4) AS max_price,
+           ROUND(STDDEV_SAMP(l_discount), 4) AS sd_discount
+    FROM lineitem
+    """,
+)
+def q_partial_final_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A4/A6/A7: the standard aggregate suite in one scan.
+
+    The reference's per-task counter increments merged at the driver
+    (LASERInputValidator.java:142-145) are exactly Spark's partial/final
+    HashAggregate — map-side combine, one tiny exchange.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        money_sum(F.col("l_quantity"), scale=2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+        F.round(F.stddev_samp("l_discount"), 4).alias("sd_discount"),
+    )
+
+
+@register(
+    "q_count_conditional",
+    oracle="""
+    SELECT COUNT(*) AS total_sites,
+           SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS shared_sites,
+           SUM(CASE WHEN l_quantity > 25 AND l_discount > 0.05
+                    THEN 1 ELSE 0 END) AS flagged
+    FROM lineitem
+    """,
+)
+def q_count_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/F14: total + conditional counts in one pass.
+
+    Reference: TOTAL_SITES vs SHARED_SITES counted in the same loop
+    (LASERInputCheckMapper.java:239-251).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("total_sites"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("shared_sites"),
+        F.sum(
+            F.when((F.col("l_quantity") > 25) & (F.col("l_discount") > 0.05), 1).otherwise(0)
+        ).alias("flagged"),
+    )
+
+
+@register(
+    "q_grouped_counts",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 4) AS DOUBLE)
+               AS total_price
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+    """,
+)
+def q_grouped_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: grouped counters keyed by a secondary key.
+
+    Reference: counters keyed per batch/fileId
+    (TRACEInputCheckMapper.java:267-269).
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        money_sum(F.col("o_totalprice"), scale=2).alias("total_price"),
+    )
+
+
+@register(
+    "q_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(DISTINCT l_partkey) AS n_parts
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: exact distinct cardinality per group.
+
+    Reference: TreeSet cardinality constraints
+    (LASERInputCheckMapper.java:31,136,170-174). Exact distinct is an
+    extra shuffle at scale — see q_approx_count_distinct for the 100 TB
+    path.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+@register("q_approx_count_distinct", oracle=None)  # HLL sketch: rows-only check
+def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: approximate distinct (HyperLogLog++), the 100 TB cardinality path.
+
+    Sketch values differ across engines by construction -> rows-only.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    )
+
+
+@register(
+    "q_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 4) AS DOUBLE)
+               AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: hierarchical rollup (subtotals + grand total)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        money_sum(F.col("l_quantity"), scale=2).alias("sum_qty"),
+    )
+
+
+@register(
+    "q_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 4) AS DOUBLE)
+               AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: full cube over two grouping columns."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        money_sum(F.col("l_extendedprice"), scale=2).alias("sum_price"),
+    )
+
+
+@register(
+    "q_dedup_exact",
+    oracle="SELECT DISTINCT * FROM documents",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/L1: exact whole-row deduplication (hash aggregate on all cols)."""
+    return table(spark, sf_dir, "documents").distinct()
+
+
+@register(
+    "q_order_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS total_price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: global top-k (TakeOrderedAndProject — no full sort at scale).
+
+    Ties broken by the unique key so the limit set is deterministic.
+    """
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("total_price"))
+        .limit(10)
+    )

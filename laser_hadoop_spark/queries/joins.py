@@ -1,0 +1,294 @@
+"""Join queries (SURVEY.md §2.3): broadcast, semi/anti, outer, range, as-of.
+
+The reference's single join is a map-side broadcast hash join of study
+loci against the reference-panel site map, keyed (CHR,POS) with a
+case-insensitive allele residual (LASERInputCheckMapper.java:53-72,
+239-251); its membership checks are semi/anti joins
+(LASERInputCheckMapper.java:138-144). Each generalizes here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from laser_hadoop_spark.functions.scalar import money_sum, revenue_expr
+from laser_hadoop_spark.registry import register
+from laser_hadoop_spark.tables import table
+
+
+@register(
+    "q_broadcast_inner_join",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS total_sites,
+           SUM(CASE WHEN lower(p_type) LIKE '%steel%' THEN 1 ELSE 0 END)
+               AS shared_sites,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def q_broadcast_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+A2+P5 (flagship): broadcast inner join + conditional counts.
+
+    The reference ships the panel site table to every task via
+    DistributedCache and probes a HashMap per study locus, counting
+    total vs shared sites (LASERInputValidator.java:114;
+    LASERInputCheckMapper.java:239-251). Spark form: explicit
+    broadcast() hint -> BroadcastHashJoin, with the case-folded residual
+    predicate as a conditional count, all in one scan.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "inner")
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("total_sites"),
+        F.sum(
+            F.when(F.lower(F.col("p_type")).like("%steel%"), 1).otherwise(0)
+        ).alias("shared_sites"),
+        money_sum(revenue_expr()).alias("revenue"),
+    )
+
+
+@register(
+    "q_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: left-semi membership join.
+
+    Reference: every sample must appear in the groups map —
+    groups.containsKey(sample) (LASERInputCheckMapper.java:138-144).
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "q_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: left-anti violation detection.
+
+    Reference failure branch: samples NOT in the groups map raise
+    SEQ_SAMPLE_NOT_IN_GROUP (LASERInputCheckMapper.java:139-143).
+    The filter on the right side guarantees genuine violations exist.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 150000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "q_scalar_consistency",
+    oracle="""
+    SELECT a.n_li_orders, b.n_orders,
+           a.n_li_orders = b.n_orders AS is_consistent
+    FROM (SELECT COUNT(DISTINCT l_orderkey) AS n_li_orders FROM lineitem) a
+    CROSS JOIN (SELECT COUNT(*) AS n_orders FROM orders) b
+    """,
+)
+def q_scalar_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: cross-input scalar consistency check.
+
+    Reference: site-file row count must equal the seq-file locus arity
+    (LASERInputCheckMapper.java:254-258) — two datasets agreeing on one
+    scalar, expressed as a cross join of two 1-row aggregates. Always
+    emits the 1-row verdict so the gate value itself is oracle-checked.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    a = li.agg(F.countDistinct("l_orderkey").alias("n_li_orders"))
+    b = o.agg(F.count("*").alias("n_orders"))
+    return a.crossJoin(b).select(
+        "n_li_orders",
+        "n_orders",
+        (F.col("n_li_orders") == F.col("n_orders")).alias("is_consistent"),
+    )
+
+
+@register(
+    "q_large_join_multikey",
+    oracle="""
+    SELECT n_name, o_orderpriority,
+           COUNT(*) AS n_lineitems,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY n_name, o_orderpriority
+    """,
+)
+def q_large_join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: large-large join chain (fact-fact-dim-dim).
+
+    lineitem x orders is the can't-broadcast pair — Catalyst plans a
+    shuffle join (AQE may pick SHJ); customer/nation stay broadcast.
+    At 100 TB both facts would be bucketed on orderkey to make this
+    shuffle-free; see operators/relational.py.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            money_sum(revenue_expr()).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_outer_join",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           COUNT(o_orderkey) AS n_orders,
+           CAST(ROUND(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0), 4)
+                AS DOUBLE) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: left outer join preserving unmatched build rows (count=0)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                    F.lit(0).cast("decimal(18,2)"),
+                ),
+                4,
+            ).cast("double").alias("total_spend"),
+        )
+    )
+
+
+# Static quantity buckets shared by the Spark plan and the oracle.
+_QTY_BUCKETS = [(0, 10), (10, 20), (20, 30), (30, 40), (40, 50)]
+_QTY_BUCKETS_SQL = ", ".join(f"({lo}, {hi})" for lo, hi in _QTY_BUCKETS)
+
+
+@register(
+    "q_range_join",
+    oracle=f"""
+    SELECT b.lo AS bucket_lo, b.hi AS bucket_hi,
+           COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(18,2))), 4) AS DOUBLE)
+               AS sum_qty
+    FROM lineitem l
+    JOIN (VALUES {_QTY_BUCKETS_SQL}) AS b(lo, hi)
+      ON l.l_quantity > b.lo AND l.l_quantity <= b.hi
+    GROUP BY b.lo, b.hi
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: range/interval join against a small bucket dimension.
+
+    Reference analogue: assigning an individual to its [start,end] batch
+    range (TRACEJobGenerator.java:58-93). The non-equi condition forces
+    BroadcastNestedLoopJoin with the bucket side broadcast — the right
+    plan when one side is tiny; at scale, prefer a computed bucket key
+    (width_bucket-style) to make it an equi-join.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    buckets = spark.createDataFrame(_QTY_BUCKETS, "lo INT, hi INT")
+    cond = (li.l_quantity > buckets.lo) & (li.l_quantity <= buckets.hi)
+    return (
+        li.join(F.broadcast(buckets), cond, "inner")
+        .groupBy(buckets.lo.alias("bucket_lo"), buckets.hi.alias("bucket_hi"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            money_sum(F.col("l_quantity"), scale=2).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "q_asof_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, p.ts AS asof_ts,
+           ROUND(p.value, 4) AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') e
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: as-of (nearest-earlier) join, click -> latest prior purchase.
+
+    Spark lacks a native as-of join; implemented as the union-and-carry
+    pattern: tag both sides, union, and per user carry the last purchase
+    value forward with last(..., ignorenulls=True) over an ordered
+    running frame. One shuffle (by user_id), no point lookups — this is
+    the scalable form (vs per-row subqueries).
+    """
+    e = table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_probe"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_probe"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+        F.lit(None).cast("double").alias("p_value"),
+    )
+    unioned = purchases.unionByName(clicks)
+    # At equal ts the purchase row sorts first (is_probe 0 < 1), matching
+    # ASOF's inclusive e.ts >= p.ts semantics.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "event_id",
+        "user_id",
+        "is_probe",
+        F.last("p_ts", ignorenulls=True).over(w).alias("asof_ts"),
+        F.last("p_value", ignorenulls=True).over(w).alias("asof_value"),
+    )
+    return (
+        carried.where((F.col("is_probe") == 1) & F.col("asof_ts").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "asof_ts",
+            F.round("asof_value", 4).alias("asof_value"),
+        )
+    )

@@ -1,0 +1,390 @@
+"""LLM-training-data pipeline queries (SURVEY.md §2.11, all [C]).
+
+Dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), embedding
+similarity search (brute-force + blocked), and text analysis
+(wordcount, token counting, quality scoring, language-ID heuristic,
+fingerprinting) over the `documents` and `embeddings` tables.
+
+Scale notes are per-operator; the general pattern: shingle/token
+explosion is bounded per document, candidate generation is always
+key-join-based (never an unblocked cross join), and everything stays
+JVM-side (codegen'd higher-order array functions) except the ML-backed
+MinHash-LSH path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from laser_hadoop_spark.operators.similarity import brute_force_pairs_blocked
+from laser_hadoop_spark.registry import register
+from laser_hadoop_spark.tables import table
+
+# Shared stopword/marker list for quality + langid (kept tiny and fixed
+# so the oracle can restate it inline).
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
+_STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@register(
+    "q_text_wordcount",
+    oracle="""
+    SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+        FROM documents
+    )
+    GROUP BY token
+    """,
+)
+def q_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: tokenize + term statistics (the canonical explode/groupBy)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+@register(
+    "q_text_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+                AS INT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex tokenizer."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0
+            )
+        ).alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "q_text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+           ROUND(CAST(length(text) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS avg_word_span,
+           ROUND(CAST(len(list_filter(string_split(text, ' '),
+                                      t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS stopword_ratio,
+           ROUND(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                      AS DOUBLE) / length(text), 4) AS punct_ratio
+    FROM documents
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / stopword-ratio / punctuation-ratio.
+
+    All JVM-side string+array expressions — no Python in the hot path.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_words = F.size(words)
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        n_words.alias("n_words"),
+        F.round(F.length("text").cast("double") / n_words, 4).alias("avg_word_span"),
+        F.round(
+            F.size(F.filter(words, lambda t: F.array_contains(stop_arr, t))).cast(
+                "double"
+            )
+            / n_words,
+            4,
+        ).alias("stopword_ratio"),
+        F.round(
+            F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).cast("double")
+            / F.length("text"),
+            4,
+        ).alias("punct_ratio"),
+    )
+
+
+@register(
+    "q_text_langid",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang,
+           ROUND(CAST(len(list_filter(string_split(text, ' '),
+                                      t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS en_score,
+           CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                                          t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+                     / len(string_split(text, ' ')) >= 0.05
+                THEN 'en' ELSE 'other' END AS predicted_lang
+    FROM documents
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-word (n-gram) ratio -> label.
+
+    A deliberately simple deterministic classifier so the oracle can
+    restate it; a production engine would swap in per-language marker
+    tables via operators/text.py without changing the query shape.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    score = F.size(F.filter(words, lambda t: F.array_contains(stop_arr, t))).cast(
+        "double"
+    ) / F.size(words)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.round(score, 4).alias("en_score"),
+        F.when(score >= 0.05, "en").otherwise("other").alias("predicted_lang"),
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: hash of whitespace-normalized text.
+
+    The exact-dedup key (L1) at scale: group/join on the 128-bit digest
+    instead of the full text, so the dedup shuffle moves 16 bytes per
+    doc rather than the document body.
+    """
+    d = table(spark, sf_dir, "documents")
+    normalized = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return d.select("doc_id", F.md5(normalized).alias("fingerprint"))
+
+
+# --- near-duplicate detection ------------------------------------------------
+
+_JACCARD_THRESHOLD = 0.8
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), shingles AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(list_transform(generate_series(1, len(t) - 2),
+                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                   AS shingle
+        FROM toks
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) > {_JACCARD_THRESHOLD}
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (exact form): n-gram Jaccard near-dup pairs via shingle join.
+
+    Candidate generation is an equi-join on shingle value — never a
+    cross join — so cost scales with shingle-collision counts. At 100 TB
+    the same plan runs with (a) shingles hashed to int64 (xxhash64) to
+    shrink the shuffle, and (b) a document-frequency cap dropping
+    ubiquitous shingles (stopword n-grams) before the self-join; the
+    MinHash-LSH variant (q_dedup_near) replaces the exact join when even
+    that is too hot.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    shingles = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("t"), i + 1),
+                        F.element_at(F.col("t"), i + 2),
+                        F.element_at(F.col("t"), i + 3),
+                    ),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jac > _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@register("q_dedup_near", oracle=None)  # LSH hash family: rows-only check
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (scale form): MinHash-LSH near-dup candidate pairs.
+
+    shingle -> HashingTF sparse vector -> MinHashLSH (fixed seed) ->
+    approxSimilarityJoin at Jaccard distance < 0.5. The LSH banding
+    bounds candidate pairs, replacing the exact shingle self-join at
+    scale. Hash-family values are engine-specific -> rows-only check.
+    """
+    from laser_hadoop_spark.operators.dedup import minhash_lsh_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, id_col="doc_id", text_col="text", distance=0.5)
+
+
+@register("q_dedup_simhash", oracle=None)  # xxhash64-based bits: rows-only
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (bit-sketch form): 32-bit SimHash fingerprints per document.
+
+    Token hashes via xxhash64 (JVM, codegen) folded into a sign-vector
+    sketch entirely with array/bitwise expressions — no Python. DuckDB
+    has no xxhash64 -> rows-only; pair extraction by hamming distance is
+    pytest-verified in operators/dedup.py.
+    """
+    from laser_hadoop_spark.operators.dedup import simhash
+
+    d = table(spark, sf_dir, "documents")
+    return simhash(d, id_col="doc_id", text_col="text")
+
+
+# --- embedding similarity ----------------------------------------------------
+
+_COSINE_THRESHOLD = 0.35
+
+
+def _cosine(a, b):  # column expr: cosine similarity of two float arrays
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(da, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(db, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+@register(
+    "q_embedding_topk",
+    oracle="""
+    WITH q AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id = 0
+    )
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               (SELECT qv FROM q)), 4) AS cosine_sim
+    FROM embeddings
+    WHERE vec_id <> 0
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: brute-force cosine top-k against a query vector.
+
+    The query vector rides in as a 1-row broadcast cross join; the
+    per-row cosine is codegen'd array math; top-k plans as
+    TakeOrderedAndProject. This is the exact baseline an IVF/LSH path
+    (q_ann_lsh) approximates.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(_cosine(F.col("embedding"), F.col("qv")), 4).alias("cosine_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col("vec_id")).limit(10)
+
+
+@register(
+    "q_embedding_threshold",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) > {_COSINE_THRESHOLD}
+    """,
+)
+def q_embedding_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4/near-dup: all-pairs cosine above a threshold (embedding dedup).
+
+    Physical strategy: broadcast-matmul (operators/similarity.py
+    brute_force_pairs_blocked) — one side broadcast as a normalized
+    float64 matrix, the other streamed through mapInPandas in Arrow
+    batches and scored with one BLAS matmul per batch. ~50x faster
+    than a pairwise self-join with per-pair array expressions, and the
+    per-batch kernel is the same one an IVF/blocked variant reuses at
+    100 TB.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    return brute_force_pairs_blocked(
+        emb, id_col="vec_id", vec_col="embedding", threshold=_COSINE_THRESHOLD
+    )
+
+
+@register("q_ann_lsh", oracle=None)  # random-hyperplane buckets: rows-only
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 (scale path): LSH-bucketed approximate nearest neighbors.
+
+    Random-hyperplane (sign) LSH with a fixed seed buckets vectors; the
+    pairwise cosine runs only within buckets. Bucket membership depends
+    on the seeded hyperplanes -> rows-only check; recall against the
+    brute-force baseline is pytest-verified in operators/similarity.py.
+    """
+    from laser_hadoop_spark.operators.similarity import ann_lsh_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(emb, id_col="vec_id", vec_col="embedding", k=5, n_planes=8)

@@ -1,0 +1,75 @@
+"""SparkSession factory with the engine's physical defaults.
+
+Encodes the physical-execution choices from SURVEY.md §4: AQE on
+(runtime re-plan, partition coalescing, skew-join splitting), Arrow for
+every Python<->JVM transfer, UTC session time zone (oracle determinism),
+and shuffle partitioning sized for the local harness while remaining
+AQE-governed at cluster scale.
+
+The reference hard-codes its physical plan (map-only jobs, distributed-
+cache broadcast, 1 task per batch file — LASERInputValidator.java:114-126);
+here every one of those choices is delegated to Catalyst/AQE.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults appropriate both for the local[32] harness and, with
+# master/memory overridden, for a large cluster: everything here is a
+# logical-plan / optimizer setting, not a hard-coded physical choice.
+ENGINE_CONF: dict[str, str] = {
+    # Adaptive query execution: runtime shuffle-partition coalescing,
+    # join-strategy switching, and skew-join splitting. At 100 TB this is
+    # what keeps a static shuffle.partitions number from mattering.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow batches for all pandas UDF / toPandas / createDataFrame paths.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic timestamps vs the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # Broadcast threshold: dims (region/nation/part/supplier and the
+    # reference-panel site tables) broadcast automatically; AQE can also
+    # convert SMJ->BHJ at runtime using observed sizes.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Columnar parquet writes with snappy; vectorized reader on.
+    "spark.sql.parquet.compression.codec": "snappy",
+    "spark.sql.parquet.enableVectorizedReader": "true",
+    # ANSI off: permissive casts match the reference's text-parsing model.
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "laser_hadoop_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster pass None and submit through spark-submit, which sets master.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    conf = dict(ENGINE_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    conf.setdefault("spark.ui.enabled", "false")
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Run every registered query against its DuckDB oracle and report.
+
+Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+Defaults to /root/testdata/sf0.01 (the driver's correctness scale).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from laser_hadoop_spark import registry
+from laser_hadoop_spark.session import get_spark
+from laser_hadoop_spark.testing import compare_query, duckdb_connect
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:]]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    names = args[1:] if args and os.path.isdir(args[0]) else args
+    spark = get_spark("check_oracles")
+    con = duckdb_connect(sf_dir)
+    specs = registry.specs()
+    if names:
+        specs = {n: specs[n] for n in names}
+    failures = 0
+    for name, spec in sorted(specs.items()):
+        t0 = time.time()
+        try:
+            res = compare_query(spark, con, name, spec.fn, spec.oracle, sf_dir)
+        except Exception as exc:  # noqa: BLE001
+            failures += 1
+            print(f"FAIL  {name}: EXCEPTION {type(exc).__name__}: {exc}")
+            continue
+        dt = time.time() - t0
+        if res.ok:
+            kind = "rows-only" if spec.oracle is None else "oracle"
+            print(f"ok    {name} [{kind}] rows={res.spark_rows} ({dt:.1f}s)")
+        else:
+            failures += 1
+            print(f"FAIL  {name} rows={res.spark_rows}/{res.oracle_rows} ({dt:.1f}s)")
+            for m in res.mismatches:
+                print(f"      {m}")
+    print(f"\n{len(specs) - failures}/{len(specs)} queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

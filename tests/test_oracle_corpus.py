@@ -1,0 +1,38 @@
+"""Layer-1 correctness: every declared query matches its DuckDB oracle.
+
+Mirrors the driver's gate (row count + sorted columns + order-insensitive
+canonical value multiset) at sf0.001 so the full corpus stays fast.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from laser_hadoop_spark import registry
+from laser_hadoop_spark.testing import compare_query, duckdb_connect
+
+SPECS = registry.specs()
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    return duckdb_connect(sf_dir)
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_query_matches_oracle(spark, con, sf_dir, name):
+    spec = SPECS[name]
+    res = compare_query(spark, con, name, spec.fn, spec.oracle, sf_dir)
+    assert res.ok, f"{name}: {res.mismatches}"
+    if spec.oracle is None:
+        assert res.spark_rows > 0, f"{name}: rows-only query returned 0 rows"
+
+
+def test_every_query_has_entry_contract():
+    """queries() and oracle_sql() stay in sync with the registry."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    os_ = entry.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 55
