@@ -1,0 +1,119 @@
+"""Multimodal binary columns (SURVEY.md §2.11 L5).
+
+Media payloads are opaque ``binary`` columns with typed metadata
+structs; decode / feature-extract / resize / frame-sample run as
+Arrow-batched functions over mapInPandas so Python touches whole record
+batches, never rows.
+
+The image/audio codec libraries are not available in this container, so
+the decode kernels are STUBBED: ``decode_image`` raises
+NotImplementedError unless ``fake=True``, which produces a
+deterministic fake decode (shape metadata + checksum) so the Spark-side
+plumbing — schema, partitioning, UDF signature, batch shape — is real
+and tested end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def read_binary_files(spark: SparkSession, path: str) -> DataFrame:
+    """Ingest media files as binary rows: (path, modificationTime,
+    length, content) via Spark's binaryFile source."""
+    return spark.read.format("binaryFile").load(path)
+
+
+DECODE_RESULT_SCHEMA = (
+    "media_id long, kind string, n_bytes long, checksum string, "
+    "width int, height int, gray_mean double"
+)
+
+
+def decode_image_batches(
+    batches: Iterator[pd.DataFrame], *, fake: bool
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: decode image payloads per Arrow batch.
+
+    Real decode needs an image codec library (unavailable here) ->
+    NotImplementedError unless fake=True. The fake path is
+    deterministic: dimensions come from metadata, gray_mean from a
+    crc32 of the payload — exercising exactly the same batch plumbing.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires a codec library not present in this "
+            "environment; pass fake=True for the deterministic stub"
+        )
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
+                "checksum": payloads.map(
+                    lambda b: hashlib.md5(bytes(b or b"")).hexdigest()
+                ),
+                "width": pdf["meta"].map(lambda m: m["width"]),
+                "height": pdf["meta"].map(lambda m: m["height"]),
+                "gray_mean": payloads.map(
+                    lambda b: (zlib.crc32(bytes(b or b"")) % 256) / 255.0
+                ),
+            }
+        )
+
+
+def decode_media(df: DataFrame, *, fake: bool = False) -> DataFrame:
+    """Decode/feature-extract media rows (Arrow-batched).
+
+    Partitioning note: media blobs are large — repartition upstream by
+    size (``df.repartitionByRange('media_id')`` or file-size binning) so
+    one Arrow batch stays under spark.sql.execution.arrow.maxRecordsPerBatch
+    times the mean blob size.
+    """
+    return df.mapInPandas(
+        lambda it: decode_image_batches(it, fake=fake), DECODE_RESULT_SCHEMA
+    )
+
+
+def sample_frames(df: DataFrame, *, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video rows: one output row per sampled
+    timestamp (decode itself stubbed as above). Pure plan: the frame
+    timestamps come from metadata duration, exploded JVM-side."""
+    return df.where(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ts_ms"),
+    )

@@ -56,7 +56,7 @@ def brute_force_topk(
         )
     )
     sim = cosine_expr(F.col(vec_col), F.col("__qv"))
-    w = Window.partitionBy("__qid").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
     return (
         df.crossJoin(q)
         .where(F.col(id_col) != F.col("__qid"))
@@ -144,35 +144,55 @@ def ann_lsh_topk(
     id_col: str,
     vec_col: str,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 2,
+    n_tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate all-pairs top-k via random-hyperplane LSH buckets.
+    """Approximate all-pairs top-k via multi-table random-hyperplane LSH.
 
-    Vectors landing in the same sign-bucket are candidate neighbors;
-    exact cosine runs only within buckets (equi-join on bucket id, a
-    normal shuffle join — broadcastable if the bucketed projection is
-    small). Recall is tunable with n_planes (fewer planes = bigger
-    buckets = higher recall, more work). Deterministic for a fixed seed.
+    Standard sign-LSH banding: each of n_tables tables hashes a vector
+    to a bucket from n_planes hyperplane signs; vectors sharing ANY
+    table's bucket are candidates (OR-amplification — recall
+    1-(1-p^n_planes)^n_tables for per-plane agreement p). Exact cosine
+    runs only on candidates; candidate generation is an equi-join on
+    (table, bucket) — never a cross join.
+
+    Tuning: more planes/table -> smaller buckets -> less pairwise work,
+    lower per-table recall; more tables buys the recall back at the
+    cost of candidate-union size. Deterministic for a fixed seed.
     """
     first = df.select(vec_col).first()
     dim = len(first[0])
-    planes = np.random.RandomState(seed).normal(size=(n_planes, dim))
-    bucketed = df.select(
-        F.col(id_col), F.col(vec_col), hyperplane_bucket_expr(vec_col, planes).alias("bucket")
+    rng = np.random.RandomState(seed)
+    tables = [rng.normal(size=(n_planes, dim)) for _ in range(n_tables)]
+    bucket_entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                hyperplane_bucket_expr(vec_col, planes).alias("bucket"),
+            )
+            for t, planes in enumerate(tables)
+        ]
     )
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col), F.explode(bucket_entries).alias("tb")
+    ).select(id_col, vec_col, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
     a = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "table", "bucket"
     )
     b = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "table", "bucket"
+    )
+    candidates = (
+        a.join(b, on=["table", "bucket"])
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])  # union over tables
     )
     sim = cosine_expr(F.col("va"), F.col("vb"))
     w = Window.partitionBy("id_a").orderBy(F.col("cosine_sim").desc(), F.col("id_b"))
     return (
-        a.join(b, on="bucket")
-        .where(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b", F.round(sim, 4).alias("cosine_sim"))
+        candidates.select("id_a", "id_b", F.round(sim, 4).alias("cosine_sim"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )

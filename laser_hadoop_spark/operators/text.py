@@ -1,0 +1,103 @@
+"""Text-analysis operators (SURVEY.md §2.11): reusable column builders
+behind the q_text_* queries — all JVM-side expressions, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
+
+# Tiny per-language marker lists for the n-gram/marker language-ID
+# heuristic. Extend per deployment; kept small so oracles can inline it.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": DEFAULT_STOPWORDS,
+    "es": ("el", "la", "de", "que", "y", "en"),
+    "fr": ("le", "la", "de", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist", "von"),
+}
+
+
+def words(text_col: str = "text") -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def token_count_ws(text_col: str = "text") -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+
+
+def token_count_bpe_ish(text_col: str = "text") -> Column:
+    """BPE-ish regex token count: letter runs, digit runs, punctuation."""
+    return F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0)
+    )
+
+
+def marker_ratio(text_col: str = "text", markers: tuple[str, ...] = DEFAULT_STOPWORDS) -> Column:
+    """Fraction of tokens that are in the marker list."""
+    arr = F.array(*[F.lit(w) for w in markers])
+    w = words(text_col)
+    return F.size(F.filter(w, lambda t: F.array_contains(arr, t))).cast("double") / F.size(w)
+
+
+def punct_ratio(text_col: str = "text") -> Column:
+    return F.length(
+        F.regexp_replace(text_col, "[a-zA-Z0-9 ]", "")
+    ).cast("double") / F.length(text_col)
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Composite [0,1] quality heuristic: length band, stopword presence,
+    low punctuation — the filter a pretraining pipeline applies first."""
+    length_ok = (F.length(text_col) >= 50) & (F.length(text_col) <= 10000)
+    stop_ok = marker_ratio(text_col) >= 0.02
+    punct_ok = punct_ratio(text_col) <= 0.2
+    return (
+        length_ok.cast("double") * 0.4
+        + stop_ok.cast("double") * 0.4
+        + punct_ok.cast("double") * 0.2
+    )
+
+
+def predict_lang(text_col: str = "text") -> Column:
+    """Argmax of per-language marker ratios (deterministic tie-break by
+    language code order)."""
+    best = F.lit(None).cast("string")
+    best_score = F.lit(-1.0)
+    for code in sorted(LANG_MARKERS):
+        score = marker_ratio(text_col, LANG_MARKERS[code])
+        is_better = score > best_score
+        best = F.when(is_better, F.lit(code)).otherwise(best)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def fingerprint(text_col: str = "text") -> Column:
+    """Normalized md5 fingerprint (exact-dedup key)."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " "))))
+
+
+def rolling_hashes(text_col: str = "text", window: int = 8) -> Column:
+    """Array of xxhash64 values over sliding character windows — the
+    content-defined-chunking fingerprint set (rows-only territory:
+    hash family is engine-specific)."""
+    t = F.col(text_col)
+    n = F.length(t)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1))),
+        lambda i: F.xxhash64(F.substring(t, i, window)),
+    )
+
+
+def term_stats(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Vocabulary statistics: (token, n_occurrences, n_docs)."""
+    return (
+        df.select(F.col(id_col), F.explode(words(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+    )

@@ -1,0 +1,162 @@
+"""Validation gates: the engine form of the reference's error-counter
+system (SURVEY.md §1.2, §5).
+
+The reference defines 30 typed error conditions
+(MapReduceError.java:2-33), increments counters in mappers, and the
+driver fails on the first nonzero counter
+(LASERInputValidator.java:135-140; TRACEInputValidator.java:214-219)
+plus numeric gates (individuals==0 at :147-150, sharedLoci<=100 at
+:152-155).
+
+Engine form: a constraint is (name, violation-count DataFrame expr);
+``validate`` evaluates all constraints in ONE pass per input DataFrame
+(single scan, conditional-count aggregation — the same shape as A2) and
+returns a tidy violations DataFrame. ``gate`` raises on any violation,
+reproducing the driver's fail-fast scan with readable messages.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Error catalogue: engine-relevant conditions from MapReduceError.java
+# (2-33), keyed by the reference's enum name. Message templates mirror
+# the human-readable text block (MapReduceError.java:35-69) in spirit.
+ERROR_MESSAGES: dict[str, str] = {
+    "GROUP_FILE_INVALID_ROW": "groups row does not have exactly 2 columns",
+    "SEQ_SAMPLE_NOT_IN_GROUP": "seq sample id missing from groups map",
+    "SEQ_INVALID_ARITY": "seq row field count is not 2 + 3*n_loci",
+    "SEQ_INCONSISTENT_ARITY": "seq rows disagree on locus count",
+    "SEQ_EMPTY": "study contains 0 individuals",
+    "SITE_HEADER_INVALID": "site file header is not CHR POS ID REF ALT",
+    "SITE_ROW_TOO_SHORT": "site row has fewer than 5 columns",
+    "SITE_COUNT_MISMATCH": "site row count != seq locus arity",
+    "VCF_SAMPLE_NOT_IN_GROUP": "vcf sample id missing from groups map",
+    "VCF_NO_SAMPLES": "vcf declares zero sample columns",
+    "VCF_INCONSISTENT_INDIVIDUALS": "vcf files disagree on individual count",
+    "SHARED_LOCI_TOO_FEW": "shared loci with reference panel <= threshold",
+    "UNKNOWN_FORMAT": "declared genotype format is not supported",
+}
+
+MIN_SHARED_LOCI = 100  # LASERInputValidator.java:152; TRACEInputValidator.java:235
+
+
+class ValidationError(RuntimeError):
+    """Raised by gate() — the engine analogue of WorkflowContext.error."""
+
+
+@dataclass(frozen=True)
+class Constraint:
+    """One named violation predicate evaluated per row."""
+
+    name: str
+    violation: Column  # boolean expr: True == this row violates
+
+    def counter(self) -> Column:
+        return F.sum(self.violation.cast("long")).alias(self.name)
+
+
+def validate(df: DataFrame, constraints: list[Constraint]) -> DataFrame:
+    """Evaluate all constraints in one scan; tidy (error, n_violations).
+
+    Same physical shape as the reference's counter increments (all
+    conditions checked in the same map pass) but returned as data.
+    """
+    wide = df.agg(*[c.counter() for c in constraints])
+    stack_args: list[Column] = []
+    for c in constraints:
+        stack_args.extend([F.lit(c.name), F.col(c.name)])
+    return wide.select(
+        F.stack(F.lit(len(constraints)), *stack_args).alias("error", "n_violations")
+    )
+
+
+def gate(violations: DataFrame, extra_context: str = "") -> None:
+    """Fail on the first nonzero violation count with a typed message.
+
+    Mirrors the driver's first-error scan (LASERInputValidator.java:135-140):
+    the violations DataFrame is tiny (one row per constraint), so the
+    collect is a metadata-sized action.
+    """
+    for row in violations.where(F.col("n_violations") > 0).collect():
+        msg = ERROR_MESSAGES.get(row["error"], row["error"])
+        raise ValidationError(
+            f"{row['error']}: {msg} ({row['n_violations']} rows)"
+            + (f" [{extra_context}]" if extra_context else "")
+        )
+
+
+# --- prebuilt constraint sets for the domain formats -------------------------
+
+
+def groups_constraints() -> list[Constraint]:
+    """Groups file: exactly 2 columns per row
+    (LASERInputCheckMapper.java:84-93)."""
+    return [
+        Constraint("GROUP_FILE_INVALID_ROW", F.col("n_fields") != 2),
+    ]
+
+
+def seq_constraints() -> list[Constraint]:
+    """Seq matrix: field count = 2 + 3k (LASERInputCheckMapper.java:124-134)."""
+    return [
+        Constraint(
+            "SEQ_INVALID_ARITY",
+            (F.col("n_fields") < 5) | ((F.col("n_fields") - 2) % 3 != 0),
+        ),
+    ]
+
+
+def check_site_header(header_cols: list[str]) -> DataFrame | None:
+    """Site header equality check (LASERInputCheckMapper.java:203-235).
+
+    Driver-side (the header is one line); returns None if valid, else
+    raises with the per-column mismatch the reference reports.
+    """
+    expected = ["CHR", "POS", "ID", "REF", "ALT"]
+    got = [c.upper().lstrip("#") for c in header_cols[:5]]
+    if len(header_cols) < 5:
+        raise ValidationError(
+            f"SITE_ROW_TOO_SHORT: {ERROR_MESSAGES['SITE_ROW_TOO_SHORT']}"
+        )
+    if got != expected:
+        raise ValidationError(
+            f"SITE_HEADER_INVALID: {ERROR_MESSAGES['SITE_HEADER_INVALID']} "
+            f"(got {header_cols[:5]})"
+        )
+    return None
+
+
+def membership_violations(
+    df: DataFrame, groups: DataFrame, key: str = "sample_id", group_key: str = "sample_id"
+) -> DataFrame:
+    """J3 as a validation op: rows whose key is NOT in groups.
+
+    Reference: SEQ_SAMPLE_NOT_IN_GROUP / VCF_SAMPLE_NOT_IN_GROUP
+    (LASERInputCheckMapper.java:138-144; TRACEInputCheckMapper.java:170-176).
+    groups is small -> broadcast anti join, no shuffle of the fact side.
+    """
+    g = F.broadcast(groups.select(F.col(group_key).alias(key)).distinct())
+    return df.join(g, on=key, how="left_anti")
+
+
+def arity_consistency_violations(df: DataFrame, arity_col: str = "n_fields") -> DataFrame:
+    """A5 gate: all rows must agree on arity (TreeSet-cardinality==1,
+    LASERInputCheckMapper.java:170-174). Returns the offending arities."""
+    counts = df.groupBy(arity_col).agg(F.count("*").alias("n_rows"))
+    total = counts.count()
+    return counts.limit(0) if total <= 1 else counts
+
+
+def scalar_consistency_check(
+    left: DataFrame, left_expr: Column, right: DataFrame, right_expr: Column
+) -> bool:
+    """J4 gate: two datasets agree on one scalar
+    (LASERInputCheckMapper.java:254-258)."""
+    a = left.agg(left_expr.alias("v"))
+    b = right.agg(right_expr.alias("v2"))
+    row = a.crossJoin(b).select((F.col("v") == F.col("v2")).alias("ok")).collect()[0]
+    return bool(row["ok"])

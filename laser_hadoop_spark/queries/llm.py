@@ -387,4 +387,4 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from laser_hadoop_spark.operators.similarity import ann_lsh_topk
 
     emb = table(spark, sf_dir, "embeddings")
-    return ann_lsh_topk(emb, id_col="vec_id", vec_col="embedding", k=5, n_planes=8)
+    return ann_lsh_topk(emb, id_col="vec_id", vec_col="embedding", k=5)

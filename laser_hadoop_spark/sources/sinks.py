@@ -1,0 +1,112 @@
+"""Sinks (SURVEY.md §2.1 S9-S13).
+
+The reference's mappers write side-effect files straight to HDFS with
+retries disabled to stay safe (LASERInputValidator.java:125;
+LASERInputCheckMapper.java:148-168). Here every write goes through
+Spark's committer, so task retries are safe by construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def write_chunked_text(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    order_col: str,
+    chunk_size: int = 100,
+    value_col: str = "value",
+    compression: str | None = "gzip",
+) -> int:
+    """S9: chunked text sink — rows into files of <= chunk_size rows.
+
+    Reference: seq rows rolled into {chunk}.chunk.seq.gz files of 100
+    individuals (LASERInputCheckMapper.java:148-168, rollover :155-161,
+    chunk constant LASERInputValidator.java:18). Spark form: row_number
+    over an explicit order -> chunk id -> write.partitionBy(chunk), one
+    directory per chunk instead of one hand-rolled stream per chunk.
+    Returns the chunk count (the CHUNKS counter analogue).
+    """
+    w = Window.orderBy(order_col)
+    chunked = df.withColumn(
+        "chunk", F.floor((F.row_number().over(w) - 1) / chunk_size)
+    )
+    writer = chunked.select(value_col, "chunk").write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.partitionBy("chunk").text(out_dir)
+    return len(
+        [d for d in os.listdir(out_dir) if d.startswith("chunk=")]
+    )
+
+
+def write_demux_by_arity(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    value_col: str = "value",
+    sep: str = "\t",
+    small_name: str = "reference_pc_var.txt",
+    large_name: str = "reference_pc.txt",
+    arity_threshold: int = 2,
+) -> dict[str, int]:
+    """S10: predicate-demultiplexed sink.
+
+    Reference: ReferencePCAOutputFormat routes rows with <= 2 fields to
+    reference_pc_var.txt and the rest to reference_pc.txt
+    (ReferencePCAOutputFormat.java:9-15). Two filtered writes sharing
+    one cached scan; returns per-route row counts.
+    """
+    arity = F.size(F.split(F.col(value_col), sep))
+    routed = df.withColumn(
+        "__route", F.when(arity <= arity_threshold, "var").otherwise("pc")
+    ).cache()
+    try:
+        counts = {
+            r["__route"]: r["n"]
+            for r in routed.groupBy("__route").agg(F.count("*").alias("n")).collect()
+        }
+        os.makedirs(out_dir, exist_ok=True)
+        for route, fname in (("var", small_name), ("pc", large_name)):
+            part_dir = os.path.join(out_dir, f"__{route}")
+            routed.where(F.col("__route") == route).select(value_col).coalesce(
+                1
+            ).write.mode("overwrite").text(part_dir)
+            part = next(
+                f for f in os.listdir(part_dir) if f.startswith("part-")
+            )
+            shutil.move(os.path.join(part_dir, part), os.path.join(out_dir, fname))
+            shutil.rmtree(part_dir)
+        return {k: counts.get(k, 0) for k in ("var", "pc")}
+    finally:
+        routed.unpersist()
+
+
+def write_json_metadata(metadata: dict, path: str) -> None:
+    """S11: summary-JSON sink (TRACEInputValidator.java:240-247).
+
+    Driver-side scalars (Individuals, Total loci, Shared loci, Format)
+    — a plain JSON write, no Spark job needed.
+    """
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(metadata, f, sort_keys=True)
+
+
+def delete_consumed_source(path: str) -> bool:
+    """S13: delete the original input once chunked
+    (LASERInputValidator.java:186). Non-atomic in the reference too."""
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+        return True
+    if os.path.exists(path):
+        os.remove(path)
+        return True
+    return False

@@ -1,0 +1,129 @@
+"""Streaming operators ST1-ST7 (SURVEY.md §2.9).
+
+The reference is batch-only (job.waitForCompletion,
+LASERInputValidator.java:129); these close the streaming capability.
+Every transformation here takes a streaming DataFrame (readStream) and
+returns a streaming DataFrame; the identical expressions run in batch
+mode for the oracle-checked queries in queries/streaming_batch.py.
+
+Late-data policy: event-time watermarks bound state; windows emit in
+append mode once the watermark passes window end. State stores scale
+with (keys x open windows), not input size — the property that matters
+at 100 TB/day ingest.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+DEFAULT_WATERMARK = "10 minutes"
+
+
+def with_watermark(events: DataFrame, ts_col: str = "ts", delay: str = DEFAULT_WATERMARK) -> DataFrame:
+    """ST4: bound lateness — rows older than max(event_time) - delay are
+    dropped by downstream stateful ops, and state is reclaimed."""
+    return events.withWatermark(ts_col, delay)
+
+
+def tumbling_counts(
+    events: DataFrame, *, ts_col: str = "ts", key_col: str = "event_type",
+    width: str = "1 hour", delay: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """ST1 (streaming form): watermarked tumbling-window aggregate."""
+    return (
+        with_watermark(events, ts_col, delay)
+        .groupBy(F.window(ts_col, width), key_col)
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"), key_col, "n_events", "sum_value"
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, *, ts_col: str = "ts", width: str = "1 hour",
+    slide: str = "15 minutes", delay: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """ST2 (streaming form)."""
+    return (
+        with_watermark(events, ts_col, delay)
+        .groupBy(F.window(ts_col, width, slide))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+
+
+def session_counts(
+    events: DataFrame, *, ts_col: str = "ts", key_col: str = "user_id",
+    gap: str = "30 minutes", delay: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """ST3 (streaming form): merged session windows per key."""
+    return (
+        with_watermark(events, ts_col, delay)
+        .groupBy(F.session_window(ts_col, gap), key_col)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col, F.col("session_window.start").alias("session_start"), "n_events"
+        )
+    )
+
+
+def stream_dedup(
+    events: DataFrame, keys: list[str], *, ts_col: str = "ts", delay: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """ST5: stateful dedup within the watermark horizon.
+
+    dropDuplicatesWithinWatermark keeps one row per key and expires the
+    key's state after the watermark delay — bounded state, unlike plain
+    dropDuplicates on a stream (which retains all keys forever).
+    """
+    return with_watermark(events, ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
+def enrich_with_static(stream: DataFrame, static_dim: DataFrame, on: list[str]) -> DataFrame:
+    """ST7: stream-static broadcast enrichment — the streaming form of
+    the reference's panel broadcast join (J1): the static side ships to
+    tasks once per microbatch, no stream-side shuffle."""
+    return stream.join(F.broadcast(static_dim), on=on, how="left")
+
+
+RUNNING_MAX_SCHEMA = "user_id bigint, running_max double, n_seen bigint"
+
+
+def _running_max_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """ST6 kernel: arbitrary per-key state (running max + count)."""
+    if state.exists:
+        running_max, n_seen = state.get
+    else:
+        running_max, n_seen = float("-inf"), 0
+    for pdf in pdfs:
+        if len(pdf):
+            running_max = max(running_max, float(pdf["value"].max()))
+            n_seen += len(pdf)
+    state.update((running_max, n_seen))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "running_max": [running_max], "n_seen": [n_seen]}
+    )
+
+
+def running_max_per_user(events: DataFrame) -> DataFrame:
+    """ST6: applyInPandasWithState — custom stateful op the built-in
+    aggregates can't express incrementally (emits per-batch snapshots).
+    """
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _running_max_fn,
+            outputStructType=RUNNING_MAX_SCHEMA,
+            stateStructType="running_max double, n_seen bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,279 @@
+"""Unit tests for engine operators: PCA, dedup, similarity, chunking,
+text, multimodal (SURVEY.md §5 layer 2)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from laser_hadoop_spark.operators import chunking, dedup, multimodal, pca, similarity, text
+from laser_hadoop_spark.tables import table
+
+
+# --- PCA ---------------------------------------------------------------------
+
+
+def _random_matrix(n=40, d=6, seed=3):
+    rng = np.random.RandomState(seed)
+    base = rng.normal(size=(n, 3)) @ rng.normal(size=(3, d))
+    return base + 0.01 * rng.normal(size=(n, d))
+
+
+def test_grouped_pca_matches_numpy(spark):
+    x = _random_matrix()
+    rows = [("g1", f"id{i:03d}", *map(float, x[i])) for i in range(len(x))]
+    cols = ["grp", "rid"] + [f"f{j}" for j in range(x.shape[1])]
+    df = spark.createDataFrame(rows, cols)
+    out = pca.grouped_pca(
+        df, group_col="grp", id_col="rid", feature_cols=cols[2:], dim=3
+    )
+    got = {r["rid"]: np.array(r["pc"]) for r in out.collect()}
+    scores, _ = pca._pca_numpy(x, 3)
+    for i in range(len(x)):
+        np.testing.assert_allclose(got[f"id{i:03d}"], scores[i], atol=1e-8)
+
+
+def test_global_pca_variance(spark):
+    x = _random_matrix()
+    cols = [f"f{j}" for j in range(x.shape[1])]
+    df = spark.createDataFrame([tuple(map(float, r)) for r in x], cols)
+    var = pca.explained_variance(df, feature_cols=cols, dim=3)
+    # 3 latent dims planted -> top-3 explain ~everything, descending
+    assert sum(var) > 0.99
+    assert var == sorted(var, reverse=True)
+    out = pca.global_pca(df.withColumn("rid", F.monotonically_increasing_id()),
+                         feature_cols=cols, id_cols=["rid"], dim=3)
+    assert out.count() == len(x)
+    assert len(out.first()["pc"]) == 3
+
+
+def test_procrustes_recovers_rotation():
+    rng = np.random.RandomState(0)
+    ref = rng.normal(size=(25, 3))
+    theta = 0.7
+    rot = np.array(
+        [
+            [np.cos(theta), -np.sin(theta), 0],
+            [np.sin(theta), np.cos(theta), 0],
+            [0, 0, 1],
+        ]
+    )
+    study = (ref @ rot) * 2.5 + 1.0
+    mapped = pca.procrustes_project(study, ref)
+    np.testing.assert_allclose(mapped, ref, atol=1e-8)
+
+
+# --- dedup -------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return table(spark, sf_dir, "documents")
+
+
+def test_exact_and_fingerprint_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "hello  world"), (2, "hello world"), (3, "HELLO WORLD"), (4, "bye")],
+        "doc_id int, text string",
+    )
+    assert dedup.exact_dedup(df).count() == 4  # rows differ
+    # normalization collapses whitespace+case -> 2 distinct fingerprints
+    assert dedup.fingerprint_dedup(df).count() == 2
+
+
+def test_ngram_jaccard_pairs_operator(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    assert len(pairs) > 0
+    assert all(r["jaccard"] > 0.8 and r["doc_a"] < r["doc_b"] for r in pairs)
+    # df-cap variant returns a subset (ubiquitous shingles dropped)
+    capped = dedup.ngram_jaccard_pairs(docs, threshold=0.8, max_shingle_df=20)
+    assert capped.count() <= len(pairs) + 5
+
+
+def test_minhash_recall_vs_exact(spark, docs):
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    approx = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(docs, distance=0.4).collect()
+    }
+    # LSH at distance<0.4 must recover the >0.8-jaccard pairs (recall ~1)
+    assert exact
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"minhash recall {recall} on {len(exact)} true pairs"
+
+
+def test_simhash_near_dups(spark, docs):
+    sk = dedup.simhash(docs)
+    assert sk.count() == docs.count()
+    pairs = dedup.simhash_pairs(docs, max_hamming=4).collect()
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    # near-identical docs should collide in simhash space
+    assert exact, "fixture should contain >0.9-jaccard near-dups"
+    assert len(exact & got) / len(exact) >= 0.8
+
+
+# --- similarity --------------------------------------------------------------
+
+
+def test_brute_force_topk(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3)
+    out = similarity.brute_force_topk(
+        emb, q, id_col="vec_id", vec_col="embedding",
+        query_id_col="vec_id", query_vec_col="embedding", k=5,
+    )
+    rows = out.collect()
+    assert len(rows) == 15  # 3 queries x k
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for sims in by_q.values():
+        ordered = sorted(sims, key=lambda r: r["rank"])
+        vals = [r["cosine_sim"] for r in ordered]
+        assert vals == sorted(vals, reverse=True)
+
+
+def test_ann_lsh_recall(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    exact = similarity.brute_force_topk(
+        emb, emb.limit(20), id_col="vec_id", vec_col="embedding",
+        query_id_col="vec_id", query_vec_col="embedding", k=1,
+    ).collect()
+    top1 = {r["query_id"]: r["vec_id"] for r in exact}
+    approx = similarity.ann_lsh_topk(
+        emb, id_col="vec_id", vec_col="embedding", k=3, n_planes=2, n_tables=8
+    ).collect()
+    cand = {}
+    for r in approx:
+        cand.setdefault(r["id_a"], set()).add(r["id_b"])
+    hits = sum(1 for q, nn in top1.items() if nn in cand.get(q, set()))
+    # 4 planes -> 16 buckets over 500 vectors: decent recall of true top-1
+    assert hits / len(top1) >= 0.7
+
+
+def test_blocked_pairs_match_expr_form(spark, sf_dir):
+    """Broadcast-matmul kernel agrees with the expression-based cosine."""
+    emb = table(spark, sf_dir, "embeddings").limit(80).cache()
+    fast = {
+        (r["vec_a"], r["vec_b"]): r["cosine_sim"]
+        for r in similarity.brute_force_pairs_blocked(
+            emb, id_col="vec_id", vec_col="embedding", threshold=0.3
+        ).collect()
+    }
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    sim = similarity.cosine_expr(F.col("ea"), F.col("eb"))
+    slow = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(sim, 4).alias("sim"))
+        .where(F.col("sim") > 0.3)
+        .collect()
+    }
+    emb.unpersist()
+    assert set(fast) == set(slow)
+    for k in fast:
+        assert abs(fast[k] - slow[k]) <= 1e-4
+
+
+# --- chunking ----------------------------------------------------------------
+
+
+def test_assign_chunks_by_key_matches_global(spark):
+    df = spark.range(257).toDF("k")
+    a = chunking.assign_chunks(df, "k", 100)
+    b = chunking.assign_chunks_by_key(df, "k", 100)
+    ra = {r["k"]: r["chunk"] for r in a.collect()}
+    rb = {r["k"]: r["chunk"] for r in b.collect()}
+    assert ra == rb  # dense key -> identical chunking, no global window
+    counts = {r["chunk"]: r["n_rows"] for r in chunking.chunk_counts(a).collect()}
+    assert counts == {0: 100, 1: 100, 2: 57}
+
+
+def test_assign_to_batches(spark):
+    base = spark.range(1, 51).toDF("v")
+    batches = chunking.range_batches(base, 20)
+    joined = chunking.assign_to_batches(base, batches, "v")
+    assert joined.count() == 50
+    per = {
+        r["batch_id"]: r["n"]
+        for r in joined.groupBy("batch_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert per == {"00000": 20, "00001": 20, "00002": 10}
+
+
+# --- text --------------------------------------------------------------------
+
+
+def test_text_quality_and_lang(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and runs on and on"),
+            (2, "el la de que y en el la de que y en"),
+            (3, "x!!!"),
+        ],
+        "doc_id int, text string",
+    )
+    out = df.select(
+        "doc_id",
+        text.predict_lang().alias("lang"),
+        text.quality_score().alias("q"),
+    ).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert got[1]["lang"] == "en"
+    assert got[2]["lang"] == "es"
+    assert got[1]["q"] > got[3]["q"]
+
+
+def test_rolling_hashes(spark):
+    df = spark.createDataFrame([("abcdefghij",)], "text string")
+    arr = df.select(text.rolling_hashes(window=4).alias("h")).first()["h"]
+    assert len(arr) == 7  # len - window + 1
+    assert len(set(arr)) == 7
+
+
+# --- multimodal --------------------------------------------------------------
+
+
+def _media_df(spark):
+    rows = [
+        (1, "image", bytearray(b"\x89PNGfakebytes"), ("image/png", 64, 48, None)),
+        (2, "image", bytearray(b"\xff\xd8jpegfake"), ("image/jpeg", 32, 32, None)),
+        (3, "video", None, ("video/mp4", 640, 360, 3500)),
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_decode_media_stubbed(spark):
+    df = _media_df(spark)
+    with pytest.raises(Exception) as excinfo:
+        multimodal.decode_media(df, fake=False).collect()
+    assert "codec" in str(excinfo.value) or "NotImplementedError" in str(excinfo.value)
+    out = multimodal.decode_media(df, fake=True)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert rows[1]["width"] == 64 and rows[1]["height"] == 48
+    assert rows[1]["n_bytes"] == 13
+    assert len(rows[1]["checksum"]) == 32
+    assert rows[3]["n_bytes"] == 0  # null payload handled
+
+
+def test_sample_frames(spark):
+    df = _media_df(spark)
+    frames = multimodal.sample_frames(df, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_read_binary_files(spark, tmp_path):
+    (tmp_path / "a.bin").write_bytes(b"12345")
+    (tmp_path / "b.bin").write_bytes(b"678")
+    df = multimodal.read_binary_files(spark, str(tmp_path))
+    got = {r["length"]: len(r["content"]) for r in df.collect()}
+    assert got == {5: 5, 3: 3}

@@ -1,0 +1,150 @@
+"""Layer-3 golden-pipeline tests (SURVEY.md §5): LASER- and TRACE-shaped
+pipelines over the domain fixtures, asserting the reference's observable
+outputs — counts, gates on seeded bad inputs, descriptor batches.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from laser_hadoop_spark.operators import validation as V
+from laser_hadoop_spark.plans import pipeline as P
+from tests.fixtures import make_domain_fixtures
+
+N_SAMPLES, N_LOCI = 30, 300
+
+
+@pytest.fixture(scope="module")
+def fx(tmp_path_factory):
+    return make_domain_fixtures(
+        str(tmp_path_factory.mktemp("golden")), n_samples=N_SAMPLES, n_loci=N_LOCI
+    )
+
+
+def test_laser_pipeline_green(spark, fx):
+    res = P.laser_validate_and_chunk(
+        spark,
+        seq_path=fx["seq"],
+        site_path=fx["site"],
+        groups_path=fx["groups"],
+        reference_site_path=fx["ref_site"],
+        chunk_size=10,
+    )
+    assert res.individuals == N_SAMPLES
+    assert res.total_sites == N_LOCI
+    # fixture plants 70% key overlap, of which the i%10==6 slice is
+    # allele-flipped: shared = loci with i%10 in {0..5} -> 60%
+    assert res.shared_sites == int(N_LOCI * 0.6)
+    assert res.n_chunks == N_SAMPLES // 10
+    counts = {r["chunk"]: r["n_rows"] for r in res.chunk_stats.collect()}
+    assert all(v == 10 for v in counts.values())
+
+
+@pytest.mark.parametrize(
+    "fixture_key,expected_error",
+    [
+        ("seq_bad_arity", "SEQ_INVALID_ARITY"),
+        ("seq_inconsistent", "SEQ_INCONSISTENT_ARITY"),
+        ("seq_unknown_sample", "SEQ_SAMPLE_NOT_IN_GROUP"),
+    ],
+)
+def test_laser_pipeline_gates(spark, fx, fixture_key, expected_error):
+    with pytest.raises(V.ValidationError, match=expected_error):
+        P.laser_validate_and_chunk(
+            spark,
+            seq_path=fx[fixture_key],
+            site_path=fx["site"],
+            groups_path=fx["groups"],
+            reference_site_path=fx["ref_site"],
+        )
+
+
+def test_laser_gate_bad_groups(spark, fx):
+    with pytest.raises(V.ValidationError, match="GROUP_FILE_INVALID_ROW"):
+        P.laser_validate_and_chunk(
+            spark,
+            seq_path=fx["seq"],
+            site_path=fx["site"],
+            groups_path=fx["groups_bad_arity"],
+            reference_site_path=fx["ref_site"],
+        )
+
+
+def test_laser_gate_shared_loci(spark, fx):
+    # raise the gate above the planted shared count -> must fail
+    with pytest.raises(V.ValidationError, match="SHARED_LOCI_TOO_FEW"):
+        P.laser_validate_and_chunk(
+            spark,
+            seq_path=fx["seq"],
+            site_path=fx["site"],
+            groups_path=fx["groups"],
+            reference_site_path=fx["ref_site"],
+            min_shared_loci=N_LOCI,
+        )
+
+
+def test_site_header_gate(spark, fx):
+    import gzip
+
+    with gzip.open(fx["site_bad_header"], "rt") as f:
+        header = f.readline().rstrip("\n").split("\t")
+    with pytest.raises(V.ValidationError, match="SITE_HEADER_INVALID"):
+        V.check_site_header(header)
+
+
+def test_trace_pipeline_green(spark, fx):
+    res = P.trace_validate(
+        spark,
+        vcf_paths=[fx["vcf"]],
+        groups_path=fx["groups"],
+        reference_site_path=fx["ref_site"],
+    )
+    assert res.individuals == N_SAMPLES
+    assert res.total_loci == N_LOCI
+    assert res.shared_loci == int(N_LOCI * 0.6)
+    assert res.metadata()["Format"] == "vcf"
+
+
+def test_trace_multi_file_consistent(spark, fx):
+    res = P.trace_validate(
+        spark,
+        vcf_paths=[fx["vcf"], fx["vcf2"]],
+        groups_path=fx["groups"],
+        reference_site_path=fx["ref_site"],
+    )
+    assert res.individuals == N_SAMPLES
+
+
+def test_trace_descriptors(spark):
+    desc = P.trace_job_descriptors(
+        spark,
+        n_individuals=95,
+        batch_size=20,
+        reference="panel",
+        study_vcf="study.vcf.gz",
+        reference_pc="panel.pc",
+    )
+    rows = desc.collect()
+    # 5 batches x 2 kinds; ranges tile 1..95 without gaps
+    assert len(rows) == 10
+    v2g = sorted(
+        (r["start_ind"], r["end_ind"]) for r in rows if r["kind"] == "vcf2geno"
+    )
+    assert v2g == [(1, 20), (21, 40), (41, 60), (61, 80), (81, 95)]
+    ids = sorted({r["batch_id"] for r in rows})
+    assert ids == ["00000", "00001", "00002", "00003", "00004"]
+    import json
+
+    payload = json.loads(rows[0]["payload"])
+    assert {"batch", "start", "end", "reference"} <= set(payload)
+
+
+def test_validate_single_pass_shape(spark, fx):
+    """validate() evaluates all constraints in one aggregate scan."""
+    from laser_hadoop_spark.sources import readers
+
+    g = readers.read_groups(spark, fx["groups"])
+    out = V.validate(g, V.groups_constraints())
+    rows = {r["error"]: r["n_violations"] for r in out.collect()}
+    assert rows == {"GROUP_FILE_INVALID_ROW": 0}

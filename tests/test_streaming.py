@@ -1,0 +1,188 @@
+"""Streaming tests ST1-ST7 (SURVEY.md §2.9): file-source streams with
+availableNow triggers into memory sinks — deterministic, no timing races.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from laser_hadoop_spark.streaming import ops
+
+EVENTS_DDL = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    """Write two event files (the second contains a late row) and return
+    the directory a file-source stream reads."""
+    rows1 = [
+        (1, "2024-01-01 10:05:00", 1, "click", 1.0),
+        (2, "2024-01-01 10:20:00", 1, "click", 2.0),
+        (3, "2024-01-01 11:10:00", 2, "view", 3.0),
+        (4, "2024-01-01 12:00:00", 1, "click", 4.0),
+    ]
+    rows2 = [
+        (5, "2024-01-01 12:05:00", 2, "click", 5.0),
+        # late: event-time far behind the watermark set by event 4/5
+        (6, "2024-01-01 09:00:00", 1, "click", 6.0),
+        # duplicate event_id within watermark
+        (4, "2024-01-01 12:00:30", 1, "click", 4.0),
+    ]
+    d = tmp_path / "in"
+    d.mkdir()
+    for i, rows in enumerate([rows1, rows2]):
+        df = spark.createDataFrame(rows, "event_id long, ts string, user_id long, event_type string, value double")
+        df.withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d))
+    return str(d)
+
+
+def _run(spark, sdf, name, mode="append"):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}")
+
+
+def _read_stream(spark, stream_dir):
+    return spark.readStream.schema(EVENTS_DDL).parquet(stream_dir)
+
+
+def test_tumbling_with_watermark_streaming(spark, tmp_path):
+    """ST1+ST4 across a restart: append mode emits only watermark-passed
+    windows, and a late row arriving after its window closed is dropped."""
+    d = tmp_path / "in2"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(rows, fname):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df.coalesce(1).write.mode("append").parquet(str(d))
+
+    write(
+        [
+            (1, "2024-01-01 10:05:00", 1, "click", 1.0),
+            (2, "2024-01-01 10:20:00", 1, "click", 2.0),
+            (3, "2024-01-01 12:00:00", 1, "click", 4.0),
+        ],
+        "f1",
+    )
+
+    out_dir = str(tmp_path / "out")
+
+    def run():
+        q = (
+            ops.tumbling_counts(_read_stream(spark, str(d)), delay="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir).collect()
+
+    run_a = run()
+    # watermark 12:00-10min=11:50 passed the 10:00-11:00 window -> emitted
+    got_a = {(r["window_start"].hour, r["event_type"]): r["n_events"] for r in run_a}
+    assert got_a == {(10, "click"): 2}
+
+    # second batch: one in-order row + one row far behind the watermark
+    write(
+        [
+            (4, "2024-01-01 12:05:00", 1, "click", 5.0),
+            (5, "2024-01-01 09:00:00", 1, "click", 6.0),  # late -> dropped
+        ],
+        "f2",
+    )
+    run_b = run()
+    # the 09:00 window closed in run A; the late row must NOT resurrect
+    # it, and no new window has passed the watermark (11:55) -> the sink
+    # still holds exactly run A's rows
+    assert all(r["window_start"].hour != 9 for r in run_b)
+    assert len(run_b) == len(run_a)
+
+
+def test_session_window_streaming(spark, stream_dir):
+    out = _run(
+        spark,
+        ops.session_counts(_read_stream(spark, stream_dir), gap="30 minutes"),
+        "t_session",
+    )
+    rows = out.collect()
+    u1 = [r for r in rows if r["user_id"] == 1]
+    # Append mode emits only sessions the watermark closed. One
+    # availableNow batch ingests all 7 rows (watermark starts at 0, so
+    # the 09:00 row is NOT late here); final watermark = 12:05 - 10min
+    # = 11:55, which closes user 1's 09:00 session (1 event) and the
+    # merged 10:05+10:20 session (2 events) but leaves the 12:00+12:00:30
+    # session open in state — correct append semantics: it never emits.
+    assert sum(r["n_events"] for r in u1) == 3
+    merged = [r for r in u1 if r["n_events"] == 2]
+    assert merged, "10:05/10:20 should merge into one session"
+    assert all(r["session_start"].hour < 12 for r in u1), "open session must not emit"
+
+
+def test_stream_dedup(spark, stream_dir):
+    deduped = ops.stream_dedup(
+        _read_stream(spark, stream_dir), ["event_id"], delay="1 hour"
+    )
+    out = _run(spark, deduped, "t_dedup")
+    ids = [r["event_id"] for r in out.collect()]
+    assert len(ids) == len(set(ids))
+    assert ids.count(4) == 1  # duplicate arrival suppressed
+
+
+def test_stream_static_enrich(spark, stream_dir):
+    dims = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    out = _run(
+        spark,
+        ops.enrich_with_static(_read_stream(spark, stream_dir), dims, on=["user_id"]),
+        "t_enrich",
+    )
+    tiers = {r["event_id"]: r["tier"] for r in out.collect()}
+    assert tiers[1] == "gold" and tiers[3] == "silver"
+
+
+def test_applyinpandas_with_state(spark, stream_dir):
+    out = _run(
+        spark,
+        ops.running_max_per_user(_read_stream(spark, stream_dir)),
+        "t_state",
+        mode="update",
+    )
+    rows = out.collect()
+    final = {}
+    for r in rows:  # last snapshot per user wins
+        final[r["user_id"]] = (r["running_max"], r["n_seen"])
+    assert final[1][0] == 6.0  # max across batches incl late row
+    assert final[1][1] >= 5
+    assert final[2][0] == 5.0
+
+
+def test_sliding_counts_streaming(spark, stream_dir):
+    out = _run(
+        spark,
+        ops.sliding_counts(_read_stream(spark, stream_dir), width="1 hour", slide="15 minutes"),
+        "t_sliding",
+    )
+    rows = out.collect()
+    assert rows, "sliding windows should emit"
+    # Append mode emits only windows closed by the final watermark
+    # (11:55): every event touches 4 overlapping 1h/15min windows, but
+    # only those with window.end <= 11:55 flush — 4 each for the 09:00,
+    # 10:05, 10:20 events, 3 for 11:10, none for the 12:00+ events.
+    assert sum(r["n_events"] for r in rows) == 15
+    assert all(r["window_start"].hour < 11 for r in rows)
