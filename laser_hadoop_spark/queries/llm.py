@@ -210,53 +210,21 @@ _JACCARD_THRESHOLD = 0.8
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 (exact form): n-gram Jaccard near-dup pairs via shingle join.
 
-    Candidate generation is an equi-join on shingle value — never a
-    cross join — so cost scales with shingle-collision counts. At 100 TB
-    the same plan runs with (a) shingles hashed to int64 (xxhash64) to
-    shrink the shuffle, and (b) a document-frequency cap dropping
-    ubiquitous shingles (stopword n-grams) before the self-join; the
-    MinHash-LSH variant (q_dedup_near) replaces the exact join when even
-    that is too hot.
+    Delegates to operators.dedup.ngram_jaccard_pairs: zip_with shingle
+    construction, xxhash64 8-byte join keys, per-doc sizes carried
+    through the join (no sizes-table re-joins), and a shuffle-hash
+    self-join whose exchange is computed once and reused for both
+    sides. Candidate generation is an equi-join on shingle hash — never
+    a cross join — so cost scales with shingle-collision counts, and
+    the same plan holds at 100 TB (optionally with max_shingle_df
+    capping stopword shingles; q_dedup_near replaces the exact join
+    with MinHash-LSH when even that is too hot).
     """
+    from laser_hadoop_spark.operators.dedup import ngram_jaccard_pairs
+
     d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("t"))
-    shingles = (
-        toks.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("t") - 3),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(F.col("t"), i + 1),
-                        F.element_at(F.col("t"), i + 2),
-                        F.element_at(F.col("t"), i + 3),
-                    ),
-                )
-            ).alias("shingle"),
-        )
-        .distinct()
-    )
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("n_common") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
-    return (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .where(jac > _JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    return ngram_jaccard_pairs(
+        d, id_col="doc_id", text_col="text", n=3, threshold=_JACCARD_THRESHOLD
     )
 
 
