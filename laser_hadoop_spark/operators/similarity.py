@@ -138,6 +138,104 @@ def hyperplane_bucket_expr(vec_col: str, planes: np.ndarray) -> Column:
     return bucket
 
 
+def _kmeans_centroids(
+    mat: np.ndarray, n_cells: int, seed: int, n_iter: int = 10
+) -> np.ndarray:
+    """Deterministic Lloyd k-means over a driver-side sample.
+
+    The sample is small (IVF needs only representative centroids —
+    sqrt(N)-ish cells trained on a few thousand rows), so training on
+    the driver avoids a pyspark.ml dependency on the hot path and is
+    bit-reproducible for a fixed seed. Rows are L2-normalized first so
+    euclidean k-means clusters by cosine direction.
+    """
+    rng = np.random.RandomState(seed)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    centroids = mat[rng.choice(len(mat), size=n_cells, replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(mat @ centroids.T, axis=1)
+        for c in range(n_cells):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = centroids / np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+        )
+    return centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    train_rows: int = 4096,
+) -> DataFrame:
+    """Approximate all-pairs top-k via an IVF (inverted-file) index.
+
+    The scale path for ANN when LSH recall tuning is awkward: cluster
+    the space into n_cells Voronoi cells (deterministic k-means on a
+    driver-side sample), assign every vector to its nearest cell, and
+    probe each query against its n_probe nearest cells. Candidate
+    generation is an equi-join on cell id — cost is bounded by cell
+    occupancy x n_probe, never O(n^2).
+
+    At 100 TB: n_cells grows ~sqrt(N) so cells stay shuffle-partition
+    sized; the centroid matrix (n_cells x dim doubles) broadcasts to
+    every task; assignment is one Arrow-batched BLAS matmul per batch
+    (no per-row Python). Deterministic for a fixed seed.
+    """
+    import pandas as pd
+
+    sample = df.select(id_col, vec_col).orderBy(id_col).limit(train_rows).collect()
+    mat = np.array([r[1] for r in sample], dtype=np.float64)
+    centroids = _kmeans_centroids(mat, n_cells, seed)
+    sc = df.sparkSession.sparkContext
+    b_cent = sc.broadcast(centroids)
+
+    def assign(batches):
+        cent = b_cent.value
+        for pdf in batches:
+            q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+            sims = q @ cent.T  # (batch, n_cells)
+            order = np.argsort(-sims, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "cell": order[:, 0],
+                    "probe_cells": list(order[:, :n_probe]),
+                }
+            )
+
+    vec_type = dict(df.dtypes)[vec_col]
+    assigned = df.select(id_col, vec_col).mapInPandas(
+        assign,
+        f"{id_col} long, {vec_col} {vec_type}, cell int, probe_cells array<int>",
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.explode("probe_cells").alias("cell"),
+    )
+    b = assigned.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cell")
+    sim = cosine_expr(F.col("va"), F.col("vb"))
+    w = Window.partitionBy("id_a").orderBy(F.col("cosine_sim").desc(), F.col("id_b"))
+    return (
+        a.join(b, on="cell")
+        .where(F.col("id_a") != F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])  # union over probed cells
+        .select("id_a", "id_b", F.round(sim, 4).alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def ann_lsh_topk(
     df: DataFrame,
     *,

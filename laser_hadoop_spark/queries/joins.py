@@ -245,50 +245,22 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8: as-of (nearest-earlier) join, click -> latest prior purchase.
 
-    Spark lacks a native as-of join; implemented as the union-and-carry
-    pattern: tag both sides, union, and per user carry the last purchase
-    value forward with last(..., ignorenulls=True) over an ordered
-    running frame. One shuffle (by user_id), no point lookups — this is
-    the scalable form (vs per-row subqueries).
+    Delegates to operators.asof.asof_join — the union-and-carry
+    composition: one shuffle (by user_id), one ordered window pass, no
+    per-row point lookups. This is the scalable form (vs per-row
+    subqueries) of the ASOF JOIN the DuckDB oracle runs natively.
     """
+    from laser_hadoop_spark.operators.asof import asof_join
+
     e = table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
     purchases = e.where(F.col("event_type") == "purchase").select(
-        F.lit(None).cast("long").alias("event_id"),
-        "user_id",
-        "ts",
-        F.lit(0).alias("is_probe"),
-        F.col("ts").alias("p_ts"),
-        F.col("value").alias("p_value"),
+        "user_id", "ts", "value"
     )
-    clicks = e.where(F.col("event_type") == "click").select(
+    return asof_join(clicks, purchases, on=["user_id"]).select(
         "event_id",
         "user_id",
-        "ts",
-        F.lit(1).alias("is_probe"),
-        F.lit(None).cast("timestamp").alias("p_ts"),
-        F.lit(None).cast("double").alias("p_value"),
+        "asof_ts",
+        F.round("asof_value", 4).alias("asof_value"),
     )
-    unioned = purchases.unionByName(clicks)
-    # At equal ts the purchase row sorts first (is_probe 0 < 1), matching
-    # ASOF's inclusive e.ts >= p.ts semantics.
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "is_probe")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carried = unioned.select(
-        "event_id",
-        "user_id",
-        "is_probe",
-        F.last("p_ts", ignorenulls=True).over(w).alias("asof_ts"),
-        F.last("p_value", ignorenulls=True).over(w).alias("asof_value"),
-    )
-    return (
-        carried.where((F.col("is_probe") == 1) & F.col("asof_ts").isNotNull())
-        .select(
-            "event_id",
-            "user_id",
-            "asof_ts",
-            F.round("asof_value", 4).alias("asof_value"),
-        )
-    )
+

@@ -356,3 +356,19 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return ann_lsh_topk(emb, id_col="vec_id", vec_col="embedding", k=5)
+
+
+@register("q_ann_ivf", oracle=None)  # seeded k-means cells: rows-only
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 (scale path, IVF form): inverted-file approximate neighbors.
+
+    Deterministic k-means partitions the space into Voronoi cells;
+    every vector joins only against its n_probe nearest cells. Cell
+    membership depends on the seeded centroids -> rows-only check;
+    recall against the brute-force baseline is pytest-verified in
+    tests/test_operators.py.
+    """
+    from laser_hadoop_spark.operators.similarity import ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, id_col="vec_id", vec_col="embedding", k=5)

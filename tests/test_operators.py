@@ -277,3 +277,88 @@ def test_read_binary_files(spark, tmp_path):
     df = multimodal.read_binary_files(spark, str(tmp_path))
     got = {r["length"]: len(r["content"]) for r in df.collect()}
     assert got == {5: 5, 3: 3}
+
+
+def test_ann_ivf_recall(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    exact = similarity.brute_force_topk(
+        emb, emb.limit(20), id_col="vec_id", vec_col="embedding",
+        query_id_col="vec_id", query_vec_col="embedding", k=1,
+    ).collect()
+    top1 = {r["query_id"]: r["vec_id"] for r in exact}
+    approx = similarity.ivf_topk(
+        emb, id_col="vec_id", vec_col="embedding", k=3, n_cells=8, n_probe=3
+    ).collect()
+    cand = {}
+    for r in approx:
+        cand.setdefault(r["id_a"], set()).add(r["id_b"])
+    hits = sum(1 for q, nn in top1.items() if nn in cand.get(q, set()))
+    assert hits / len(top1) >= 0.7
+    # deterministic across invocations (fixed seed)
+    again = similarity.ivf_topk(
+        emb, id_col="vec_id", vec_col="embedding", k=3, n_cells=8, n_probe=3
+    ).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
+
+
+def test_asof_join_generic(spark):
+    from laser_hadoop_spark.operators.asof import asof_join
+
+    quotes = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 100.0), (1, "2024-01-01 11:00:00", 110.0),
+         (2, "2024-01-01 10:30:00", 50.0)],
+        "key long, ts string, px double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    trades = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:30:00"),   # between quotes -> 100.0
+         (2, 1, "2024-01-01 11:00:00"),   # tie with quote ts -> inclusive 110.0
+         (3, 2, "2024-01-01 10:00:00"),   # before any quote -> dropped (inner)
+         (4, 3, "2024-01-01 12:00:00")],  # key with no quotes -> dropped
+        "trade_id long, key long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    out = {r["trade_id"]: r["asof_px"] for r in
+           asof_join(trades, quotes, on=["key"]).collect()}
+    assert out == {1: 100.0, 2: 110.0}
+    left = {r["trade_id"]: r["asof_px"] for r in
+            asof_join(trades, quotes, on=["key"], how="left").collect()}
+    assert left == {1: 100.0, 2: 110.0, 3: None, 4: None}
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    from laser_hadoop_spark.operators.relational import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    plain = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand").agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+    )
+    salted = (
+        salted_join(li.withColumnRenamed("l_partkey", "p_partkey"), part,
+                    on=["p_partkey"], n_salts=8)
+        .groupBy("p_brand").agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    from laser_hadoop_spark.operators.relational import bucketed_join, write_bucketed
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    write_bucketed(li, "t_li_bucketed", keys=["l_orderkey"], n_buckets=4)
+    write_bucketed(o, "t_o_bucketed", keys=["l_orderkey"], n_buckets=4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "t_li_bucketed", "t_o_bucketed", on=["l_orderkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_o_bucketed")
