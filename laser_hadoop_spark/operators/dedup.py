@@ -93,11 +93,17 @@ def ngram_jaccard_pairs(
         )
         shingles = shingles.join(rare, "shingle")
     a, b = shingles.alias("a"), shingles.alias("b")
+    # Size-ratio prune: jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
+    # pairs whose shingle counts differ by more than the threshold
+    # ratio can never qualify — dropping them inside the join condition
+    # keeps them out of the aggregation entirely.
     pairs = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc") < F.col("b.doc")),
+            & (F.col("a.doc") < F.col("b.doc"))
+            & (F.col("b.n") * F.lit(threshold) <= F.col("a.n"))
+            & (F.col("a.n") * F.lit(threshold) <= F.col("b.n")),
         )
         .groupBy(
             F.col("a.doc").alias("doc_a"),
