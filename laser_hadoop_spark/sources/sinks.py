@@ -110,3 +110,33 @@ def delete_consumed_source(path: str) -> bool:
         os.remove(path)
         return True
     return False
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    partition_by: list[str],
+    sort_within: list[str] | None = None,
+    mode: str = "overwrite",
+    compression: str = "snappy",
+) -> None:
+    """S14 at scale: directory-partitioned parquet layout.
+
+    `partition_by` columns become the directory hierarchy so downstream
+    scans get partition pruning for free (e.g. events laid out by
+    event_date never scan irrelevant days at 100 TB). `sort_within`
+    applies sortWithinPartitions (SURVEY.md §2.6 O2) before the write —
+    no global sort, no extra shuffle — giving clustered row groups whose
+    min/max statistics make parquet predicate pushdown selective on the
+    sorted columns.
+    """
+    out = df
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    (
+        out.write.mode(mode)
+        .option("compression", compression)
+        .partitionBy(*partition_by)
+        .parquet(out_dir)
+    )

@@ -147,3 +147,28 @@ def test_sftp_local_standin(fx, tmp_path):
     if not sftp.HAVE_PARAMIKO:
         with pytest.raises(NotImplementedError):
             sftp.fetch_to_staging("sftp://u@h/p", staging)
+
+
+def test_partitioned_parquet_layout_and_pruning(spark, sf_dir, tmp_path):
+    from laser_hadoop_spark.sources.sinks import write_partitioned_parquet
+    from laser_hadoop_spark.tables import table
+
+    events = table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    out = str(tmp_path / "events_by_date")
+    write_partitioned_parquet(
+        events, out, partition_by=["event_date"], sort_within=["user_id", "ts"]
+    )
+    import os
+
+    dirs = [d for d in os.listdir(out) if d.startswith("event_date=")]
+    assert len(dirs) > 1
+    back = spark.read.parquet(out)
+    assert back.count() == events.count()
+    # partition pruning: a one-day filter plans a scan of one directory
+    one_day = sorted(dirs)[0].split("=", 1)[1]
+    pruned = back.where(F.col("event_date") == one_day)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.count() > 0
+    assert "PartitionFilters: [isnotnull(event_date" in plan
