@@ -103,6 +103,55 @@ def decode_media(df: DataFrame, *, fake: bool = False) -> DataFrame:
     )
 
 
+RESIZE_RESULT_SCHEMA = (
+    "media_id long, kind string, payload binary, width int, height int, "
+    "src_width int, src_height int"
+)
+
+
+def resize_images(
+    df: DataFrame, *, target_w: int, target_h: int, fake: bool = False
+) -> DataFrame:
+    """Resize image payloads to (target_w, target_h), Arrow-batched.
+
+    Real resampling needs an image codec library (unavailable here) ->
+    NotImplementedError unless fake=True. The fake path is
+    deterministic — payload truncated/cycled to target_w*target_h bytes
+    standing in for the resized raster — so schema, batch shape, and
+    partitioning behavior are exercised for real. Source dimensions are
+    carried through for audit (src_width/src_height).
+    """
+    import itertools
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            raise NotImplementedError(
+                "image resize requires a codec library not present in this "
+                "environment; pass fake=True for the deterministic stub"
+            )
+        n_out = target_w * target_h
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": pdf["payload"].map(
+                        lambda b: bytes(
+                            itertools.islice(itertools.cycle(bytes(b or b"\0")), n_out)
+                        )
+                    ),
+                    "width": target_w,
+                    "height": target_h,
+                    "src_width": pdf["meta"].map(lambda m: m["width"]),
+                    "src_height": pdf["meta"].map(lambda m: m["height"]),
+                }
+            )
+
+    return df.where(F.col("kind") == "image").mapInPandas(
+        kernel, RESIZE_RESULT_SCHEMA
+    )
+
+
 def sample_frames(df: DataFrame, *, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video rows: one output row per sampled
     timestamp (decode itself stubbed as above). Pure plan: the frame

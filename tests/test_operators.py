@@ -362,3 +362,21 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_o_bucketed")
+
+
+def test_resize_images_stubbed(spark):
+    df = _media_df(spark)
+    with pytest.raises(Exception) as excinfo:
+        multimodal.resize_images(df, target_w=8, target_h=4, fake=False).collect()
+    assert "codec" in str(excinfo.value) or "NotImplementedError" in str(excinfo.value)
+    out = multimodal.resize_images(df, target_w=8, target_h=4, fake=True)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert set(r["kind"] for r in rows.values()) == {"image"}
+    for r in rows.values():
+        assert (r["width"], r["height"]) == (8, 4)
+        assert len(r["payload"]) == 32
+    assert rows[1]["src_width"] == 64 and rows[1]["src_height"] == 48
+    # deterministic stub
+    again = {r["media_id"]: r for r in
+             multimodal.resize_images(df, target_w=8, target_h=4, fake=True).collect()}
+    assert all(bytes(again[k]["payload"]) == bytes(rows[k]["payload"]) for k in rows)
