@@ -22,9 +22,22 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Error catalogue: engine-relevant conditions from MapReduceError.java
-# (2-33), keyed by the reference's enum name. Message templates mirror
-# the human-readable text block (MapReduceError.java:35-69) in spirit.
+# Error catalogue: the 30 reference conditions (MapReduceError.java:2-33)
+# consolidated into engine-form names. Mapping (reference enum -> engine):
+#   SEQ/SITE/VCF_FILE_IS_NOT_GZIP        -> sources.readers sniffing assert (S7)
+#   FILE_FORMAT_NOT_SUPPORTED            -> UNKNOWN_FORMAT
+#   GROUPS_FILE_{TOO_MANY,MISSING}_COLUMNS -> GROUP_FILE_INVALID_ROW (!=2)
+#   SEQ_FILE_{TOO_FEW,MISSING}_COLUMNS   -> SEQ_INVALID_ARITY (2+3k rule)
+#   SEQ_FILE_INCONSISTENT_COLUMNS        -> SEQ_INCONSISTENT_ARITY
+#   SEQ_SAMPLE_NOT_IN_GROUP              -> SEQ_SAMPLE_NOT_IN_GROUP
+#   SITE_FILE_TOO_FEW_COLUMNS            -> SITE_ROW_TOO_SHORT
+#   SITE_FILE_HEADER_NO_{CHR,POS,ID,REF,ALT} -> SITE_HEADER_INVALID
+#                                          (per-column detail in message)
+#   SITE_FILE_LOCI_NOT_IN_SEQ            -> SITE_COUNT_MISMATCH (J4 gate)
+#   VCF_SAMPLE_NOT_IN_GROUP              -> VCF_SAMPLE_NOT_IN_GROUP
+#   VCF_NO_HEADER / VCF_HEADER_NO_*      -> readers.read_vcf header check
+#   VCF_HEADER_NO_SAMPLES                -> VCF_NO_SAMPLES
+# Message templates mirror MapReduceError.java:35-69 in spirit.
 ERROR_MESSAGES: dict[str, str] = {
     "GROUP_FILE_INVALID_ROW": "groups row does not have exactly 2 columns",
     "SEQ_SAMPLE_NOT_IN_GROUP": "seq sample id missing from groups map",
