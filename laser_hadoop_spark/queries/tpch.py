@@ -150,3 +150,52 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(money_sum(revenue_expr()).alias("revenue"))
     )
+
+
+@register(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT p_brand,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 4)
+               AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_size <= 5
+      AND l_quantity < (
+          SELECT 0.2 * AVG(l_quantity)
+          FROM lineitem l2
+          WHERE l2.l_partkey = lineitem.l_partkey
+      )
+    GROUP BY p_brand
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (small-order revenue).
+
+    Declared through the SQL surface so Catalyst's subquery
+    decorrelation plans it — the correlated AVG becomes one grouped
+    aggregate joined back to the fact scan (two scans of lineitem, one
+    shuffle each, no per-row subquery execution). The reference has no
+    subquery mechanism at all; this is pure optimizer leverage
+    (SURVEY.md §4: decorrelation listed among Catalyst capabilities the
+    reference never had).
+    """
+    from laser_hadoop_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_brand,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 4)
+                   AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_size <= 5
+          AND l_quantity < (
+              SELECT 0.2 * AVG(l_quantity)
+              FROM lineitem l2
+              WHERE l2.l_partkey = lineitem.l_partkey
+          )
+        GROUP BY p_brand
+        """
+    )
