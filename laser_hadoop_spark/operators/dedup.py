@@ -166,18 +166,30 @@ def simhash(
     Each token hashes once (xxhash64, JVM codegen); bit i of the sketch
     is the majority vote of bit i across token hashes. Near-dup docs
     differ in few bits -> pair via simhash_pairs.
+
+    Single-pass construction: one aggregate over the token-hash array
+    accumulates all 32 bit-counts in an int-array accumulator (vs 32
+    filter passes re-walking the array per bit — ~2x slower). Written
+    as a SQL higher-order expression because shiftright takes an
+    expression operand there, which the Python DSL disallows.
     """
-    hashes = F.transform(F.split(F.col(text_col), " "), lambda t: F.xxhash64(t))
-    n_tokens = F.size(hashes)
-    sketch = F.lit(0).cast("bigint")
-    for i in range(SIMHASH_BITS):
-        ones = F.size(
-            F.filter(hashes, lambda h: h.bitwiseAND(F.lit(1 << i)) != 0)
-        )
-        sketch = sketch + F.when(ones * 2 > n_tokens, F.lit(1 << i)).otherwise(0).cast(
-            "bigint"
-        )
-    return df.select(F.col(id_col), sketch.alias("simhash"))
+    sketch = f"""
+    aggregate(
+      zip_with(
+        aggregate(
+          transform(split({text_col}, ' '), t -> xxhash64(t)),
+          array_repeat(0, {SIMHASH_BITS}),
+          (acc, h) -> zip_with(
+            acc,
+            transform(sequence(0, {SIMHASH_BITS - 1}), i -> int(shiftright(h, i) & 1L)),
+            (a, b) -> a + b)
+        ),
+        sequence(0, {SIMHASH_BITS - 1}),
+        (c, i) -> IF(c * 2 > size(split({text_col}, ' ')), shiftleft(1L, i), 0L)
+      ),
+      0L, (a, b) -> a + b)
+    """
+    return df.select(F.col(id_col), F.expr(sketch).alias("simhash"))
 
 
 def simhash_pairs(
