@@ -372,3 +372,63 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, id_col="vec_id", vec_col="embedding", k=5)
+
+
+def _marker_sql(markers: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in markers)
+    return (
+        "CAST(len(list_filter(string_split(text, ' '), t -> t IN (" + inlist + "))) "
+        "AS DOUBLE) / len(string_split(text, ' '))"
+    )
+
+
+@register(
+    "q_curation_pipeline",
+    oracle=rf"""
+    WITH deduped AS (
+        SELECT * FROM documents
+        QUALIFY doc_id = MIN(doc_id) OVER (
+            PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+    ), scored AS (
+        SELECT doc_id, text,
+               {_marker_sql(("the", "a", "of", "and", "to", "in", "is", "on"))} AS s_en,
+               {_marker_sql(("el", "la", "de", "que", "y", "en"))} AS s_es,
+               {_marker_sql(("le", "la", "de", "et", "les", "des"))} AS s_fr,
+               {_marker_sql(("der", "die", "und", "das", "ist", "von"))} AS s_de,
+               CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                   / length(text) AS punct
+        FROM deduped
+        WHERE length(text) BETWEEN 50 AND 10000
+    ), labeled AS (
+        SELECT doc_id, text,
+               CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+                    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                    WHEN s_es >= s_fr THEN 'es'
+                    ELSE 'fr' END AS predicted_lang
+        FROM scored
+        WHERE s_en >= 0.02 AND punct <= 0.2
+    )
+    SELECT doc_id, predicted_lang,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens
+    FROM labeled
+    WHERE predicted_lang = 'en'
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation core (plans/curation.py stages 1-3): exact
+    fingerprint dedup -> quality band -> language-ID filter, plus a
+    whitespace token count per surviving document.
+
+    The SQL-expressible spine of the training-data pipeline; the
+    SimHash near-dup stage (stage 4) is engine-specific and covered by
+    pytest (tests/test_pipeline.py) instead. One full-data shuffle
+    (the 16-byte fingerprint dedup); the filters fuse into the scan.
+    """
+    from laser_hadoop_spark.operators.text import token_count_ws
+    from laser_hadoop_spark.plans.curation import curation_plan
+
+    d = table(spark, sf_dir, "documents")
+    return curation_plan(d).select(
+        "doc_id", "predicted_lang", token_count_ws().alias("n_tokens")
+    )

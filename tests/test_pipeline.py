@@ -148,3 +148,23 @@ def test_validate_single_pass_shape(spark, fx):
     out = V.validate(g, V.groups_constraints())
     rows = {r["error"]: r["n_violations"] for r in out.collect()}
     assert rows == {"GROUP_FILE_INVALID_ROW": 0}
+
+
+def test_curation_pipeline_stages(spark, sf_dir):
+    from laser_hadoop_spark.plans.curation import curate_documents
+    from laser_hadoop_spark.tables import table as load
+
+    docs = load(spark, sf_dir, "documents")
+    res = curate_documents(docs, near_dup=True, max_hamming=3)
+    c = res.stage_counts
+    assert c["input"] >= c["after_filters"] >= c["after_near_dup"] > 0
+    kept = res.kept
+    assert kept.count() == c["after_near_dup"]
+    # survivors are unique by normalized fingerprint (stage 1 held)
+    from laser_hadoop_spark.operators.text import fingerprint
+
+    n_fp = kept.select(fingerprint().alias("fp")).distinct().count()
+    assert n_fp == c["after_near_dup"]
+    # every survivor is labeled an allowed language
+    langs = {r["predicted_lang"] for r in kept.select("predicted_lang").distinct().collect()}
+    assert langs == {"en"}
