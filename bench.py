@@ -35,6 +35,8 @@ HEADLINE = [
     "q_embedding_threshold",
     "q_text_quality",
     "q_asof_join",
+    "q_scalar_subquery",
+    "q_curation_pipeline",
 ]
 
 

@@ -35,10 +35,20 @@ def token_count_bpe_ish(text_col: str = "text") -> Column:
     )
 
 
-def marker_ratio(text_col: str = "text", markers: tuple[str, ...] = DEFAULT_STOPWORDS) -> Column:
-    """Fraction of tokens that are in the marker list."""
+def marker_ratio(
+    text_col: str = "text",
+    markers: tuple[str, ...] = DEFAULT_STOPWORDS,
+    *,
+    words_col: Column | None = None,
+) -> Column:
+    """Fraction of tokens that are in the marker list.
+
+    Pass words_col (a pre-split token array column) when several ratios
+    run over the same text — e.g. the 4-language predict_lang — so the
+    split happens once instead of per marker list.
+    """
     arr = F.array(*[F.lit(w) for w in markers])
-    w = words(text_col)
+    w = words(text_col) if words_col is None else words_col
     return F.size(F.filter(w, lambda t: F.array_contains(arr, t))).cast("double") / F.size(w)
 
 
@@ -61,17 +71,31 @@ def quality_score(text_col: str = "text") -> Column:
     )
 
 
-def predict_lang(text_col: str = "text") -> Column:
+def predict_lang(text_col: str = "text", *, words_col: Column | None = None) -> Column:
     """Argmax of per-language marker ratios (deterministic tie-break by
-    language code order)."""
-    best = F.lit(None).cast("string")
-    best_score = F.lit(-1.0)
-    for code in sorted(LANG_MARKERS):
-        score = marker_ratio(text_col, LANG_MARKERS[code])
-        is_better = score > best_score
-        best = F.when(is_better, F.lit(code)).otherwise(best)
-        best_score = F.when(is_better, score).otherwise(best_score)
-    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+    language code order).
+
+    Implemented as array_max over (score, -code_index) structs — struct
+    comparison is lexicographic, so the max is the highest score with
+    the earliest sorted code on ties; one expression instead of a
+    when-cascade that recomputes every score per branch.
+    """
+    codes = sorted(LANG_MARKERS)
+    w = words(text_col) if words_col is None else words_col
+    entries = F.array(
+        *[
+            F.struct(
+                marker_ratio(text_col, LANG_MARKERS[c], words_col=w).alias("score"),
+                F.lit(-i).alias("neg_idx"),
+            )
+            for i, c in enumerate(codes)
+        ]
+    )
+    best = F.array_max(entries)
+    code_arr = F.array(*[F.lit(c) for c in codes])
+    return F.when(
+        best["score"] > 0, F.element_at(code_arr, -best["neg_idx"] + 1)
+    ).otherwise(F.lit("und"))
 
 
 def fingerprint(text_col: str = "text") -> Column:

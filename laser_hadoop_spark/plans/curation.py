@@ -67,15 +67,21 @@ def curation_plan(
         .where("__keep")
         .drop("__fp", "__keep")
     )
-    # 2-3. quality + language filters: scan-local column predicates
+    # 2-3. quality + language filters: scan-local column predicates.
+    # The token array is materialized once ("__w") and shared by the
+    # stopword ratio and all language scores — one split per row, not
+    # one per marker list.
     length_ok = (F.length(text_col) >= min_chars) & (F.length(text_col) <= max_chars)
-    stop_ok = T.marker_ratio(text_col) >= min_stopword_ratio
+    with_words = deduped.withColumn("__w", T.words(text_col))
+    w = F.col("__w")
+    stop_ok = T.marker_ratio(text_col, words_col=w) >= min_stopword_ratio
     punct_ok = T.punct_ratio(text_col) <= max_punct_ratio
-    lang = T.predict_lang(text_col)
+    lang = T.predict_lang(text_col, words_col=w)
     return (
-        deduped.where(length_ok & stop_ok & punct_ok)
+        with_words.where(length_ok & stop_ok & punct_ok)
         .withColumn("predicted_lang", lang)
         .where(F.col("predicted_lang").isin(*allowed_langs))
+        .drop("__w")
     )
 
 
