@@ -125,3 +125,31 @@ def term_stats(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text")
             F.countDistinct(id_col).alias("n_docs"),
         )
     )
+
+
+def token_chunks(
+    text_col: str = "text", *, size: int = 64, stride: int = 48
+) -> Column:
+    """Sliding token windows for context-length chunking (LLM training).
+
+    Emits windows of `size` tokens every `stride` tokens; the final
+    window's start is clamped to len-size+1 so the document tail is
+    always covered by one full-size window (short docs yield a single
+    window). Returns array<struct<chunk_start int, chunk_text string>>;
+    explode for one row per chunk. All JVM-side: one split, slice views
+    per window.
+    """
+    w = F.split(F.col(text_col), " ")
+    n = F.size(w)
+    n_extra = F.ceil(F.greatest(n - size, F.lit(0)).cast("double") / stride)
+    starts = F.transform(
+        F.sequence(F.lit(0), n_extra.cast("int")),
+        lambda i: F.least(1 + i * stride, F.greatest(n - size + 1, F.lit(1))),
+    )
+    return F.transform(
+        starts,
+        lambda s: F.struct(
+            s.cast("int").alias("chunk_start"),
+            F.array_join(F.slice(w, s, size), " ").alias("chunk_text"),
+        ),
+    )

@@ -432,3 +432,36 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_plan(d).select(
         "doc_id", "predicted_lang", token_count_ws().alias("n_tokens")
     )
+
+
+@register(
+    "q_text_chunks",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sized AS (
+        SELECT doc_id, w, len(w) AS n FROM t
+    ), starts AS (
+        SELECT doc_id, w, n,
+               UNNEST(list_transform(
+                   generate_series(0, CAST(ceil(greatest(n - 64, 0) * 1.0 / 48) AS INT)),
+                   i -> least(1 + i * 48, greatest(n - 64 + 1, 1)))) AS chunk_start
+        FROM sized
+    )
+    SELECT doc_id, CAST(chunk_start AS INT) AS chunk_start,
+           array_to_string(w[chunk_start : chunk_start + 63], ' ') AS chunk_text
+    FROM starts
+    """,
+)
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM context-window chunking: 64-token windows every 48 tokens,
+    tail clamped to a full window. One row per (doc, chunk); the whole
+    transform is scan-local (split once, slice per window, explode) —
+    no shuffle at any scale.
+    """
+    from laser_hadoop_spark.operators.text import token_chunks
+
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(token_chunks("text", size=64, stride=48)).alias("c")
+    ).select("doc_id", F.col("c.chunk_start"), F.col("c.chunk_text"))

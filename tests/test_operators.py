@@ -380,3 +380,28 @@ def test_resize_images_stubbed(spark):
     again = {r["media_id"]: r for r in
              multimodal.resize_images(df, target_w=8, target_h=4, fake=True).collect()}
     assert all(bytes(again[k]["payload"]) == bytes(rows[k]["payload"]) for k in rows)
+
+
+def test_token_chunks_edges(spark):
+    from laser_hadoop_spark.operators.text import token_chunks
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"),                       # short: one window
+         (2, " ".join(f"t{i}" for i in range(10))),   # 10 tokens size4 stride3
+         (3, " ".join(f"t{i}" for i in range(7)))],   # exact 4+3
+        "doc_id long, text string",
+    )
+    out = (
+        docs.select("doc_id", F.explode(token_chunks("text", size=4, stride=3)).alias("c"))
+        .select("doc_id", "c.chunk_start", "c.chunk_text")
+        .collect()
+    )
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_start"], r["chunk_text"]))
+    assert by_doc[1] == [(1, "a b c")]
+    # 10 tokens: starts 1,4,7 (last clamped to 7 = 10-4+1), full coverage
+    assert [s for s, _ in sorted(by_doc[2])] == [1, 4, 7]
+    assert sorted(by_doc[2])[-1][1] == "t6 t7 t8 t9"
+    # 7 tokens: starts 1,4 — tail exactly covered, no duplicate window
+    assert [s for s, _ in sorted(by_doc[3])] == [1, 4]
