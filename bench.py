@@ -5,8 +5,9 @@ Runs each headline query end-to-end (plan + execute + collect), prints
 ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query runs twice; the second (warm) time is reported so JVM/JIT
-and session startup don't dominate the per-query numbers. The metric
+Each query runs three times (fresh plan each run — no AQE stage-cache
+reuse); the fastest (warm) time is reported so JVM/JIT and session
+startup don't dominate the per-query numbers. The metric
 value is the total warm wall-clock across all headline queries.
 """
 
@@ -48,7 +49,7 @@ def main() -> None:
     for name in HEADLINE:
         fn = specs[name].fn
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)

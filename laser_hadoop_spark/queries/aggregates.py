@@ -206,3 +206,32 @@ def q_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("total_price"))
         .limit(10)
     )
+
+
+@register(
+    "q_percentile",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.95), 4) AS p95,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (latency-style metrics).
+
+    Spark `percentile` and DuckDB `quantile_cont` share the linear-
+    interpolation definition, so values hash-match. Exact percentiles
+    sort each group's values — at 100 TB switch to
+    `approx_percentile(col, p, accuracy)` (t-digest-style sketch, one
+    pass, mergeable partials; engine-specific values -> rows-only
+    territory, same trade as q_approx_count_distinct).
+    """
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
