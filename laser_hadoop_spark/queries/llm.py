@@ -465,3 +465,45 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.explode(token_chunks("text", size=64, stride=48)).alias("c")
     ).select("doc_id", F.col("c.chunk_start"), F.col("c.chunk_text"))
+
+
+@register(
+    "q_text_tfidf",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+    ), df AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    )
+    SELECT tf.doc_id, tf.token, tf.tf, df.df,
+           ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+    FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 extension: TF-IDF scores per (document, token).
+
+    Two aggregations over one exploded token relation; the df side and
+    the corpus count broadcast back onto tf (both tiny relative to the
+    token stream), so the only full shuffle is the tf groupBy. At
+    100 TB cap the vocabulary with a document-frequency floor before
+    the join (rare-token long tail dominates the df table).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    return tf.join(F.broadcast(df_), "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+        ).alias("tfidf"),
+    )

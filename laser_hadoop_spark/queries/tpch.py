@@ -182,7 +182,7 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from laser_hadoop_spark.tables import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, names=("lineitem", "part"))
     return spark.sql(
         """
         SELECT p_brand,

@@ -48,7 +48,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every table as a temp view for the SQL API."""
-    for name in TABLE_NAMES:
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> None:
+    """Register tables as temp views for the SQL API.
+
+    Pass the subset a query actually reads — each view creation is a
+    parquet relation build (listing + footer), so registering all ten
+    tables costs ~1s of pure overhead per call.
+    """
+    for name in names:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
