@@ -1,0 +1,95 @@
+"""Iterative graph operators: connected components for dedup clusters.
+
+Near-dup pair lists (dedup.py: ngram_jaccard_pairs / simhash_pairs /
+minhash_lsh_pairs) induce a similarity graph; grouping transitively
+linked documents needs connected components — the canonical iterative,
+non-SQL-expressible algorithm (SURVEY.md §2 notes such ops are exempt
+from the SQL oracle; verified by pytest instead).
+
+Implementation is label propagation to a fixpoint: every node starts
+labeled with itself; each round takes the min of its own and its
+neighbors' labels. Scale mechanics that matter at 100 TB:
+
+- each round is one shuffle join (labels x symmetric edges) + one
+  aggregate — no driver-side graph structure;
+- `localCheckpoint` truncates the lineage every round, otherwise the
+  plan doubles per iteration and planning time explodes by round ~15;
+- convergence needs at most diameter(G) rounds; near-dup graphs are
+  shallow (most components are pairs/triangles), so the loop usually
+  exits after 2-3 rounds via the changed-count check (a tiny action).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node with its component's minimum node id.
+
+    Input: an edge list (directionless; both orientations are derived).
+    Output: (node, component) — component = min node id reachable.
+    Deterministic: min-label propagation has a unique fixpoint.
+    """
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()  # truncate lineage: O(1) plan per round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    pairs: DataFrame, *, left: str = "doc_a", right: str = "doc_b"
+) -> DataFrame:
+    """Cluster near-dup pairs transitively; pick min-id representatives.
+
+    Output: (doc_id, cluster_id, is_representative). Documents absent
+    from pairs are their own (singleton) clusters by construction and
+    don't appear here — left-join this onto the corpus and coalesce
+    cluster_id with doc_id.
+    """
+    comp = connected_components(pairs, src=left, dst=right)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_representative"),
+    )

@@ -507,3 +507,59 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
         ).alias("tfidf"),
     )
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), shingles AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(list_transform(generate_series(1, len(t) - 2),
+                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                   AS shingle
+        FROM toks
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT doc_a, doc_b
+        FROM pairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE n_common * 1.0 / (sa.n + sb.n - n_common) > {_JACCARD_THRESHOLD}
+    ), sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION SELECT doc_b, doc_a FROM edges
+    ), walk AS (
+        SELECT a AS node, a AS comp FROM sym
+        UNION
+        SELECT s.a, w.comp FROM sym s JOIN walk w ON s.b = w.node
+    )
+    SELECT node AS doc_id, MIN(comp) AS cluster_id,
+           node = MIN(comp) AS is_representative
+    FROM walk GROUP BY node
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: n-gram Jaccard pairs -> connected
+    components -> min-id representative per cluster.
+
+    The iterative min-label propagation (operators/graph.py) is the
+    non-SQL-expressible step the oracle restates with a recursive CTE —
+    both compute the unique fixpoint, so even this iterative operator
+    is value-checked, not just rows-checked.
+    """
+    from laser_hadoop_spark.operators.dedup import ngram_jaccard_pairs
+    from laser_hadoop_spark.operators.graph import dedup_clusters
+
+    d = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, id_col="doc_id", text_col="text", n=3, threshold=_JACCARD_THRESHOLD
+    )
+    return dedup_clusters(pairs)

@@ -405,3 +405,37 @@ def test_token_chunks_edges(spark):
     assert sorted(by_doc[2])[-1][1] == "t6 t7 t8 t9"
     # 7 tokens: starts 1,4 — tail exactly covered, no duplicate window
     assert [s for s, _ in sorted(by_doc[3])] == [1, 4]
+
+
+def test_connected_components(spark):
+    from laser_hadoop_spark.operators.graph import connected_components, dedup_clusters
+
+    edges = spark.createDataFrame(
+        [(1, 5), (5, 9), (9, 12),      # chain component -> min 1
+         (20, 21),                     # pair component -> min 20
+         (30, 31), (32, 31)],          # star via 31 -> min 30
+        "src long, dst long",
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 5: 1, 9: 1, 12: 1, 20: 20, 21: 20, 30: 30, 31: 30, 32: 30}
+
+    clusters = dedup_clusters(edges, left="src", right="dst").collect()
+    reps = {r["doc_id"] for r in clusters if r["is_representative"]}
+    assert reps == {1, 20, 30}
+
+
+def test_dedup_clusters_on_real_pairs(spark, docs):
+    from laser_hadoop_spark.operators.graph import dedup_clusters
+
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    if pairs.count() == 0:
+        pytest.skip("fixture has no near-dup pairs at this threshold")
+    cl = dedup_clusters(pairs)
+    # every cluster has exactly one representative: its min doc id
+    agg = cl.groupBy("cluster_id").agg(
+        F.sum(F.col("is_representative").cast("int")).alias("n_reps"),
+        F.min("doc_id").alias("min_doc"),
+    )
+    rows = agg.collect()
+    assert all(r["n_reps"] == 1 for r in rows)
+    assert all(r["min_doc"] == r["cluster_id"] for r in rows)
