@@ -92,6 +92,39 @@ def enrich_with_static(stream: DataFrame, static_dim: DataFrame, on: list[str]) 
     return stream.join(F.broadcast(static_dim), on=on, how="left")
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "1 hour",
+    delay: str = DEFAULT_WATERMARK,
+    how: str = "inner",
+) -> DataFrame:
+    """ST8: stream-stream interval join (e.g. click <- preceding purchase).
+
+    Matches a left row to right rows with the same key whose event time
+    falls in [left_ts - within, left_ts]. BOTH sides carry watermarks
+    and the join condition bounds event-time distance, so each side's
+    buffered state expires once the other side's watermark passes —
+    bounded state, the requirement for an unbounded 100 TB/day join.
+    Right columns are suffixed `_r` to keep the output unambiguous.
+    """
+    l = with_watermark(left, left_ts, delay).alias("l")
+    r_renamed = right.select(
+        [F.col(c).alias(f"{c}_r") for c in right.columns]
+    )
+    r = with_watermark(r_renamed, f"{right_ts}_r", delay).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}_r"))
+        & (F.col(f"r.{right_ts}_r") >= F.expr(f"l.{left_ts} - INTERVAL {within}"))
+        & (F.col(f"r.{right_ts}_r") <= F.col(f"l.{left_ts}"))
+    )
+    return l.join(r, cond, how)
+
+
 RUNNING_MAX_SCHEMA = "user_id bigint, running_max double, n_seen bigint"
 
 

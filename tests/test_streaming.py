@@ -186,3 +186,20 @@ def test_sliding_counts_streaming(spark, stream_dir):
     # 10:05, 10:20 events, 3 for 11:10, none for the 12:00+ events.
     assert sum(r["n_events"] for r in rows) == 15
     assert all(r["window_start"].hour < 11 for r in rows)
+
+
+def test_stream_stream_interval_join(spark, stream_dir):
+    clicks = _read_stream(spark, stream_dir).where(F.col("event_type") == "click")
+    views = _read_stream(spark, stream_dir).where(F.col("event_type") == "view")
+    joined = ops.stream_stream_join(
+        clicks, views, on="user_id", within="2 hours", delay="10 minutes"
+    )
+    out = _run(spark, joined, "t_ss_join")
+    rows = out.collect()
+    # view (user 2, 11:10) pairs with user 2's click at 12:05 (within 2h,
+    # view precedes click); user 1 has no views -> no rows for user 1
+    assert rows, "interval join should emit at least one match"
+    assert {r["user_id"] for r in rows} == {2}
+    for r in rows:
+        assert r["ts_r"] <= r["ts"]
+        assert r["event_id"] == 5 and r["event_id_r"] == 3
