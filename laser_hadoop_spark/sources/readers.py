@@ -156,16 +156,22 @@ def read_vcf(spark: SparkSession, path: str, melt: bool = True) -> DataFrame:
             *[F.element_at(fields, 10 + i).alias(s) for i, s in enumerate(samples)],
         )
         return wide
-    # Melt via a map literal exploded to (sample_id, gt): one shuffle-free
-    # generator per row instead of a per-sample select.
-    gt_map = F.create_map(
-        *[
-            x
-            for i, s in enumerate(samples)
-            for x in (F.lit(s), F.element_at(fields, 10 + i))
-        ]
+    # Melt via posexplode of the sample slice + a broadcast (pos ->
+    # sample_id) lookup: the plan stays constant-size no matter how many
+    # sample columns the VCF declares (a map/array literal would embed
+    # one sub-expression per sample — a plan-size hazard at biobank
+    # scale), and the join side is ~#samples rows, always broadcastable.
+    gts = body.select(
+        *fixed,
+        F.posexplode(F.slice(fields, 10, len(samples))).alias("__pos", "gt"),
     )
-    return body.select(*fixed, F.explode(gt_map).alias("sample_id", "gt"))
+    names = spark.createDataFrame(
+        list(enumerate(samples)), "__pos int, sample_id string"
+    )
+    return gts.join(F.broadcast(names), "__pos").select(
+        "chr", "pos", "id", "ref", "alt", "qual", "filter", "info", "format",
+        "sample_id", "gt",
+    )
 
 
 def read_jsonl(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
