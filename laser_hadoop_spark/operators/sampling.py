@@ -1,0 +1,57 @@
+"""Sampling operators for training-data mixture control.
+
+A pretraining pipeline rarely takes a corpus whole: per-source quotas
+and mixture weights decide what fraction of each stratum (source,
+language, quality band) enters the training set. Two forms:
+
+- stratified_sample: seeded Bernoulli per stratum (`df.sampleBy`) —
+  one scan, no shuffle, fractions approximate (binomial noise). The
+  100 TB path: sampling decisions are per-row coin flips, nothing is
+  collected or counted first.
+- quota_sample: EXACT n-per-stratum via a ranking window — one shuffle
+  by stratum; deterministic given the order column, so it is
+  oracle-checkable (QUALIFY row_number() <= n in DuckDB). Use when
+  exact counts matter more than a second scan-shaped pass.
+
+The reference has no sampling (its chunking is exhaustive, W1); this
+closes the mixture-weighting capability of the north star's
+training-data pipeline (/root/repo/BASELINE.json:6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    fractions: dict[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Seeded per-stratum Bernoulli sample; strata absent from
+    `fractions` are dropped (fraction 0.0)."""
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def quota_sample(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    n_per_stratum: int,
+    order_col: str,
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, deterministic.
+
+    Ranked by order_col (ties broken by it being unique — pass a key);
+    one shuffle on the stratum column. For skewed strata AQE splits the
+    hot partition; the window itself only keeps a running counter.
+    """
+    w = Window.partitionBy(strata_col).orderBy(order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )

@@ -563,3 +563,38 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, id_col="doc_id", text_col="text", n=3, threshold=_JACCARD_THRESHOLD
     )
     return dedup_clusters(pairs)
+
+
+@register(
+    "q_sample_quota",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) <= 50
+    """,
+)
+def q_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture quota: exactly 50 documents per source,
+    deterministic (ranked by doc_id). One shuffle on the stratum key."""
+    from laser_hadoop_spark.operators.sampling import quota_sample
+
+    d = table(spark, sf_dir, "documents")
+    return quota_sample(
+        d.select("doc_id", "source"), strata_col="source",
+        n_per_stratum=50, order_col="doc_id",
+    )
+
+
+@register("q_sample_stratified", oracle=None)  # seeded Bernoulli: rows-only
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture weights: seeded per-source Bernoulli sampling.
+
+    Sampling decisions are per-row hashes of (seed, row) — no count
+    pass, no shuffle; fractions are approximate (binomial), so the
+    check is rows-only + a pytest tolerance test.
+    """
+    from laser_hadoop_spark.operators.sampling import stratified_sample
+
+    d = table(spark, sf_dir, "documents")
+    sources = [r["source"] for r in d.select("source").distinct().collect()]
+    fractions = {s: (0.5 if i % 2 == 0 else 0.2) for i, s in enumerate(sorted(sources))}
+    return stratified_sample(d, strata_col="source", fractions=fractions)

@@ -439,3 +439,23 @@ def test_dedup_clusters_on_real_pairs(spark, docs):
     rows = agg.collect()
     assert all(r["n_reps"] == 1 for r in rows)
     assert all(r["min_doc"] == r["cluster_id"] for r in rows)
+
+
+def test_quota_and_stratified_sampling(spark, sf_dir):
+    from laser_hadoop_spark.operators.sampling import quota_sample, stratified_sample
+
+    d = table(spark, sf_dir, "documents")
+    q = quota_sample(d, strata_col="source", n_per_stratum=10, order_col="doc_id")
+    per = {r["source"]: r["n"] for r in
+           q.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    totals = {r["source"]: r["n"] for r in
+              d.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per == {s: min(10, n) for s, n in totals.items()}
+
+    s = stratified_sample(d, strata_col="source",
+                          fractions={k: 0.5 for k in totals}, seed=7)
+    n1 = s.count()
+    # deterministic for a fixed seed
+    assert stratified_sample(d, strata_col="source",
+                             fractions={k: 0.5 for k in totals}, seed=7).count() == n1
+    assert 0.2 * d.count() < n1 < 0.8 * d.count()
