@@ -243,3 +243,51 @@ def simhash_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: float = 0.2,
+) -> DataFrame:
+    """Train/eval contamination check: corpus docs sharing >= min_overlap
+    of their n-gram shingles with ANY benchmark document.
+
+    The decontamination pass every pretraining pipeline runs before
+    training. Same equi-join-on-shingle-hash shape as
+    ngram_jaccard_pairs, but across two corpora and one-directional
+    (overlap is measured against the corpus doc's own shingle count).
+    Output: (doc_id, n_shingles, n_contaminated, overlap) per flagged
+    corpus doc. The benchmark side is typically small -> its shingle
+    set broadcasts; the corpus side never shuffles its text, only
+    8-byte hashes.
+    """
+    c = (
+        corpus.select(F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("sh"))
+        .select("doc", F.size("sh").alias("n_shingles"), F.explode("sh").alias("s"))
+        .select("doc", "n_shingles", F.xxhash64("s").alias("h"))
+    )
+    b = (
+        benchmark.select(F.explode(word_shingles(text_col, n)).alias("s"))
+        .select(F.xxhash64("s").alias("h"))
+        .distinct()
+    )
+    hits = (
+        c.join(F.broadcast(b), "h")
+        .groupBy("doc", "n_shingles")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    overlap = F.col("n_contaminated") / F.col("n_shingles")
+    return (
+        hits.where(overlap >= min_overlap)
+        .select(
+            F.col("doc").alias(id_col),
+            "n_shingles",
+            "n_contaminated",
+            F.round(overlap, 4).alias("overlap"),
+        )
+    )

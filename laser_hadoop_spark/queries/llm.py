@@ -598,3 +598,53 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources = [r["source"] for r in d.select("source").distinct().collect()]
     fractions = {s: (0.5 if i % 2 == 0 else 0.2) for i, s in enumerate(sorted(sources))}
     return stratified_sample(d, strata_col="source", fractions=fractions)
+
+
+@register(
+    "q_contamination",
+    oracle="""
+    WITH corpus AS (
+        SELECT * FROM documents WHERE source <> 'src0'
+    ), bench AS (
+        SELECT * FROM documents WHERE source = 'src0'
+    ), ctoks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+    ), cshingles AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(list_transform(generate_series(1, len(t) - 2),
+                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                   AS shingle
+        FROM ctoks
+    ), btoks AS (
+        SELECT string_split(text, ' ') AS t FROM bench
+    ), bshingles AS (
+        SELECT DISTINCT UNNEST(list_transform(generate_series(1, len(t) - 2),
+                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                   AS shingle
+        FROM btoks
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_shingles FROM cshingles GROUP BY doc_id
+    ), hits AS (
+        SELECT c.doc_id, COUNT(*) AS n_contaminated
+        FROM cshingles c JOIN bshingles b ON c.shingle = b.shingle
+        GROUP BY c.doc_id
+    )
+    SELECT h.doc_id, s.n_shingles, h.n_contaminated,
+           ROUND(h.n_contaminated * 1.0 / s.n_shingles, 4) AS overlap
+    FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+    WHERE h.n_contaminated * 1.0 / s.n_shingles >= 0.2
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination pass: corpus docs (sources != src0) sharing >=20%
+    of their 3-gram shingles with the held-out benchmark split (src0).
+    Benchmark shingle hashes broadcast; the corpus shuffles 8-byte
+    hashes only."""
+    from laser_hadoop_spark.operators.dedup import contamination_overlap
+
+    d = table(spark, sf_dir, "documents")
+    return contamination_overlap(
+        d.where(F.col("source") != "src0"),
+        d.where(F.col("source") == "src0"),
+        id_col="doc_id", text_col="text", n=3, min_overlap=0.2,
+    )
