@@ -12,6 +12,7 @@ def load_all() -> None:
         return
     from laser_hadoop_spark.queries import (  # noqa: F401
         aggregates,
+        extras,
         joins,
         llm,
         scalars,

@@ -1,0 +1,477 @@
+"""SQL-surface closure queries (round-1 widening, SURVEY.md §2.12).
+
+Fills the remaining gaps a reference user would expect from a general
+analytics engine: EXISTS/LATERAL subqueries, GROUPING SETS, unpivot,
+full window-function surface (first/last/nth, percent_rank/cume_dist/
+ntile), argmin/argmax aggregates, regexp functions, batch
+sessionization, time-series gap fill, histogram binning, and
+semi-structured VARIANT extraction (Spark 4 VariantType).
+
+Determinism rules per registry docstring: unique window tiebreakers,
+round(…, 4) on floats, identical aliases both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from laser_hadoop_spark.functions.scalar import money_sum
+from laser_hadoop_spark.registry import register
+from laser_hadoop_spark.tables import register_views, table
+
+SESSION_GAP_US = 1_800 * 1_000_000  # 30 min session timeout, microseconds
+
+
+@register(
+    "q_exists_subquery",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1995-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS over the fact table.
+
+    Declared through the SQL surface; Catalyst rewrites the EXISTS into
+    a left-semi join on l_orderkey with the correlated date predicate as
+    the join condition — one shuffle, no per-row subquery. The
+    membership-test semantics generalize the reference's
+    groups.containsKey probe (LASERInputCheckMapper.java:138-144).
+    """
+    register_views(spark, sf_dir, names=("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1995-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS gid,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 4) AS DOUBLE)
+               AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: explicit GROUPING SETS (finer than rollup/cube) + GROUPING() ids.
+
+    Multi-level report closure of the reference's per-batch counters
+    (TRACEInputCheckMapper.java:267-269) — one Expand + one aggregate,
+    not three scans. gid disambiguates real NULLs from subtotal rows.
+    """
+    register_views(spark, sf_dir, names=("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS gid,
+               COUNT(*) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4)
+                   AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT p_partkey, 'retailprice' AS metric, ROUND(p_retailprice, 4) AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val
+    FROM part
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) of per-part metrics.
+
+    The inverse of q_pivot; the engine-level form of melting the
+    reference's wide sample-major matrices into long layout (SURVEY.md
+    §7.4 item 3). Spark's native unpivot is a zero-shuffle Expand —
+    each input row emits one output row per value column in the scan
+    stage, so the plan scales linearly with no exchange.
+    """
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round("p_retailprice", 4).alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["retailprice", "size"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@register(
+    "q_first_last_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey)  OVER w AS last_order,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_first_last_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-closure: first_value/last_value/nth_value over an unbounded frame.
+
+    The frame is explicit (default frame for last_value would stop at
+    CURRENT ROW); ordering carries the unique o_orderkey tiebreaker.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
+@register(
+    "q_percent_rank_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+           ROUND(CUME_DIST()    OVER w, 4) AS cume,
+           NTILE(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_percent_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-closure: relative-rank analytics (percent_rank, cume_dist, ntile).
+
+    Global window ordered by (o_totalprice, o_orderkey): the unique key
+    makes ntile bucket boundaries deterministic. Single-partition window
+    at sf; at 100 TB relative ranks would be computed per partition key
+    or via approx quantiles (q_percentile covers the scalable path).
+    """
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "q_min_max_by",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS best_order,
+           arg_min(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS worst_order,
+           ROUND(MAX(o_totalprice), 4) AS best_price
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def q_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-closure: argmin/argmax aggregates (max_by/min_by).
+
+    Selecting the row *at* an extreme without a join-back — one partial
+    aggregate instead of the agg+self-join the reference pattern would
+    need. Price ties are broken deterministically by folding the unique
+    o_orderkey into the comparison value at 1e-9 weight (exact in
+    doubles at these magnitudes: price ~1e5, ulp ~1e-11 < 1e-9·key).
+    """
+    o = table(spark, sf_dir, "orders")
+    tiebroken = F.col("o_totalprice") + F.col("o_orderkey") * F.lit(1e-9)
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", tiebroken).alias("best_order"),
+        F.min_by("o_orderkey", tiebroken).alias("worst_order"),
+        F.round(F.max("o_totalprice"), 4).alias("best_price"),
+    )
+
+
+@register(
+    "q_regexp_funcs",
+    oracle=r"""
+    SELECT c_custkey,
+           CAST(regexp_extract(c_name, '#(\d+)', 1) AS BIGINT) AS name_num,
+           regexp_replace(c_name, '\d', '#', 'g') AS masked,
+           CASE WHEN regexp_matches(c_name, '0{3}$') THEN 1 ELSE 0 END
+               AS ends_000
+    FROM customer
+    """,
+)
+def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-closure: regexp extract / replace (redaction) / match predicate.
+
+    regexp_replace masking every digit is the PII-scrub primitive for
+    document pipelines; all three run inside whole-stage codegen (no
+    Python). DuckDB spelling differs only in the global-replace flag
+    ('g' explicit there, default in Spark).
+    """
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"#(\d+)", 1).cast("bigint").alias("name_num"),
+        F.regexp_replace("c_name", r"\d", "#").alias("masked"),
+        F.when(F.col("c_name").rlike(r"0{3}$"), 1).otherwise(0).alias("ends_000"),
+    )
+
+
+@register(
+    "q_sessionize_batch",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, value, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                        > {SESSION_GAP_US}
+                    OR LAG(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, value, ts_us,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE) AS sum_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: gap>30min starts a new session (lag + running sum).
+
+    The classic two-window composition — both windows share one
+    partitioning (user_id) and one sort, so Catalyst plans a single
+    exchange + single sort for the whole query; the per-session
+    aggregate then reuses the same hash partitioning. Complements
+    q_session_window (ST3's session_window operator) with the portable
+    SQL formulation.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    is_new = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((ts_us - F.lag(ts_us).over(w)) > SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.select(
+        "user_id",
+        "value",
+        ts_us.alias("ts_us"),
+        F.sum(is_new).over(wrun).alias("session_id"),
+    )
+    return flagged.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        money_sum(F.col("value"), scale=2).alias("sum_value"),
+    )
+
+
+@register(
+    "q_gap_fill",
+    oracle="""
+    WITH spine AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM (SELECT user_id, MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+              FROM events GROUP BY user_id)
+    ),
+    daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT spine.user_id, spine.day, COALESCE(daily.n, 0) AS n_events
+    FROM spine LEFT JOIN daily
+      ON spine.user_id = daily.user_id AND spine.day = daily.day
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: dense per-user daily spine with zero-filled counts.
+
+    The spine is generated distributedly — sequence() explodes each
+    user's [min_day, max_day] range executor-side (a table-generating
+    function, U4's mechanism) — then left-joins the daily aggregate.
+    Both sides are pre-aggregated before the join, so the join input is
+    |users|·|days|, not raw events; at 100 TB the join keys share one
+    hash partitioning on user_id.
+    """
+    e = table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    spine = (
+        e.groupBy("user_id")
+        .agg(F.min(day).alias("lo"), F.max(day).alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    daily = e.groupBy("user_id", day.alias("day")).agg(F.count("*").alias("n"))
+    return spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id", "day", F.coalesce("n", F.lit(0)).alias("n_events")
+    )
+
+
+@register(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 4) AS lo_price,
+           ROUND(MAX(o_totalprice), 4) AS hi_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning (floor-divide keys).
+
+    One partial-aggregated scan; bin boundaries are IEEE-identical
+    across engines because both compute the same double divide+floor.
+    The generalization of the reference's chunk-id math
+    (rowIndex / chunkSize, LASERInputCheckMapper.java:155-161) from row
+    position to value domain.
+    """
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 25000).cast("bigint").alias("bin")
+        ).agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 4).alias("lo_price"),
+            F.round(F.max("o_totalprice"), 4).alias("hi_price"),
+        )
+    )
+
+
+@register(
+    "q_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: two-level aggregate over a left outer join.
+
+    COUNT(o_orderkey) counts only matched rows, so customers with no
+    orders land in the c_count=0 bucket — the outer-join null-counting
+    subtlety J6 exists to cover. First aggregate shuffles on c_custkey;
+    the second input is |customers| rows, re-aggregated into at most a
+    few hundred buckets.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q_lateral_topk",
+    oracle="""
+    SELECT n_name, s.s_suppkey, ROUND(s.s_acctbal, 4) AS acctbal
+    FROM nation, LATERAL (
+        SELECT s_suppkey, s_acctbal FROM supplier
+        WHERE s_nationkey = n_nationkey
+        ORDER BY s_acctbal DESC, s_suppkey
+        LIMIT 2
+    ) s
+    """,
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: top-2 suppliers per nation.
+
+    The per-row-subquery formulation of W3's rank+filter; Catalyst
+    decorrelates the LATERAL into a window + filter over one join, so
+    the declarative "for each nation..." spelling costs the same as the
+    hand-written window. Ties broken by unique s_suppkey.
+    """
+    register_views(spark, sf_dir, names=("nation", "supplier"))
+    return spark.sql(
+        """
+        SELECT n_name, s.s_suppkey, ROUND(s.s_acctbal, 4) AS acctbal
+        FROM nation, LATERAL (
+            SELECT s_suppkey, s_acctbal FROM supplier
+            WHERE s_nationkey = n_nationkey
+            ORDER BY s_acctbal DESC, s_suppkey
+            LIMIT 2
+        ) s
+        """
+    )
+
+
+@register(
+    "q_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(props->>'$.k' AS BIGINT) % 10 AS k_mod,
+           COUNT(*) AS n,
+           SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT extraction (Spark 4 VariantType).
+
+    parse_json builds the binary variant encoding once per row;
+    variant_get then extracts typed fields without re-parsing — the
+    scale path for schema-on-read JSON columns (vs per-access
+    get_json_object string re-parsing in q_json_extract).
+    """
+    e = table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type", (F.col("k") % 10).alias("k_mod"))
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
+    )
