@@ -648,3 +648,90 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.where(F.col("source") == "src0"),
         id_col="doc_id", text_col="text", n=3, min_overlap=0.2,
     )
+
+
+@register(
+    "q_doc_repetition",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, len(t) - 2 AS n_shingles,
+               UNNEST(list_transform(generate_series(1, len(t) - 2),
+                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                   AS shingle
+        FROM toks WHERE len(t) >= 3
+    )
+    SELECT doc_id, n_shingles, COUNT(DISTINCT shingle) AS n_distinct,
+           ROUND(1.0 - COUNT(DISTINCT shingle) * 1.0 / n_shingles, 4) AS rep_ratio
+    FROM sh
+    GROUP BY doc_id, n_shingles
+    """,
+)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition ratio: 1 - distinct/total 3-gram shingles.
+
+    The duplicated-n-gram quality signal used by C4/Gopher-style
+    filters: boilerplate and looping generations repeat n-grams, clean
+    prose doesn't. Both counts come from the shingle array built
+    scan-side (no explode, no shuffle of shingle strings — the only
+    exchange is the final tiny per-doc aggregate, and even that
+    disappears because the counts are computed per row). At 100 TB this
+    stays a pure map: each doc computes its own ratio independently.
+    """
+    from laser_hadoop_spark.operators.dedup import word_shingles
+
+    d = table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    n_shingles = F.size(t) - 2
+    n_distinct = F.size(word_shingles("text", n=3))
+    return (
+        d.where(F.size(t) >= 3)
+        .select(
+            "doc_id",
+            n_shingles.cast("bigint").alias("n_shingles"),
+            n_distinct.cast("bigint").alias("n_distinct"),
+            F.round(1.0 - n_distinct / n_shingles, 4).alias("rep_ratio"),
+        )
+    )
+
+
+@register(
+    "q_embedding_centroid",
+    oracle="""
+    WITH e AS (
+        SELECT label, embedding,
+               UNNEST(generate_series(1, len(embedding))) AS pos1
+        FROM embeddings
+    )
+    SELECT label, pos1 - 1 AS pos, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(embedding[pos1] AS DECIMAL(18,7))) / COUNT(*), 4)
+                AS DOUBLE) + 0.0 AS centroid_val
+    FROM e
+    GROUP BY 1, 2
+    """,
+)
+def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids via posexplode + exact decimal mean.
+
+    The building block of semantic dedup / cluster-then-sample
+    pipelines: mean vector per class. Floats are snapped to
+    decimal(18,7) before summing so the mean is order-independent and
+    hash-matches the oracle (same pattern as money_sum; float
+    summation order would otherwise differ between engines). Shuffles
+    |labels|·dim tiny rows after a map-side partial aggregate.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("p", "v"))
+        .groupBy("label", F.col("p").cast("bigint").alias("pos"))
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.round(
+                    F.sum(F.col("v").cast("decimal(18,7)")) / F.count("*"), 4
+                ).cast("double")
+                + F.lit(0.0)  # -0.0 -> +0.0, IEEE; keeps driver hash stable
+            ).alias("centroid_val"),
+        )
+    )

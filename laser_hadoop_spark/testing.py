@@ -39,8 +39,10 @@ def _canon(v: Any) -> Any:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse float noise below the query-level rounding (round 4)
-        return round(v, 6)
+        # collapse float noise below the query-level rounding (round 4);
+        # +0.0 folds -0.0 into +0.0 (repr-distinct but ==-equal, which
+        # desynchronizes the repr-sorted multisets)
+        return round(v, 6) + 0.0
     if isinstance(v, _dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, _dt.date):
