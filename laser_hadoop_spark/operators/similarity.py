@@ -294,3 +294,49 @@ def ann_lsh_topk(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Per-cluster semantic dedup: drop rows with an earlier near-neighbor.
+
+    A row is dropped when some lower-id row in the SAME cluster has
+    cosine similarity above `threshold`; the output maps each dropped id
+    to its lowest-id keeper. Runs as one grouped Arrow kernel per
+    cluster (applyInPandas): normalize the cluster's matrix once, one
+    BLAS gram matrix, take the i<j triangle.
+
+    Scale contract: comparisons never cross clusters, so cost is
+    sum(|cluster|^2), not n^2 — the cluster column is what makes
+    semantic dedup feasible at 100 TB (labels here; IVF cells from
+    ivf_topk's k-means, or LSH buckets, for unlabeled corpora). Clusters
+    must individually fit in task memory (~1M x 128 dims = 0.5 GB);
+    split oversized clusters with a secondary LSH bucket first.
+    """
+    import pandas as pd
+
+    def dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        m = np.array(list(pdf[vec_col]), dtype=np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        ai, bj = np.nonzero(np.triu(sims > threshold, k=1))  # ids sorted: a<b
+        if len(bj) == 0:
+            return pd.DataFrame(
+                {cluster_col: [], "drop_id": [], "keep_id": []}
+            ).astype({cluster_col: "int32", "drop_id": "int64", "keep_id": "int64"})
+        out = pd.DataFrame({"drop_id": ids[bj], "keep_id": ids[ai]})
+        out = out.groupby("drop_id", as_index=False)["keep_id"].min()
+        out.insert(0, cluster_col, pdf[cluster_col].iloc[0])
+        return out
+
+    return df.select(cluster_col, id_col, vec_col).groupBy(cluster_col).applyInPandas(
+        dedup, f"{cluster_col} int, drop_id long, keep_id long"
+    )

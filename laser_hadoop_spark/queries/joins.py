@@ -264,3 +264,38 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("asof_value", 4).alias("asof_value"),
     )
 
+
+
+@register(
+    "q_salted_join",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_customers,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 4) AS DOUBLE)
+               AS sum_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: salted skew join — must be value-identical to the plain join.
+
+    The fact side scatters each row across 16 deterministic sub-keys and
+    the dim side replicates 16x, so one hot nation key spreads over 16
+    shuffle partitions instead of one straggler task (the hand-rolled
+    fallback for shuffle-hash joins, where AQE's skew splitting doesn't
+    apply). The oracle is the UNSALTED join: salting must not change
+    results, only the shuffle layout.
+    """
+    from laser_hadoop_spark.functions.scalar import money_sum
+    from laser_hadoop_spark.operators.relational import salted_join
+
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    joined = salted_join(
+        c, n.withColumnRenamed("n_nationkey", "c_nationkey"), on=["c_nationkey"],
+        n_salts=16,
+    )
+    return joined.groupBy("n_name").agg(
+        F.count("*").alias("n_customers"),
+        money_sum(F.col("c_acctbal"), scale=2).alias("sum_acctbal"),
+    )

@@ -735,3 +735,34 @@ def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_val"),
         )
     )
+
+
+@register(
+    "q_semantic_dedup",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    )
+    SELECT b.label, b.vec_id AS drop_id, MIN(a.vec_id) AS keep_id
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) > 0.25
+    GROUP BY b.label, b.vec_id
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup within clusters.
+
+    Each vector with an earlier same-label neighbor above cosine 0.25 is
+    mapped to its lowest-id keeper — the cluster-then-dedup pattern
+    (SemDeDup-style) where clustering bounds the pairwise work. One
+    shuffle on the cluster key, then a per-cluster BLAS gram matrix.
+    """
+    from laser_hadoop_spark.operators.similarity import semantic_dedup
+
+    emb = table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding", cluster_col="label",
+        threshold=0.25,
+    )

@@ -104,3 +104,54 @@ def q_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         weighted_avg("l_extendedprice", "l_quantity").alias("weighted_avg_price")
     )
+
+
+@register(
+    "q_python_udtf",
+    oracle="""
+    WITH per_nation AS (
+        SELECT s_nationkey, COUNT(*) AS n_sup FROM supplier GROUP BY s_nationkey
+    )
+    SELECT s_nationkey,
+           printf('%05d', CAST((start_i - 1) / 10 AS BIGINT)) AS batch_id,
+           start_i,
+           LEAST(start_i + 9, n_sup) AS end_i
+    FROM (SELECT s_nationkey, n_sup,
+                 UNNEST(generate_series(1, n_sup, 10)) AS start_i
+          FROM per_nation)
+    """,
+)
+def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: Python UDTF (Spark 4) — one meta row expands to N batch rows.
+
+    The direct modern form of TRACEJobGenerator's descriptor loop
+    (TRACEJobGenerator.java:58-93): a lateral table function turns each
+    per-nation supplier count into [start,end] batches of 10 with
+    %05d ids. The UDTF runs per input row executor-side (no driver
+    loop, no collect); the declarative twin is explode(sequence(...))
+    in q_ntile_batching — same semantics, and the UDTF form is the
+    escape hatch when batch logic outgrows SQL expressions.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="batch_id: string, start_i: bigint, end_i: bigint")
+    class BatchRanges:
+        def eval(self, n: int, size: int):
+            start, batch = 1, 0
+            while start <= n:
+                yield f"{batch:05d}", start, min(start + size - 1, n)
+                start += size
+                batch += 1
+
+    spark.udtf.register("batch_ranges", BatchRanges)
+    sup = table(spark, sf_dir, "supplier")
+    sup.groupBy("s_nationkey").agg(F.count("*").alias("n_sup")).createOrReplaceTempView(
+        "per_nation_counts"
+    )
+    return spark.sql(
+        """
+        SELECT p.s_nationkey, b.batch_id, b.start_i, b.end_i
+        FROM per_nation_counts p,
+             LATERAL batch_ranges(CAST(p.n_sup AS INT), 10) b
+        """
+    )
