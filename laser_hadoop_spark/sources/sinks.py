@@ -12,7 +12,7 @@ import json
 import os
 import shutil
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -140,3 +140,41 @@ def write_partitioned_parquet(
         .partitionBy(*partition_by)
         .parquet(out_dir)
     )
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    base_dir: str,
+    updates: DataFrame,
+    *,
+    keys: list[str],
+) -> None:
+    """Keyed upsert (merge) into a parquet table: updates win over base.
+
+    Without a transactional table format, merge = anti-join the base
+    against the update keys, union the updates, rewrite atomically
+    (write to a temp dir, then swap). Updates must be unique per key —
+    enforced here with a dropDuplicates on the keys (last writer within
+    a batch is arbitrary, so callers pre-aggregate when it matters).
+
+    Scale notes: the anti-join shuffles on the merge keys only; at
+    100 TB the rewrite cost makes THIS pattern the wrong default — it
+    exists as the engine's merge primitive for modest dimension/state
+    tables (and as the foreachBatch sink for streaming upserts, where
+    each micro-batch's update set is small). Fact-scale mutation wants a
+    partition-level rewrite: partition the base, restrict the anti-join
+    + rewrite to partitions present in the updates.
+    """
+    up = updates.dropDuplicates(keys).localCheckpoint(eager=True)
+    if os.path.isdir(base_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(base_dir)
+    ):
+        base = spark.read.parquet(base_dir)
+        merged = base.join(up, on=keys, how="left_anti").unionByName(up)
+    else:
+        merged = up
+    tmp_dir = base_dir.rstrip("/") + ".__tmp__"
+    merged.write.mode("overwrite").parquet(tmp_dir)
+    if os.path.isdir(base_dir):
+        shutil.rmtree(base_dir)
+    os.replace(tmp_dir, base_dir)

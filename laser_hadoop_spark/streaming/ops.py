@@ -160,3 +160,37 @@ def running_max_per_user(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def start_upsert_sink(
+    stream: DataFrame,
+    spark,
+    *,
+    base_dir: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """ST9: foreachBatch upsert sink — streaming merge into a keyed store.
+
+    Each micro-batch is merged into the parquet table by key
+    (sources/sinks.upsert_parquet), so the table converges to
+    latest-state-per-key — the streaming materialized-view pattern for
+    dashboards/serving. foreachBatch gives the batch writer's full API
+    inside streaming; with a checkpoint the sink is effectively-once:
+    a replayed batch re-merges the same keys idempotently (the merge is
+    deterministic per batch content, unlike blind appends).
+    """
+    from laser_hadoop_spark.sources.sinks import upsert_parquet
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_parquet(spark, base_dir, batch_df, keys=keys)
+
+    writer = stream.writeStream.foreachBatch(merge_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -172,3 +172,23 @@ def test_partitioned_parquet_layout_and_pruning(spark, sf_dir, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert pruned.count() > 0
     assert "PartitionFilters: [isnotnull(event_date" in plan
+
+
+def test_upsert_parquet_merge(spark, tmp_path):
+    """upsert_parquet: updates replace matching keys, new keys append,
+    untouched keys survive, and the swap leaves no temp dir behind."""
+    import os
+
+    from laser_hadoop_spark.sources.sinks import upsert_parquet
+
+    base_dir = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "k long, s string, v double"
+    ).write.parquet(base_dir)
+    updates = spark.createDataFrame(
+        [(2, "B", 20.0), (4, "d", 4.0)], "k long, s string, v double"
+    )
+    upsert_parquet(spark, base_dir, updates, keys=["k"])
+    got = {r.k: (r.s, r.v) for r in spark.read.parquet(base_dir).collect()}
+    assert got == {1: ("a", 1.0), 2: ("B", 20.0), 3: ("c", 3.0), 4: ("d", 4.0)}
+    assert not os.path.isdir(base_dir + ".__tmp__")

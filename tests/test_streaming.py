@@ -203,3 +203,29 @@ def test_stream_stream_interval_join(spark, stream_dir):
     for r in rows:
         assert r["ts_r"] <= r["ts"]
         assert r["event_id"] == 5 and r["event_id_r"] == 3
+
+
+def test_foreach_batch_upsert_sink(spark, stream_dir, tmp_path):
+    """ST9: foreachBatch merge — the store converges to latest value per
+    key across micro-batches, and a second (idempotent) run of the same
+    input leaves it unchanged."""
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    latest = _read_stream(spark, stream_dir).select(
+        "event_id", "ts", "user_id", "value"
+    )
+    q = ops.start_upsert_sink(
+        latest, spark, base_dir=store, keys=["event_id"], checkpoint_dir=ck
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(store)
+    assert got.count() == 6  # event_ids 1..6; the duplicate id 4 merged
+    assert got.where(F.col("event_id") == 4).count() == 1
+    # re-run over the same input with a fresh checkpoint: same store state
+    q2 = ops.start_upsert_sink(
+        _read_stream(spark, stream_dir).select("event_id", "ts", "user_id", "value"),
+        spark, base_dir=store, keys=["event_id"],
+        checkpoint_dir=str(tmp_path / "ck2"),
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(store).count() == 6
