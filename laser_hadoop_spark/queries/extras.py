@@ -475,3 +475,98 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", (F.col("k") % 10).alias("k_mod"))
         .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
     )
+
+
+@register(
+    "q_rolling_avg_range",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 4)
+               AS DOUBLE) AS trailing_1h_sum,
+           COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+               AS trailing_1h_n
+    FROM events
+    """,
+)
+def q_rolling_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-closure: RANGE (event-time interval) window frame.
+
+    Trailing-1-hour sum/count per user — a *value-based* frame, not a
+    row count: all rows within [ts-1h, ts] enter the frame, so
+    same-timestamp ties get identical frames on every engine (row
+    frames would be ambiguous under ties). Spark side orders by
+    unix_micros and bounds the range in exact microseconds; the sum is
+    micro-unit-exact (money_sum pattern) so frame-order float drift
+    can't move the rounded value.
+    """
+    from laser_hadoop_spark.functions.scalar import micro_units
+
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600 * 1_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum(micro_units(F.col("value"))).over(w).cast("decimal(38,6)")
+            / F.lit(1_000_000),
+            4,
+        )
+        .cast("double")
+        .alias("trailing_1h_sum"),
+        F.count("*").over(w).alias("trailing_1h_n"),
+    )
+
+
+@register("q_approx_percentile", oracle=None)  # sketch-based: rows-only
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 companion: approx_percentile (KLL-style sketch) per group.
+
+    The 100 TB path for quantiles: a mergeable bounded-size sketch per
+    partition, one tiny exchange — vs q_percentile's exact sort-based
+    form. Accuracy vs the exact interpolated percentile is
+    pytest-verified (tests/test_operators.py); sketch estimates are
+    engine-specific, hence rows-only here.
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10_000).alias(
+            "approx_pcts"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+@register("q_pagerank", oracle=None)  # iterative float fixpoint: rows-only
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank over the part↔supplier co-purchase graph.
+
+    Nodes: parts and suppliers (supplier ids offset by 10M); edges both
+    directions per distinct (part, supplier) lineitem pair, 10%
+    deterministic part sample. Each of the 5 rounds is one shuffle
+    join + aggregate with lineage truncated per round
+    (operators/graph.pagerank); equivalence with dense numpy power
+    iteration is pytest-verified, so the query is rows-only (float
+    fixpoints aren't SQL-oracle material).
+    """
+    from laser_hadoop_spark.operators.graph import pagerank
+
+    li = table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.where(F.col("l_partkey") % 10 == 0)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    sup_node = F.col("l_suppkey") + F.lit(10_000_000)
+    edges = pairs.select(
+        F.col("l_partkey").alias("src"), sup_node.alias("dst")
+    ).unionByName(pairs.select(sup_node.alias("src"), F.col("l_partkey").alias("dst")))
+    pr = pagerank(edges, n_iter=5)
+    return pr.select("node", F.round("rank", 8).alias("rank"))

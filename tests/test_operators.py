@@ -459,3 +459,48 @@ def test_quota_and_stratified_sampling(spark, sf_dir):
     assert stratified_sample(d, strata_col="source",
                              fractions={k: 0.5 for k in totals}, seed=7).count() == n1
     assert 0.2 * d.count() < n1 < 0.8 * d.count()
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """pagerank == dense numpy power iteration (same damping/dangling
+    handling) within float tolerance on a small directed graph."""
+    import numpy as np
+
+    from laser_hadoop_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]  # 5 has no edges
+    nodes = [1, 2, 3, 4]
+    idx = {v: i for i, v in enumerate(nodes)}
+    got = {
+        r.node: r.rank
+        for r in pagerank(
+            spark.createDataFrame(edges, "src long, dst long"), n_iter=10
+        ).collect()
+    }
+    n, d = len(nodes), 0.85
+    r = np.full(n, 1.0 / n)
+    out_deg = np.zeros(n)
+    for s, _ in edges:
+        out_deg[idx[s]] += 1
+    for _ in range(10):
+        contrib = np.zeros(n)
+        for s, t in edges:
+            contrib[idx[t]] += r[idx[s]] / out_deg[idx[s]]
+        dm = r[out_deg == 0].sum()
+        r = (1 - d) / n + d * (contrib + dm / n)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-12, v
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    """approx_percentile at accuracy 10k is within 1% of the exact
+    interpolated percentile on orders.o_totalprice."""
+    from laser_hadoop_spark.tables import table
+
+    o = table(spark, sf_dir, "orders")
+    row = o.agg(
+        F.percentile_approx("o_totalprice", 0.5, 10_000).alias("approx"),
+        F.percentile("o_totalprice", 0.5).alias("exact"),
+    ).first()
+    assert abs(row.approx - row.exact) / row.exact < 0.01
