@@ -1,0 +1,108 @@
+"""Physical-plan audit: the 100 TB scale properties README.md claims,
+enforced as assertions over the actual executed plans.
+
+These don't run the queries (except where noted) — they inspect the
+physical plan string, so a regression that silently adds a shuffle,
+drops a broadcast, breaks pushdown, or moves a hot path into Python
+fails CI rather than surfacing as a 10x slowdown on a cluster.
+"""
+
+from __future__ import annotations
+
+import re
+
+from laser_hadoop_spark import registry
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _n_shuffles(plan: str) -> int:
+    """Count shuffle exchanges (not broadcast exchanges / reuses)."""
+    return len(re.findall(r"\bExchange (?:hashpartitioning|SinglePartition|rangepartitioning)", plan))
+
+
+def test_pricing_summary_pushdown_pruning_single_shuffle(spark, sf_dir):
+    """Q1 shape: filter pushed to parquet, unused columns pruned, and the
+    only shuffle is the tiny partial->final aggregate exchange."""
+    df = registry.get("q_pricing_summary").fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert "l_partkey" not in plan, "scan reads columns the query never uses"
+    assert "l_orderkey" not in plan
+    assert _n_shuffles(plan) == 1, plan
+
+
+def test_broadcast_join_plans_bhj(spark, sf_dir):
+    """J1: the dimension side of the reference's core join broadcasts —
+    no shuffle of the fact side for the join itself."""
+    plan = _plan(registry.get("q_broadcast_inner_join").fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semi_and_anti_joins_broadcast(spark, sf_dir):
+    """J2/J3: membership joins against a small key set broadcast the set."""
+    for name in ("q_semi_join", "q_anti_join"):
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_window_queries_single_shuffle(spark, sf_dir):
+    """W3/W4: partitioned window functions need exactly one exchange on
+    the partition key (sort happens within partitions after it)."""
+    for name in ("q_rank_topk_per_group", "q_window_running_sum"):
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        assert _n_shuffles(plan) == 1, f"{name}: {plan}"
+
+
+def test_sessionize_two_windows_share_one_exchange(spark, sf_dir):
+    """X22: lag-window, running-sum window, and the session aggregate all
+    hash-partition by user_id — one shuffle for the whole query."""
+    plan = _plan(registry.get("q_sessionize_batch").fn(spark, sf_dir))
+    assert _n_shuffles(plan) == 1, plan
+
+
+def test_relational_hot_paths_stay_jvm_side(spark, sf_dir):
+    """No Python evaluation nodes in relational/window/text/dedup plans —
+    Python appears only in declared Arrow kernels (ANN, grouped PCA)."""
+    for name in (
+        "q_pricing_summary",
+        "q_text_quality",
+        "q_dedup_ngram_jaccard",
+        "q_rank_topk_per_group",
+        "q_curation_pipeline",
+    ):
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_ngram_selfjoin_reuses_exchange(spark, sf_dir):
+    """X-series dedup: the shingle self-join's two sides must share one
+    shuffle (ReusedExchange), not compute the shingle subplan twice."""
+    df = registry.get("q_dedup_ngram_jaccard").fn(spark, sf_dir)
+    df.collect()  # reuse is decided by AQE — inspect the final plan
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, plan
+
+
+def test_unpivot_is_shuffle_free(spark, sf_dir):
+    """X18: wide->long expansion happens in the scan stage — zero exchanges."""
+    plan = _plan(registry.get("q_unpivot").fn(spark, sf_dir))
+    assert _n_shuffles(plan) == 0, plan
+
+
+def test_projection_pruning_reaches_scan(spark, sf_dir):
+    """S14: a 2-column projection reads a 2-column ReadSchema."""
+    from laser_hadoop_spark.tables import table
+
+    df = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    assert sorted(f.split(":")[0] for f in m.group(1).split(",")) == [
+        "l_orderkey",
+        "l_quantity",
+    ]
