@@ -570,3 +570,72 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(pairs.select(sup_node.alias("src"), F.col("l_partkey").alias("dst")))
     pr = pagerank(edges, n_iter=5)
     return pr.select("node", F.round("rank", 8).alias("rank"))
+
+
+@register(
+    "q_profile_stats",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(l_quantity) AS l_quantity__n_nonnull,
+           COUNT(DISTINCT l_quantity) AS l_quantity__n_distinct,
+           MIN(l_quantity) AS l_quantity__min,
+           MAX(l_quantity) AS l_quantity__max,
+           ROUND(AVG(l_quantity), 4) AS l_quantity__avg,
+           COUNT(l_returnflag) AS l_returnflag__n_nonnull,
+           COUNT(DISTINCT l_returnflag) AS l_returnflag__n_distinct,
+           MIN(length(l_returnflag)) AS l_returnflag__min_len,
+           MAX(length(l_returnflag)) AS l_returnflag__max_len
+    FROM lineitem
+    """,
+)
+def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine utility: one-pass column profile (operators/profiling.py).
+
+    Every statistic is partial-aggregatable, so profiling N columns
+    costs one scan + one 1-row exchange — the generalization of the
+    reference's counter-based input profiling
+    (LASERInputValidator.java:142-145). Exact distinct here for the
+    oracle; the default is HLL sketches for 100 TB.
+    """
+    from laser_hadoop_spark.operators.profiling import profile
+
+    li = table(spark, sf_dir, "lineitem")
+    return profile(li, ["l_quantity", "l_returnflag"], exact_distinct=True)
+
+
+@register(
+    "q_edit_distance_join",
+    oracle="""
+    SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+           levenshtein(a.c_name, b.c_name) AS edit_dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy (edit-distance) similarity join.
+
+    Near-identical-name pairs within a blocking key (nation). The
+    blocking join is what makes fuzzy matching feasible at scale:
+    levenshtein runs only on same-block pairs (sum(|block|^2) work, one
+    shuffle on the block key), never the full cross product — same
+    discipline as semantic_dedup's cluster bound. Levenshtein itself is
+    a codegen'd JVM expression, not a UDF.
+    """
+    c = table(spark, sf_dir, "customer")
+    a, b = c.alias("a"), c.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .where(dist <= 1)
+        .select(
+            F.col("a.c_custkey").alias("cust_a"),
+            F.col("b.c_custkey").alias("cust_b"),
+            dist.alias("edit_dist"),
+        )
+    )
