@@ -199,3 +199,162 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p_brand
         """
     )
+
+
+@register(
+    "q_shipmode_priority",
+    oracle="""
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counts over a fact-fact join.
+
+    The IN-list CASE pair runs inside the post-join project, so the
+    aggregate is two codegen'd conditional sums — the reference's
+    SHARED/TOTAL two-counters-one-pass pattern
+    (LASERInputCheckMapper.java:239-251) over a join instead of a scan.
+    """
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q_promo_revenue",
+    oracle="""
+    SELECT ROUND(
+             100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000
+                                         + 0.5) AS BIGINT) ELSE 0 END)
+             / SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000 + 0.5)
+                        AS BIGINT)),
+           4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+      AND l_shipdate <  TIMESTAMP '1995-10-01'
+    """,
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: ratio of conditional to total revenue.
+
+    Both sums aggregate exact micro-unit int64s (micro_units pattern on
+    BOTH engines — identical floor(x*1e6+0.5) spelling), so the final
+    double ratio is bit-identical cross-engine: same two integers, same
+    one division. Part side broadcasts; one shuffle for the 1-row agg.
+    """
+    from laser_hadoop_spark.functions.scalar import micro_units
+
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
+    )
+    p = table(spark, sf_dir, "part")
+    rev = micro_units(revenue_expr())
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return joined.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+            / F.sum(rev),
+            4,
+        ).alias("promo_revenue_pct")
+    )
+
+
+@register(
+    "q_disjunctive_pred",
+    oracle="""
+    SELECT COUNT(*) AS n_lines,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-AND predicate blocks across a join.
+
+    Catalyst pushes the common-prefix simplifications and keeps the
+    disjunction as the join's residual condition; per-side conjuncts
+    that appear in every branch (none here by design) would be pushed
+    below the join. The interesting scale property: the part side still
+    broadcasts and the fact scan still prunes columns — disjunctions
+    don't break pushdown, they only widen the residual filter.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    q, sz, br = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((br == "Brand#1") & sz.between(1, 15) & q.between(1, 20))
+        | ((br == "Brand#2") & sz.between(10, 30) & q.between(10, 30))
+        | ((br == "Brand#3") & sz.between(20, 50) & q.between(20, 50))
+    )
+    return j.where(cond).agg(
+        F.count("*").alias("n_lines"),
+        money_sum(revenue_expr()).alias("revenue"),
+    )
+
+
+@register(
+    "q_inactive_customers",
+    oracle="""
+    SELECT c_nationkey % 10 AS cgroup,
+           COUNT(*) AS n_custs,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 4) AS DOUBLE)
+               AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    GROUP BY c_nationkey % 10
+    """,
+)
+def q_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated scalar subquery + NOT EXISTS.
+
+    Rich customers who never ordered: the scalar AVG becomes a 1-row
+    broadcast; NOT EXISTS rewrites to a left-anti join on o_custkey
+    (J3's violation-detect pattern, LASERInputCheckMapper.java:139-143,
+    as a declarative subquery). Orders side is pre-projected to the
+    join key only, so the anti join shuffles one bigint column.
+    """
+    from laser_hadoop_spark.tables import register_views
+
+    register_views(spark, sf_dir, names=("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_nationkey % 10 AS cgroup,
+               COUNT(*) AS n_custs,
+               ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 4)
+                   AS total_bal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        GROUP BY c_nationkey % 10
+        """
+    )
