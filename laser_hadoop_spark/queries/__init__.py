@@ -12,6 +12,7 @@ def load_all() -> None:
         return
     from laser_hadoop_spark.queries import (  # noqa: F401
         aggregates,
+        events_analytics,
         extras,
         joins,
         llm,

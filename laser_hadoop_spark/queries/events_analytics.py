@@ -1,0 +1,156 @@
+"""Event/product-analytics queries over the `events` table.
+
+The capability closure of the reference's counter-style reporting onto
+event streams (SURVEY.md §2.9 context): first-seen/cumulative distinct
+counting, cohort retention, and ordered-funnel analysis. All three are
+window/aggregate compositions that share a single hash partitioning on
+user_id for the heavy phase — the property that matters at 100 TB,
+where `events` is the big table and per-user state must never leave its
+shuffle partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from laser_hadoop_spark.registry import register
+from laser_hadoop_spark.tables import table
+
+
+@register(
+    "q_cumulative_distinct",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    daily_new AS (
+        SELECT first_day AS day, COUNT(*) AS n_new
+        FROM first_seen GROUP BY first_day
+    )
+    SELECT day, n_new,
+           SUM(n_new) OVER (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_users
+    FROM daily_new
+    """,
+)
+def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new purchasers + running distinct-purchaser total.
+
+    COUNT(DISTINCT) over a growing window is not directly computable,
+    so the engine form is first-seen attribution: one aggregate finds
+    each user's first day (shuffle on user_id), a per-day count and a
+    running sum over the tiny day-level table finish the job. The
+    expensive phase touches each user once — no day x user state.
+    """
+    e = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    first_seen = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    daily_new = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily_new.select("day", "n_new", F.sum("n_new").over(w).alias("cum_users"))
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+    WITH cohorts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.cohort_day,
+           date_diff('day', c.cohort_day, a.day) AS offset_days,
+           COUNT(*) AS n_active
+    FROM cohorts c JOIN activity a ON c.user_id = a.user_id
+    WHERE date_diff('day', c.cohort_day, a.day) <= 7
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: purchasers active N days after first purchase.
+
+    cohort assignment (min day per user), the distinct user-day
+    activity set, and the cohort⋈activity join all partition by
+    user_id — one shuffle feeds all three; only the final tiny
+    (cohort, offset) aggregate re-partitions. COUNT(*) over the
+    distinct user-day set counts each user once per day by
+    construction (no COUNT(DISTINCT) in the join output needed).
+    """
+    e = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    day = F.to_date("ts")
+    cohorts = e.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = e.select("user_id", day.alias("day")).distinct()
+    offset = F.datediff(F.col("day"), F.col("cohort_day"))
+    return (
+        cohorts.join(activity, "user_id")
+        .where(offset <= 7)
+        .groupBy("cohort_day", offset.alias("offset_days"))
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+@register(
+    "q_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts >= v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click_after_view,
+           (SELECT COUNT(*) FROM p) AS n_purchase_after_click
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: view -> click (after view) -> purchase (after click).
+
+    Stage N is a conditional min-timestamp aggregate joined against
+    stage N-1's result; every join and aggregate keys on user_id, so
+    Catalyst chains them on one hash partitioning. The final three
+    counts are 1-row aggregates — the funnel never materializes
+    per-event state.
+    """
+    e = table(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after_click")))
+    )
