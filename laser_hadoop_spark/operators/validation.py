@@ -173,3 +173,37 @@ def scalar_consistency_check(
     b = right.agg(right_expr.alias("v2"))
     row = a.crossJoin(b).select((F.col("v") == F.col("v2")).alias("ok")).collect()[0]
     return bool(row["ok"])
+
+
+def observed_counters(
+    df: DataFrame, constraints: list[Constraint]
+) -> tuple[DataFrame, "Observation"]:
+    """Attach violation counters to a pipeline WITHOUT a second pass.
+
+    The exact Spark analogue of the reference's MapReduce counter
+    channel (enum LASERInputValidator.java:21-26, incremented in
+    mappers and read by the driver after one job): `df.observe`
+    accumulates the counter expressions as a side channel of whatever
+    action the RETURNED DataFrame runs — validation metrics cost zero
+    extra scans, where `validate()` is a separate aggregation job.
+
+    Usage:
+        out, obs = observed_counters(df, seq_constraints())
+        out.write.parquet(...)       # one pass: writes AND counts
+        gate_observed(obs)           # driver-side counter scan
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("validation_counters")
+    counters = [c.counter().alias(c.name) for c in constraints]
+    return df.observe(obs, *counters), obs
+
+
+def gate_observed(obs: "Observation", timeout_s: float = 60.0) -> dict:
+    """Driver-side gate on observed counters (the reference's first-
+    nonzero-error scan, LASERInputValidator.java:135-140)."""
+    metrics = obs.get  # blocks until the observed action completes
+    bad = {k: v for k, v in metrics.items() if v}
+    if bad:
+        raise ValidationError(f"validation counters nonzero: {bad}")
+    return metrics

@@ -21,6 +21,7 @@ from laser_hadoop_spark.registry import register
 from laser_hadoop_spark.tables import register_views, table
 
 SESSION_GAP_US = 1_800 * 1_000_000  # 30 min session timeout, microseconds
+BATCH_SIZE_RCTE = 100  # recursive-CTE batch stride (TRACEJobGenerator stand-in)
 
 
 @register(
@@ -638,4 +639,80 @@ def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.c_custkey").alias("cust_b"),
             dist.alias("edit_dist"),
         )
+    )
+
+
+@register(
+    "q_recursive_cte",
+    oracle=f"""
+    WITH RECURSIVE batches(start_i, n_ind) AS (
+        SELECT 1, (SELECT COUNT(*) FROM customer)
+        UNION ALL
+        SELECT start_i + {BATCH_SIZE_RCTE}, n_ind FROM batches
+        WHERE start_i + {BATCH_SIZE_RCTE} <= n_ind
+    )
+    SELECT printf('%05d', CAST((start_i - 1) / {BATCH_SIZE_RCTE} AS BIGINT))
+               AS batch_id,
+           start_i,
+           LEAST(start_i + {BATCH_SIZE_RCTE} - 1, n_ind) AS end_i
+    FROM batches
+    """,
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4): the reference's batch loop as literal recursion.
+
+    TRACEJobGenerator's driver-side while loop (TRACEJobGenerator.java:
+    52-93) restated as WITH RECURSIVE — each recursion step derives the
+    next batch start until the count is exhausted. Same output as
+    q_ntile_batching's sequence()/explode form; this registers the
+    recursive-query surface itself (iteration depth = n/batch, fine for
+    descriptor generation; data-scale recursion belongs to the
+    iterative operators, X12/X33).
+    """
+    register_views(spark, sf_dir, names=("customer",))
+    return spark.sql(
+        f"""
+        WITH RECURSIVE batches(start_i, n_ind) AS (
+            SELECT 1 AS start_i, (SELECT COUNT(*) FROM customer) AS n_ind
+            UNION ALL
+            SELECT start_i + {BATCH_SIZE_RCTE}, n_ind FROM batches
+            WHERE start_i + {BATCH_SIZE_RCTE} <= n_ind
+        )
+        SELECT format_string('%05d', CAST((start_i - 1) / {BATCH_SIZE_RCTE} AS BIGINT))
+                   AS batch_id,
+               start_i,
+               LEAST(start_i + {BATCH_SIZE_RCTE} - 1, n_ind) AS end_i
+        FROM batches
+        """
+    )
+
+
+@register(
+    "q_scd2_intervals",
+    oracle="""
+    SELECT user_id, event_id,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               AS valid_to_us,
+           ROUND(value, 4) AS value
+    FROM events
+    WHERE event_type = 'signup'
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 / temporal-table construction: event log -> validity intervals.
+
+    Each per-user state change becomes [valid_from, valid_to) with the
+    open current interval as NULL — the slowly-changing-dimension
+    build, one lead() over one user_id exchange. Downstream as-of joins
+    (X3) or range joins (J7) consume these intervals directly.
+    """
+    e = table(spark, sf_dir, "events").where(F.col("event_type") == "signup")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
+        F.round("value", 4).alias("value"),
     )

@@ -504,3 +504,31 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
         F.percentile("o_totalprice", 0.5).alias("exact"),
     ).first()
     assert abs(row.approx - row.exact) / row.exact < 0.01
+
+
+def test_observed_counters_single_pass_gate(spark, tmp_path):
+    """X38: df.observe counters accumulate during the write action (no
+    second scan), and gate_observed raises on nonzero violations."""
+    import pytest as _pytest
+
+    from laser_hadoop_spark.operators.validation import (
+        Constraint,
+        ValidationError,
+        gate_observed,
+        observed_counters,
+    )
+
+    df = spark.createDataFrame([(2,), (5,), (2,)], "n_fields int")
+    ok_df, obs = observed_counters(
+        df, [Constraint("GROUP_FILE_INVALID_ROW", F.col("n_fields") != 2)]
+    )
+    ok_df.write.mode("overwrite").parquet(str(tmp_path / "out"))  # the ONE action
+    with _pytest.raises(ValidationError, match="GROUP_FILE_INVALID_ROW"):
+        gate_observed(obs)
+    # clean input: gate passes and returns the metrics dict
+    clean, obs2 = observed_counters(
+        spark.createDataFrame([(2,), (2,)], "n_fields int"),
+        [Constraint("GROUP_FILE_INVALID_ROW", F.col("n_fields") != 2)],
+    )
+    clean.write.mode("overwrite").parquet(str(tmp_path / "out2"))
+    assert gate_observed(obs2) == {"GROUP_FILE_INVALID_ROW": 0}
