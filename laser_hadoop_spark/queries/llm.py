@@ -766,3 +766,99 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, id_col="vec_id", vec_col="embedding", cluster_col="label",
         threshold=0.25,
     )
+
+
+@register(
+    "q_pretrain_pipeline",
+    oracle=rf"""
+    WITH corpus AS (
+        SELECT * FROM documents WHERE source <> 'src0'
+    ), bench AS (
+        SELECT * FROM documents WHERE source = 'src0'
+    ), deduped AS (
+        SELECT * FROM corpus
+        QUALIFY doc_id = MIN(doc_id) OVER (
+            PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+    ), scored AS (
+        SELECT doc_id, source, text,
+               {_marker_sql(("the", "a", "of", "and", "to", "in", "is", "on"))} AS s_en,
+               {_marker_sql(("el", "la", "de", "que", "y", "en"))} AS s_es,
+               {_marker_sql(("le", "la", "de", "et", "les", "des"))} AS s_fr,
+               {_marker_sql(("der", "die", "und", "das", "ist", "von"))} AS s_de,
+               CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                   / length(text) AS punct
+        FROM deduped
+        WHERE length(text) BETWEEN 50 AND 10000
+    ), curated AS (
+        SELECT * FROM (
+            SELECT doc_id, source, text,
+                   CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+                        WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                        WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                        WHEN s_es >= s_fr THEN 'es'
+                        ELSE 'fr' END AS predicted_lang
+            FROM scored
+            WHERE s_en >= 0.02 AND punct <= 0.2
+        ) WHERE predicted_lang = 'en'
+    ), ctoks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM curated
+    ), cshingles AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(list_transform(generate_series(1, len(t) - 2),
+                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                   AS shingle
+        FROM ctoks
+    ), bshingles AS (
+        SELECT DISTINCT UNNEST(list_transform(generate_series(1, len(t) - 2),
+                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                   AS shingle
+        FROM (SELECT string_split(text, ' ') AS t FROM bench)
+    ), contaminated AS (
+        SELECT c.doc_id
+        FROM cshingles c JOIN bshingles b ON c.shingle = b.shingle
+        GROUP BY c.doc_id
+        HAVING COUNT(*) * 1.0
+               / (SELECT COUNT(*) FROM cshingles s WHERE s.doc_id = c.doc_id) >= 0.2
+    ), sampled AS (
+        SELECT doc_id, source, text FROM curated
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) <= 20
+    ), chunks AS (
+        SELECT doc_id, source,
+               array_to_string(w[chunk_start : chunk_start + 63], ' ') AS chunk_text
+        FROM (
+            SELECT doc_id, source, w,
+                   UNNEST(list_transform(
+                       generate_series(0, CAST(ceil(greatest(len(w) - 64, 0) * 1.0
+                                                    / 48) AS INT)),
+                       i -> least(1 + i * 48, greatest(len(w) - 64 + 1, 1))))
+                       AS chunk_start
+            FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM sampled)
+        )
+    )
+    SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_chunks,
+           CAST(SUM(len(regexp_split_to_array(trim(chunk_text), '\s+'))) AS BIGINT)
+               AS n_tokens
+    FROM chunks
+    GROUP BY source
+    """,
+)
+def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composition: the full pretraining-data pipeline's
+    per-source accounting (plans/pretrain.py — curation, benchmark
+    decontamination, per-source quota sampling, sliding-window
+    chunking, token totals), hash-matched against a DuckDB restatement
+    of all five stages.
+
+    One full-data shuffle (fingerprint dedup) + one broadcast
+    (benchmark shingle hashes) + one window (quota) — everything else
+    is scan-local; the 100 TB shape of the whole pipeline.
+    """
+    from laser_hadoop_spark.plans.pretrain import pretrain_plan
+
+    d = table(spark, sf_dir, "documents")
+    res = pretrain_plan(
+        d.where(F.col("source") != "src0"),
+        d.where(F.col("source") == "src0"),
+    )
+    return res.source_stats

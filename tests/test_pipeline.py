@@ -168,3 +168,34 @@ def test_curation_pipeline_stages(spark, sf_dir):
     # every survivor is labeled an allowed language
     langs = {r["predicted_lang"] for r in kept.select("predicted_lang").distinct().collect()}
     assert langs == {"en"}
+
+
+def test_pretrain_plan_end_to_end(spark, sf_dir):
+    """plans/pretrain: curation -> decontamination -> quota sampling ->
+    chunking composes lazily and the accounting aggregate is consistent
+    with the chunk table."""
+    from laser_hadoop_spark.plans.pretrain import pretrain_plan
+    from laser_hadoop_spark.tables import table
+
+    d = table(spark, sf_dir, "documents")
+    res = pretrain_plan(
+        d.where(F.col("source") != "src0"),
+        d.where(F.col("source") == "src0"),
+        docs_per_source=10,
+        chunk_size=32,
+        chunk_stride=24,
+    )
+    stats = {r.source: (r.n_docs, r.n_chunks, r.n_tokens) for r in res.source_stats.collect()}
+    assert stats, "pipeline produced no sources"
+    assert all(n_docs <= 10 for n_docs, _, _ in stats.values())
+    # chunk table agrees with the aggregate
+    n_chunks = res.chunks.count()
+    assert n_chunks == sum(c for _, c, _ in stats.values())
+    # every chunk has at most chunk_size tokens, and tails are full-size
+    # whenever the doc has >= chunk_size tokens
+    sizes = res.chunks.select(
+        F.size(F.split("chunk_text", " ")).alias("n")
+    ).agg(F.max("n").alias("mx")).first()
+    assert sizes.mx <= 32
+    # benchmark source never leaks through
+    assert res.chunks.where(F.col("source") == "src0").count() == 0
