@@ -52,26 +52,35 @@ def word_shingles(text_col: str, n: int = 3) -> Column:
     return F.array_distinct(acc)
 
 
-_POLY = -7046029254386353131  # odd 64-bit multiplier (wrapping arithmetic)
+def _rot_xor(a: Column, b: Column) -> Column:
+    """Order-sensitive 64-bit hash combine: rotate-left-13 then xor.
+
+    Pure bitwise ops — no arithmetic overflow, so the expression is
+    safe under ANSI mode (Spark 4's default; a wrapping multiply-add
+    combine raises ARITHMETIC_OVERFLOW there). Inputs are xxhash64
+    values, so the combined value stays uniformly distributed.
+    """
+    rot = F.shiftleft(a, 13).bitwiseOR(F.shiftrightunsigned(a, 51))
+    return rot.bitwiseXOR(b)
 
 
 def word_shingle_hashes(text_col: str, n: int = 3) -> Column:
     """Distinct 64-bit hashes of word n-grams, no n-gram strings built.
 
     Each token is xxhash64'd ONCE; the n shifted hash arrays combine
-    with a wrapping polynomial multiply-add (zip_with over slice views,
-    same shape as word_shingles). Skipping the concat_ws string
-    materialization per shingle is ~20% faster end-to-end on the
-    n-gram self-join at sf0.1 — and the join key was already a hash,
-    so downstream semantics are unchanged (hash identity only needs
-    to be consistent within the engine).
+    with rotate-xor (zip_with over slice views, same shape as
+    word_shingles). Skipping the concat_ws string materialization per
+    shingle is ~20% faster end-to-end on the n-gram self-join at sf0.1
+    — and the join key was already a hash, so downstream semantics are
+    unchanged (hash identity only needs to be consistent within the
+    engine).
     """
     t = F.transform(F.split(F.col(text_col), " "), lambda w: F.xxhash64(w))
     m = F.greatest(F.size(t) - (n - 1), F.lit(0))
     shifted = [F.slice(t, j + 1, m) for j in range(n)]
     acc = shifted[0]
     for nxt in shifted[1:]:
-        acc = F.zip_with(acc, nxt, lambda a, b: a * F.lit(_POLY) + b)
+        acc = F.zip_with(acc, nxt, _rot_xor)
     return F.array_distinct(acc)
 
 
