@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from laser_hadoop_spark.operators import text as T
@@ -58,15 +58,15 @@ def curation_plan(
     register exactly this DataFrame, and callers can append their own
     stages before triggering execution.
     """
-    # 1. exact dedup on normalized fingerprint: min(doc_id) survives
-    # (window expressions can't sit in WHERE; materialize then filter)
-    keep = F.col(id_col) == F.min(id_col).over(Window.partitionBy("__fp"))
-    deduped = (
-        documents.withColumn("__fp", T.fingerprint(text_col))
-        .withColumn("__keep", keep)
-        .where("__keep")
-        .drop("__fp", "__keep")
-    )
+    # 1. exact dedup on normalized fingerprint: min(doc_id) survives.
+    # groupBy + semi-join (not a window): the aggregate shuffles only
+    # (fp, id) pairs — 16 bytes/doc — where a window over __fp would
+    # shuffle full document bodies; AQE then broadcasts the keeper set
+    # when it fits and falls back to a key-only shuffle join when not.
+    norm = F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " ")))
+    withfp = documents.withColumn("__fp", F.xxhash64(norm))
+    keepers = withfp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    deduped = withfp.join(keepers, on=["__fp", id_col], how="left_semi").drop("__fp")
     # 2-3. quality + language filters: scan-local column predicates.
     # The token array is materialized once ("__w") and shared by the
     # stopword ratio and all language scores — one split per row, not
