@@ -138,7 +138,14 @@ def token_chunks(
     window). Returns array<struct<chunk_start int, chunk_text string>>;
     explode for one row per chunk. All JVM-side: one split, slice views
     per window.
+
+    stride must be <= size: overlapping (or abutting) windows are what
+    guarantee every token lands in at least one chunk — a property
+    test (tests/test_properties.py) found stride > size silently drops
+    the tokens between windows.
     """
+    if stride > size:
+        raise ValueError(f"stride ({stride}) must be <= size ({size})")
     w = F.split(F.col(text_col), " ")
     n = F.size(w)
     n_extra = F.ceil(F.greatest(n - size, F.lit(0)).cast("double") / stride)

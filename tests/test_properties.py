@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis) for the engine's numeric and text
+kernels — the invariants that hash-matched oracles rely on, probed over
+generated inputs instead of the fixed test tables.
+
+Hypothesis drives plain-Python/pandas mirrors of the column expressions
+where possible (fast, thousands of cases); one Spark round-trip test per
+kernel pins the expression implementation to the mirror.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+# money-style doubles: <= 6 fractional digits, magnitudes up to 1e9
+money = st.decimals(
+    min_value=Decimal("-1e9"),
+    max_value=Decimal("1e9"),
+    places=6,
+    allow_nan=False,
+    allow_infinity=False,
+)
+
+
+@given(st.lists(money, min_size=1, max_size=50))
+@settings(max_examples=200, deadline=None)
+def test_micro_units_recovers_exact_fixed_point(values):
+    """floor(x*1e6 + 0.5) recovers v*1e6 exactly from the stored double
+    for every <=6-decimal value in the money magnitude range — the
+    invariant money_sum's exactness argument rests on."""
+    import math
+
+    for v in values:
+        stored = float(v)  # what parquet holds
+        got = math.floor(stored * 1e6 + 0.5)
+        assert got == int(v.scaleb(6)), (v, stored, got)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdefg", min_size=1, max_size=5), min_size=1, max_size=40
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=100, deadline=None)
+def test_shingle_hash_count_matches_string_shingles(tokens, n):
+    """word_shingle_hashes yields exactly as many distinct shingles as
+    the string form (no spurious hash collisions on small inputs), and
+    len == max(len(tokens)-n+1, 0) pre-distinct."""
+    expected = {" ".join(tokens[i : i + n]) for i in range(max(len(tokens) - n + 1, 0))}
+    # python mirror of the rotate-xor combine over per-token hashes;
+    # hash() stands in for xxhash64 — the property under test is the
+    # combine's injectivity on the generated domain, not the hash fn
+    def h(tok):
+        return hash(tok) & 0xFFFFFFFFFFFFFFFF
+
+    def rot_xor(a, b):
+        return (((a << 13) | (a >> 51)) & 0xFFFFFFFFFFFFFFFF) ^ b
+
+    hashes = set()
+    for i in range(max(len(tokens) - n + 1, 0)):
+        acc = h(tokens[i])
+        for j in range(1, n):
+            acc = rot_xor(acc, h(tokens[i + j]))
+        hashes.add(acc)
+    assert len(hashes) == len(expected)
+
+
+@given(
+    st.integers(min_value=1, max_value=300),
+    st.integers(min_value=2, max_value=64),
+    st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=200, deadline=None)
+def test_token_chunk_windows_cover_every_token(n_tokens, size, stride):
+    """token_chunks window math: every token index is inside >=1 window,
+    no window exceeds `size`, and the tail window is full-size whenever
+    the doc has >= size tokens (python mirror of the column expr).
+
+    Coverage requires stride <= size (the operator now rejects larger
+    strides — this property test is what caught the gap), so the
+    generated stride is clamped.
+    """
+    import math
+
+    stride = min(stride, size)
+    n_extra = math.ceil(max(n_tokens - size, 0) / stride)
+    starts = [
+        min(1 + i * stride, max(n_tokens - size + 1, 1)) for i in range(n_extra + 1)
+    ]
+    covered = set()
+    for s in starts:
+        w = list(range(s, min(s + size - 1, n_tokens) + 1))
+        assert len(w) <= size
+        covered.update(w)
+    assert covered == set(range(1, n_tokens + 1))
+    if n_tokens >= size:
+        s_last = starts[-1]
+        assert s_last + size - 1 <= n_tokens or s_last == n_tokens - size + 1
+
+
+@given(st.lists(money, min_size=1, max_size=30))
+@settings(max_examples=20, deadline=None)
+def test_money_sum_spark_equals_decimal_reference(spark, values):
+    """money_sum on Spark == exact Decimal sum rounded half-even at 4,
+    independent of partitioning/order (hypothesis varies both values
+    and implicit partition layout via list size)."""
+    from laser_hadoop_spark.functions.scalar import money_sum
+
+    df = spark.createDataFrame([(float(v),) for v in values], "x double")
+    got = df.agg(money_sum(F.col("x")).alias("s")).first().s
+    expected = float(
+        (sum(values)).quantize(Decimal("0.0001"))
+    )
+    assert got == expected, (values, got, expected)
