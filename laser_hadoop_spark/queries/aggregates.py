@@ -235,3 +235,30 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
         F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
     )
+
+
+@register(
+    "q_collect_agg",
+    oracle="""
+    SELECT c_nationkey,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',')
+               AS segments_csv,
+           COUNT(DISTINCT c_mktsegment) AS n_segments
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def q_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-closure: collection aggregates (collect_set -> sorted CSV).
+
+    Deterministic despite collect_set's arbitrary order: sort_array
+    before joining. The scale caveat is documented where it bites —
+    collected sets must be small per group (here <=5 segments); for
+    unbounded groups the engine form is an explode + groupBy instead.
+    """
+    c = table(spark, sf_dir, "customer")
+    segs = F.sort_array(F.collect_set("c_mktsegment"))
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(segs, ",").alias("segments_csv"),
+        F.count_distinct("c_mktsegment").alias("n_segments"),
+    )
