@@ -262,3 +262,44 @@ def q_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(segs, ",").alias("segments_csv"),
         F.count_distinct("c_mktsegment").alias("n_segments"),
     )
+
+
+@register(
+    "q_null_semantics",
+    oracle="""
+    SELECT n_rows, n_orderkeys, n_rows - n_orderkeys AS n_null_orderkeys,
+           n_distinct_status, n_fallback
+    FROM (
+        SELECT COUNT(*) AS n_rows,
+               COUNT(o_orderkey) AS n_orderkeys,
+               COUNT(DISTINCT o_orderstatus) AS n_distinct_status,
+               SUM(CASE WHEN COALESCE(o_orderstatus, 'NONE') = 'NONE'
+                        THEN 1 ELSE 0 END) AS n_fallback
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    )
+    """,
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL null semantics under an outer join: COUNT(*) vs COUNT(col)
+    (null-skipping), null-skipping DISTINCT, and COALESCE fallback
+    counting — the exact rules the oracle comparison depends on
+    engine-agreement for.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    agg = j.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_orderkey").alias("n_orderkeys"),
+        F.count_distinct("o_orderstatus").alias("n_distinct_status"),
+        F.sum(
+            F.when(F.coalesce("o_orderstatus", F.lit("NONE")) == "NONE", 1).otherwise(0)
+        ).alias("n_fallback"),
+    )
+    return agg.select(
+        "n_rows",
+        "n_orderkeys",
+        (F.col("n_rows") - F.col("n_orderkeys")).alias("n_null_orderkeys"),
+        "n_distinct_status",
+        "n_fallback",
+    )
