@@ -199,3 +199,16 @@ def test_pretrain_plan_end_to_end(spark, sf_dir):
     assert sizes.mx <= 32
     # benchmark source never leaks through
     assert res.chunks.where(F.col("source") == "src0").count() == 0
+
+
+def test_curation_dedup_strategies_agree(spark, sf_dir):
+    """Both stage-1 physical shapes (window / semi_join) produce the
+    identical curated set — strategy changes layout, never results."""
+    from laser_hadoop_spark.plans.curation import curation_plan
+    from laser_hadoop_spark.tables import table
+
+    d = table(spark, sf_dir, "documents")
+    a = curation_plan(d, dedup_strategy="window").select("doc_id")
+    b = curation_plan(d, dedup_strategy="semi_join").select("doc_id")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
