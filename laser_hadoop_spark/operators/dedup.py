@@ -231,15 +231,24 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 6,
-    n_bands: int = 4,
+    n_bands: int = 8,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
     Banding makes candidate generation an equi-join: a pair within
     max_hamming must agree exactly on at least one of n_bands bit-bands
-    (pigeonhole, when max_hamming < n_bands), so only band-collisions
-    are compared — no O(n^2) scan.
+    (pigeonhole, which REQUIRES max_hamming < n_bands — enforced below;
+    the round-1 defaults 6/4 silently missed pairs whose differing bits
+    spread across all bands), so only band-collisions are compared — no
+    O(n^2) scan.
     """
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming < n_bands, got "
+            f"max_hamming={max_hamming}, n_bands={n_bands}"
+        )
+    if SIMHASH_BITS % n_bands:
+        raise ValueError(f"n_bands={n_bands} must divide {SIMHASH_BITS}")
     sk = simhash(df, id_col=id_col, text_col=text_col)
     band_width = SIMHASH_BITS // n_bands
     bands = sk.select(

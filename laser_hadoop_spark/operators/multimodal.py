@@ -5,12 +5,11 @@ structs; decode / feature-extract / resize / frame-sample run as
 Arrow-batched functions over mapInPandas so Python touches whole record
 batches, never rows.
 
-The image/audio codec libraries are not available in this container, so
-the decode kernels are STUBBED: ``decode_image`` raises
-NotImplementedError unless ``fake=True``, which produces a
-deterministic fake decode (shape metadata + checksum) so the Spark-side
-plumbing — schema, partitioning, UDF signature, batch shape — is real
-and tested end-to-end.
+No image libraries ship in this container, so the REAL decode path uses
+the pure-numpy codec in operators/imagecodec.py (PNG all-filters, BMP,
+PPM/PGM — stdlib zlib + numpy only; see that module). JPEG genuinely
+needs a DCT codec -> UnsupportedImage. ``fake=True`` keeps the
+deterministic stub (shape metadata + checksum) for plumbing-only tests.
 """
 
 from __future__ import annotations
@@ -61,16 +60,48 @@ def decode_image_batches(
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: decode image payloads per Arrow batch.
 
-    Real decode needs an image codec library (unavailable here) ->
-    NotImplementedError unless fake=True. The fake path is
-    deterministic: dimensions come from metadata, gray_mean from a
-    crc32 of the payload — exercising exactly the same batch plumbing.
+    Real path (fake=False): operators/imagecodec.py decodes PNG/BMP/PPM
+    payload bytes to (h, w, c) rasters — width/height/gray_mean come
+    from the DECODED pixels, not metadata. JPEG/unknown payloads raise
+    UnsupportedImage (pre-filter with imagecodec.sniff_format when a
+    corpus mixes formats). The fake path is deterministic: dimensions
+    from metadata, gray_mean from a crc32 of the payload — exercising
+    the same batch plumbing with no codec in the loop.
     """
     if not fake:
-        raise NotImplementedError(
-            "image decode requires a codec library not present in this "
-            "environment; pass fake=True for the deterministic stub"
-        )
+        from laser_hadoop_spark.operators.imagecodec import decode_image
+
+        for pdf in batches:
+            recs = []
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                buf = bytes(payload or b"")
+                img = decode_image(buf)
+                recs.append(
+                    (
+                        media_id,
+                        kind,
+                        len(buf),
+                        hashlib.md5(buf).hexdigest(),
+                        img.shape[1],
+                        img.shape[0],
+                        float(img.mean()) / 255.0,
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id",
+                    "kind",
+                    "n_bytes",
+                    "checksum",
+                    "width",
+                    "height",
+                    "gray_mean",
+                ],
+            )
+        return
     for pdf in batches:
         payloads = pdf["payload"]
         yield pd.DataFrame(
@@ -114,21 +145,55 @@ def resize_images(
 ) -> DataFrame:
     """Resize image payloads to (target_w, target_h), Arrow-batched.
 
-    Real resampling needs an image codec library (unavailable here) ->
-    NotImplementedError unless fake=True. The fake path is
-    deterministic — payload truncated/cycled to target_w*target_h bytes
-    standing in for the resized raster — so schema, batch shape, and
-    partitioning behavior are exercised for real. Source dimensions are
-    carried through for audit (src_width/src_height).
+    Real path (fake=False): decode via operators/imagecodec.py, nearest-
+    neighbor resample, re-encode as PNG — payload out is a real image.
+    The fake path is deterministic — payload truncated/cycled to
+    target_w*target_h bytes standing in for the resized raster — so
+    schema, batch shape, and partitioning behavior are exercised with no
+    codec in the loop. Source dimensions are carried through for audit
+    (src_width/src_height).
     """
     import itertools
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if not fake:
-            raise NotImplementedError(
-                "image resize requires a codec library not present in this "
-                "environment; pass fake=True for the deterministic stub"
+            from laser_hadoop_spark.operators.imagecodec import (
+                decode_image,
+                encode_png,
+                resize_nearest,
             )
+
+            for pdf in batches:
+                recs = []
+                for media_id, kind, payload in zip(
+                    pdf["media_id"], pdf["kind"], pdf["payload"]
+                ):
+                    img = decode_image(bytes(payload or b""))
+                    resized = resize_nearest(img, target_w, target_h)
+                    recs.append(
+                        (
+                            media_id,
+                            kind,
+                            encode_png(resized),
+                            target_w,
+                            target_h,
+                            img.shape[1],
+                            img.shape[0],
+                        )
+                    )
+                yield pd.DataFrame(
+                    recs,
+                    columns=[
+                        "media_id",
+                        "kind",
+                        "payload",
+                        "width",
+                        "height",
+                        "src_width",
+                        "src_height",
+                    ],
+                )
+            return
         n_out = target_w * target_h
         for pdf in batches:
             yield pd.DataFrame(

@@ -126,6 +126,106 @@ def brute_force_pairs_blocked(
     )
 
 
+def brute_force_pairs_grid(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_blocks: int | None = None,
+    out_a: str = "vec_a",
+    out_b: str = "vec_b",
+    out_sim: str = "cosine_sim",
+    round_to: int = 4,
+    rows_per_block: int = 32_768,
+) -> DataFrame:
+    """All-pairs cosine above threshold with BOTH sides blocked.
+
+    Nothing is materialized on the driver: every row hashes to a block
+    ``pmod(xxhash64(id), n_blocks)`` and explodes into the upper-
+    triangle grid cells (bi <= bj) where its block is the row
+    coordinate (role 0) or the column coordinate (role 1); one grouped
+    Arrow kernel per cell splits the roles and scores them with a
+    single BLAS matmul — the same kernel brute_force_pairs_blocked
+    uses, but sharded so no task ever holds more than two blocks. The
+    explode-with-role form costs ONE scan + ONE shuffle + ONE sort
+    (a two-sided cogroup costs two of each — measurably slower).
+
+    Scale accounting: shuffle volume is O(n * (n_blocks+1)) rows (each
+    row lands in n_blocks+1 grid cells), compute is the same n^2/2
+    cosine evaluations spread over n_blocks*(n_blocks+1)/2 independent
+    tasks. n_blocks defaults to ceil(count / rows_per_block) (one cheap
+    metadata-served count job): small inputs pay minimal fan-out
+    overhead, large inputs shard so a diagonal cell stays
+    ~rows_per_block^2 * dim flops — bounded task time AND bounded task
+    memory. Past ~10^8 rows the exact contract itself is the problem
+    and ann_lsh_topk / ivf_topk are the retrieval path.
+    """
+    import math
+
+    import pandas as pd
+
+    if n_blocks is None:
+        n_blocks = max(1, math.ceil(df.count() / rows_per_block))
+    blk = F.pmod(F.xxhash64(F.col(id_col).cast("bigint")), F.lit(n_blocks)).cast("int")
+    src = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), blk.alias("__blk")
+    )
+    b = F.col("__blk")
+    cells = F.concat(
+        # as the ROW block of cells (b, j) for j >= b
+        F.transform(
+            F.sequence(b, F.lit(n_blocks - 1)),
+            lambda j: F.struct(
+                b.alias("bi"), j.alias("bj"), F.lit(0).alias("role")
+            ),
+        ),
+        # as the COLUMN block of cells (i, b) for i <= b
+        F.transform(
+            F.sequence(F.lit(0), b),
+            lambda i: F.struct(
+                i.alias("bi"), b.alias("bj"), F.lit(1).alias("role")
+            ),
+        ),
+    )
+    fanned = src.select(
+        "__id", "__v", F.explode(cells).alias("c")
+    ).select("__id", "__v", "c.bi", "c.bj", "c.role")
+
+    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame({out_a: [], out_b: [], out_sim: []}).astype(
+            {out_a: "int64", out_b: "int64", out_sim: "float64"}
+        )
+        l = pdf[pdf["role"] == 0]
+        r = pdf[pdf["role"] == 1]
+        if len(l) == 0 or len(r) == 0:
+            return empty
+        lm = np.array(list(l["__v"]), dtype=np.float64)
+        rm = np.array(list(r["__v"]), dtype=np.float64)
+        lm = lm / np.maximum(np.linalg.norm(lm, axis=1, keepdims=True), 1e-12)
+        rm = rm / np.maximum(np.linalg.norm(rm, axis=1, keepdims=True), 1e-12)
+        sims = lm @ rm.T
+        lid = l["__id"].to_numpy(dtype=np.int64)
+        rid = r["__id"].to_numpy(dtype=np.int64)
+        ai, bj = np.nonzero(sims > threshold)
+        if len(ai) == 0:
+            return empty
+        a, b_, s = lid[ai], rid[bj], sims[ai, bj]
+        if pdf["bi"].iloc[0] == pdf["bj"].iloc[0]:
+            # diagonal cell: both roles hold the same block -> strict triangle
+            keep = a < b_
+            a, b_, s = a[keep], b_[keep], s[keep]
+        else:
+            # off-diagonal: each unordered pair meets exactly once, but id
+            # order is arbitrary across hash blocks -> canonicalize
+            a, b_ = np.minimum(a, b_), np.maximum(a, b_)
+        return pd.DataFrame({out_a: a, out_b: b_, out_sim: np.round(s, round_to)})
+
+    return fanned.groupBy("bi", "bj").applyInPandas(
+        score, f"{out_a} long, {out_b} long, {out_sim} double"
+    )
+
+
 def hyperplane_bucket_expr(vec_col: str, planes: np.ndarray) -> Column:
     """Sign-LSH bucket id: one bit per hyperplane, packed into a long."""
     bucket = F.lit(0).cast("bigint")

@@ -53,9 +53,10 @@ def q_partial_final_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_count_conditional",
     oracle="""
     SELECT COUNT(*) AS total_sites,
-           SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS shared_sites,
-           SUM(CASE WHEN l_quantity > 25 AND l_discount > 0.05
-                    THEN 1 ELSE 0 END) AS flagged
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS shared_sites,
+           CAST(SUM(CASE WHEN l_quantity > 25 AND l_discount > 0.05
+                         THEN 1 ELSE 0 END) AS BIGINT) AS flagged
     FROM lineitem
     """,
 )
@@ -273,8 +274,8 @@ def q_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT COUNT(*) AS n_rows,
                COUNT(o_orderkey) AS n_orderkeys,
                COUNT(DISTINCT o_orderstatus) AS n_distinct_status,
-               SUM(CASE WHEN COALESCE(o_orderstatus, 'NONE') = 'NONE'
-                        THEN 1 ELSE 0 END) AS n_fallback
+               CAST(SUM(CASE WHEN COALESCE(o_orderstatus, 'NONE') = 'NONE'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_fallback
         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     )
     """,

@@ -30,8 +30,9 @@ from laser_hadoop_spark.tables import table
         FROM first_seen GROUP BY first_day
     )
     SELECT day, n_new,
-           SUM(n_new) OVER (ORDER BY day
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           CAST(SUM(n_new) OVER (ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT)
                AS cum_users
     FROM daily_new
     """,

@@ -247,7 +247,7 @@ def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sessionize_batch",
     oracle=f"""
     WITH flagged AS (
-        SELECT user_id, value, epoch_us(ts) AS ts_us,
+        SELECT user_id, value, event_id, epoch_us(ts) AS ts_us,
                CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
                         (PARTITION BY user_id ORDER BY ts, event_id)
                         > {SESSION_GAP_US}
@@ -258,8 +258,9 @@ def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
         SELECT user_id, value, ts_us,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT)
                    AS session_id
         FROM flagged
     )
@@ -290,7 +291,7 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(0)
     wrun = (
         Window.partitionBy("user_id")
-        .orderBy(ts_us)
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     flagged = e.select(
@@ -456,7 +457,7 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(props->>'$.k' AS BIGINT) % 10 AS k_mod,
            COUNT(*) AS n,
-           SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
     FROM events
     GROUP BY 1, 2
     """,
@@ -534,14 +535,21 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition, one tiny exchange — vs q_percentile's exact sort-based
     form. Accuracy vs the exact interpolated percentile is
     pytest-verified (tests/test_operators.py); sketch estimates are
-    engine-specific, hence rows-only here.
+    engine-specific, hence rows-only here. Output is posexploded to one
+    row per (priority, quantile) — scalar columns only, because the
+    driver's canonicalizer sorts cells and array cells are unhashable.
     """
     o = table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
+    agg = o.groupBy("o_orderpriority").agg(
         F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10_000).alias(
             "approx_pcts"
         ),
         F.count("*").alias("n"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n",
+        F.posexplode("approx_pcts").alias("q_idx", "approx_value"),
     )
 
 

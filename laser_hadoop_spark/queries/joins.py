@@ -22,8 +22,8 @@ from laser_hadoop_spark.tables import table
     oracle="""
     SELECT p_brand,
            COUNT(*) AS total_sites,
-           SUM(CASE WHEN lower(p_type) LIKE '%steel%' THEN 1 ELSE 0 END)
-               AS shared_sites,
+           CAST(SUM(CASE WHEN lower(p_type) LIKE '%steel%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS shared_sites,
            CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
                                AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from laser_hadoop_spark.operators.similarity import brute_force_pairs_blocked
+from laser_hadoop_spark.operators.similarity import brute_force_pairs_grid
 from laser_hadoop_spark.registry import register
 from laser_hadoop_spark.tables import table
 
@@ -329,16 +329,17 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4/near-dup: all-pairs cosine above a threshold (embedding dedup).
 
-    Physical strategy: broadcast-matmul (operators/similarity.py
-    brute_force_pairs_blocked) — one side broadcast as a normalized
-    float64 matrix, the other streamed through mapInPandas in Arrow
-    batches and scored with one BLAS matmul per batch. ~50x faster
-    than a pairwise self-join with per-pair array expressions, and the
-    per-batch kernel is the same one an IVF/blocked variant reuses at
-    100 TB.
+    Physical strategy: grid-blocked matmul (operators/similarity.py
+    brute_force_pairs_grid) — both sides hash into blocks, the
+    upper-triangle grid of block pairs is cogrouped, and each cell is
+    scored with one BLAS matmul. Nothing touches the driver, no task
+    holds more than two blocks, and the n^2/2 cosine work spreads over
+    n_blocks*(n_blocks+1)/2 independent tasks — the shape that survives
+    a 100x scale-up (vs the broadcast-one-side variant, whose envelope
+    ends at driver/executor memory).
     """
     emb = table(spark, sf_dir, "embeddings")
-    return brute_force_pairs_blocked(
+    return brute_force_pairs_grid(
         emb, id_col="vec_id", vec_col="embedding", threshold=_COSINE_THRESHOLD
     )
 

@@ -39,12 +39,19 @@ def q_row_number_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     individuals each (LASERInputCheckMapper.java:148-168). The file-sink
     form (write.partitionBy('chunk')) is exercised in pytest; here the
     chunk assignment + per-chunk stats are oracle-checked.
+
+    Physical strategy: two-pass offset chunking
+    (operators/chunking.assign_chunks_offsets) — range-partitioned
+    parallel sort + per-partition counts + broadcast prefix offsets.
+    Output-identical to a global row_number() window (the oracle's
+    formulation) but with no single-partition stage, so it survives a
+    100x scale-up; equivalence with the window form is pytest-pinned.
     """
+    from laser_hadoop_spark.operators.chunking import assign_chunks_offsets
+
     o = table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
-    chunked = o.select(
-        "o_orderkey",
-        F.floor((F.row_number().over(w) - 1) / CHUNK_SIZE).alias("chunk"),
+    chunked = assign_chunks_offsets(
+        o.select("o_orderkey"), "o_orderkey", CHUNK_SIZE
     )
     return chunked.groupBy("chunk").agg(
         F.count("*").alias("n_rows"),

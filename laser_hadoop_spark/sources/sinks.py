@@ -166,9 +166,17 @@ def upsert_parquet(
     + rewrite to partitions present in the updates.
     """
     up = updates.dropDuplicates(keys).localCheckpoint(eager=True)
-    if os.path.isdir(base_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(base_dir)
-    ):
+    # Detect the base recursively: a base written with
+    # write_partitioned_parquet keeps its files under key=value
+    # subdirectories, where a top-level-only listing would miss them and
+    # silently replace the whole table with just the updates.
+    has_base = False
+    if os.path.isdir(base_dir):
+        for _root, _dirs, files in os.walk(base_dir):
+            if any(f.endswith(".parquet") for f in files):
+                has_base = True
+                break
+    if has_base:
         base = spark.read.parquet(base_dir)
         merged = base.join(up, on=keys, how="left_anti").unionByName(up)
     else:

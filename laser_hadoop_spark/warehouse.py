@@ -1,0 +1,65 @@
+"""Pre-registered bucketed warehouse for recurring fact-fact joins.
+
+At 100 TB the dominant recurring cost is the lineitem x orders shuffle:
+every pipeline invocation re-shuffles both facts on orderkey. Bucketing
+both tables once by the join key (operators/relational.write_bucketed)
+converts every subsequent join into a co-located scan — each task reads
+matching bucket files from both sides, no exchange at all (the Spark
+analogue of the reference pre-partitioning inputs per batch file,
+TRACEInputValidator.java:174-189).
+
+``ensure_bucketed_facts`` is idempotent per (sf_dir, n_buckets): the
+one-time bucketed write is the amortized cost, every later join gets
+the shuffle back. Table names carry an sf_dir fingerprint so different
+scale factors coexist in one metastore.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+from pyspark.sql import SparkSession
+
+from laser_hadoop_spark.operators.relational import write_bucketed
+from laser_hadoop_spark.tables import table
+
+# fact -> (join keys, sort columns) for the bucketed layout
+FACT_LAYOUT: dict[str, tuple[list[str], list[str]]] = {
+    "lineitem": (["l_orderkey"], ["l_orderkey"]),
+    "orders": (["o_orderkey"], ["o_orderkey"]),
+}
+
+DEFAULT_BUCKETS = 16
+
+
+def bucketed_name(table_name: str, sf_dir: str, n_buckets: int) -> str:
+    tag = zlib.crc32(sf_dir.rstrip("/").encode()) & 0xFFFFFFFF
+    return f"lh_{table_name}_{tag:08x}_b{n_buckets}"
+
+
+def ensure_bucketed_facts(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_buckets: int = DEFAULT_BUCKETS,
+    facts: tuple[str, ...] = ("lineitem", "orders"),
+) -> dict[str, str]:
+    """Bucket the fact tables by orderkey once; return table names.
+
+    Skips tables that already exist (the write is the one-time cost the
+    warehouse amortizes across every recurring join).
+    """
+    out: dict[str, str] = {}
+    for fact in facts:
+        keys, sort_by = FACT_LAYOUT[fact]
+        name = bucketed_name(fact, sf_dir, n_buckets)
+        if not spark.catalog.tableExists(name):
+            write_bucketed(
+                table(spark, sf_dir, fact),
+                name,
+                keys=keys,
+                n_buckets=n_buckets,
+                sort_by=sort_by,
+            )
+        out[fact] = name
+    return out

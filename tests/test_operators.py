@@ -159,6 +159,122 @@ def test_ann_lsh_recall(spark, sf_dir):
     assert hits / len(top1) >= 0.7
 
 
+def test_grid_pairs_match_blocked(spark, sf_dir):
+    """Grid-blocked (both-sides-sharded) all-pairs == broadcast-matmul
+    form, for several block counts (incl. n_blocks > distinct blocks)."""
+    emb = table(spark, sf_dir, "embeddings").limit(120).cache()
+    want = {
+        (r["vec_a"], r["vec_b"]): r["cosine_sim"]
+        for r in similarity.brute_force_pairs_blocked(
+            emb, id_col="vec_id", vec_col="embedding", threshold=0.3
+        ).collect()
+    }
+    for n_blocks in (1, 3, 8):
+        got = {
+            (r["vec_a"], r["vec_b"]): r["cosine_sim"]
+            for r in similarity.brute_force_pairs_grid(
+                emb,
+                id_col="vec_id",
+                vec_col="embedding",
+                threshold=0.3,
+                n_blocks=n_blocks,
+            ).collect()
+        }
+        assert got == want, f"n_blocks={n_blocks}"
+
+
+def test_assign_chunks_offsets_matches_window(spark):
+    """Two-pass offset chunking == global-window chunking, on shuffled
+    input with a ragged final chunk."""
+    import random
+
+    keys = list(range(1000, 1000 + 437))
+    random.Random(3).shuffle(keys)
+    df = spark.createDataFrame([(k,) for k in keys], "k long").repartition(7)
+    want = {
+        (r["k"], r["chunk"])
+        for r in chunking.assign_chunks(df, "k", chunk_size=50).collect()
+    }
+    got = {
+        (r["k"], r["chunk"])
+        for r in chunking.assign_chunks_offsets(df, "k", chunk_size=50).collect()
+    }
+    assert got == want
+    # chunk sizes: all 50 except the last (437 = 8*50 + 37)
+    from collections import Counter
+
+    sizes = Counter(c for _k, c in got)
+    assert sorted(sizes.values(), reverse=True) == [50] * 8 + [37]
+
+
+def test_imagecodec_roundtrip_and_filters():
+    """PNG encode->decode roundtrip plus a hand-filtered all-filters PNG."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from laser_hadoop_spark.operators import imagecodec as ic
+
+    rng = np.random.RandomState(0)
+    for shape in [(5, 7, 1), (16, 16, 3), (9, 4, 4)]:
+        img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        assert (ic.decode_png(ic.encode_png(img)) == img).all(), shape
+
+    # PNG exercising every filter type (one per scanline)
+    img = rng.randint(0, 256, size=(10, 6, 3), dtype=np.uint8)
+    h, w, c = img.shape
+
+    def paeth(a, b, cc):
+        p = a + b - cc
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+
+    rows, prev = [], np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        cur = img[y].reshape(-1).astype(np.int32)
+        f = y % 5
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = [(cur[x] - (cur[x - c] if x >= c else 0)) & 0xFF for x in range(w * c)]
+        elif f == 2:
+            filt = (cur - prev) & 0xFF
+        elif f == 3:
+            filt = [
+                (cur[x] - (((cur[x - c] if x >= c else 0) + prev[x]) >> 1)) & 0xFF
+                for x in range(w * c)
+            ]
+        else:
+            filt = [
+                (cur[x] - paeth(
+                    (cur[x - c] if x >= c else 0), prev[x],
+                    (prev[x - c] if x >= c else 0),
+                )) & 0xFF
+                for x in range(w * c)
+            ]
+        rows.append(bytes([f]) + bytes(np.array(filt, dtype=np.uint8)))
+        prev = cur
+
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b)) + t + b
+            + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    data = (
+        ic.PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + chunk(b"IEND", b"")
+    )
+    assert (ic.decode_png(data) == img).all()
+
+    # JPEG magic refuses honestly
+    with pytest.raises(NotImplementedError):
+        ic.decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+
+
 def test_blocked_pairs_match_expr_form(spark, sf_dir):
     """Broadcast-matmul kernel agrees with the expression-based cosine."""
     emb = table(spark, sf_dir, "embeddings").limit(80).cache()
@@ -254,15 +370,60 @@ def _media_df(spark):
 
 def test_decode_media_stubbed(spark):
     df = _media_df(spark)
+    # real path on undecodable payloads: the codec raises (JPEG/garbage)
     with pytest.raises(Exception) as excinfo:
         multimodal.decode_media(df, fake=False).collect()
-    assert "codec" in str(excinfo.value) or "NotImplementedError" in str(excinfo.value)
+    assert "image" in str(excinfo.value) or "NotImplementedError" in str(excinfo.value)
     out = multimodal.decode_media(df, fake=True)
     rows = {r["media_id"]: r for r in out.collect()}
     assert rows[1]["width"] == 64 and rows[1]["height"] == 48
     assert rows[1]["n_bytes"] == 13
     assert len(rows[1]["checksum"]) == 32
     assert rows[3]["n_bytes"] == 0  # null payload handled
+
+
+def test_decode_media_real_png(spark):
+    """Real decode path: actual PNG/BMP bytes -> decoded shapes + stats."""
+    import numpy as np
+
+    from laser_hadoop_spark.operators.imagecodec import encode_png
+
+    rng = np.random.RandomState(7)
+    img_a = rng.randint(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    img_b = rng.randint(0, 256, size=(10, 20, 1), dtype=np.uint8)
+    rows = [
+        (1, "image", bytearray(encode_png(img_a)), ("image/png", None, None, None)),
+        (2, "image", bytearray(encode_png(img_b)), ("image/png", None, None, None)),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in multimodal.decode_media(df, fake=False).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (64, 48)
+    assert (got[2]["width"], got[2]["height"]) == (20, 10)
+    assert abs(got[1]["gray_mean"] - float(img_a.mean()) / 255.0) < 1e-9
+    assert abs(got[2]["gray_mean"] - float(img_b.mean()) / 255.0) < 1e-9
+
+
+def test_resize_images_real_png(spark):
+    """Real resize: decode -> nearest resample -> re-encoded PNG payload."""
+    import numpy as np
+
+    from laser_hadoop_spark.operators.imagecodec import (
+        decode_png,
+        encode_png,
+        resize_nearest,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    rows = [(1, "image", bytearray(encode_png(img)), ("image/png", 12, 16, None))]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.resize_images(df, target_w=6, target_h=8, fake=False).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["width"], r["height"]) == (6, 8)
+    assert (r["src_width"], r["src_height"]) == (12, 16)
+    resized = decode_png(bytes(r["payload"]))
+    assert (resized == resize_nearest(img, 6, 8)).all()
 
 
 def test_sample_frames(spark):

@@ -94,6 +94,36 @@ def test_unpivot_is_shuffle_free(spark, sf_dir):
     assert _n_shuffles(plan) == 0, plan
 
 
+def test_embedding_threshold_no_driver_collect_no_single_partition(spark, sf_dir):
+    """L4 all-pairs: the grid-blocked kernel must not funnel through a
+    single partition, and the whole pair generation is a cogrouped
+    Arrow kernel — no full-side collect() exists in the path (the plan
+    builds without running any job)."""
+    df = registry.get("q_embedding_threshold").fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_row_number_chunking_no_global_window(spark, sf_dir):
+    """W1 scale form: two-pass offset chunking must not plan a
+    single-partition exchange (the global-window anti-pattern)."""
+    df = registry.get("q_row_number_chunking").fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_driver_priority_list_in_sync():
+    """_DRIVER_PRIORITY must reference only registered queries, without
+    duplicates, and together with the registration order cover all."""
+    names = set(registry.specs())
+    prio = registry._DRIVER_PRIORITY
+    assert len(prio) == len(set(prio)), "duplicate in _DRIVER_PRIORITY"
+    unknown = [n for n in prio if n not in names]
+    assert not unknown, f"unregistered queries in priority list: {unknown}"
+    assert list(registry.all_queries())[: len(prio)] == prio
+
+
 def test_projection_pruning_reaches_scan(spark, sf_dir):
     """S14: a 2-column projection reads a 2-column ReadSchema."""
     from laser_hadoop_spark.tables import table
