@@ -162,6 +162,51 @@ def q_large_join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_bucketed_fact_join",
+    oracle="""
+    SELECT n_name, o_orderpriority,
+           COUNT(*) AS n_lineitems,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY n_name, o_orderpriority
+    """,
+)
+def q_bucketed_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5/J5 at 100 TB: the SAME fact-fact join as q_large_join_multikey,
+    through the pre-registered bucketed warehouse.
+
+    lineitem and orders are bucketed once by orderkey
+    (warehouse.ensure_bucketed_facts — idempotent); the recurring join
+    then reads co-located bucket files from both sides with NO exchange
+    on the join keys — the only shuffle left is the final aggregate.
+    Results must be value-identical to the shuffle-join form (shared
+    oracle); the no-join-shuffle property is plan-audited.
+    """
+    from laser_hadoop_spark.warehouse import ensure_bucketed_facts
+
+    names = ensure_bucketed_facts(spark, sf_dir)
+    li = spark.table(names["lineitem"])
+    o = spark.table(names["orders"]).where(F.col("o_orderstatus") == "F")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            money_sum(revenue_expr()).alias("revenue"),
+        )
+    )
+
+
+@register(
     "q_outer_join",
     oracle="""
     SELECT c_custkey, c_mktsegment,

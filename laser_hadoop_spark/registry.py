@@ -127,6 +127,7 @@ _DRIVER_PRIORITY = [
     "q_semantic_dedup",
     # ^-- 50-entry driver window ends here
     # -- 3. never-tested overflow (rows-only / llm extras): round 3 --
+    "q_bucketed_fact_join",
     "q_contamination",
     "q_doc_repetition",
     "q_embedding_centroid",

@@ -162,6 +162,107 @@ def running_max_per_user(events: DataFrame) -> DataFrame:
     )
 
 
+def rate_pipeline_bench(
+    spark,
+    *,
+    seconds: float = 6.0,
+    rows_per_second: int = 200_000,
+    n_keys: int = 100,
+    window_width: str = "1 second",
+    work_dir: str | None = None,
+) -> dict:
+    """Measured streaming micro-bench: rate source -> watermarked
+    tumbling agg at FIXED key cardinality -> foreachBatch upsert.
+
+    Returns throughput and state-store size actually observed (from
+    StreamingQueryProgress), so 'state is bounded by keys x open
+    windows, not input volume' is a measurement, not an assertion:
+    state_rows_max stays O(n_keys * windows-in-watermark) however high
+    rows_per_second goes. The upsert sink is the real
+    sources/sinks.upsert_parquet merge — its table is bounded the same
+    way.
+    """
+    import shutil
+    import tempfile
+    import time
+
+    from laser_hadoop_spark.sources.sinks import upsert_parquet
+
+    tmp = work_dir or tempfile.mkdtemp(prefix="lh_stream_bench_")
+    base_dir = f"{tmp}/upsert_base"
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+        .select(
+            (F.col("value") % n_keys).alias("key"),
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 1000).cast("double").alias("value"),
+        )
+    )
+    agg = (
+        src.withWatermark("ts", "2 seconds")
+        .groupBy(F.window("ts", window_width), "key")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"), "key", "n_events", "sum_value"
+        )
+    )
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_parquet(spark, base_dir, batch_df, keys=["window_start", "key"])
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    min_batches = 3
+    try:
+        deadline = time.time() + max(seconds, 20.0)
+        while time.time() < deadline:
+            time.sleep(0.5)
+            nonempty = sum(
+                1 for p in q.recentProgress if (p.get("numInputRows") or 0) > 0
+            )
+            if nonempty >= min_batches:
+                break
+    finally:
+        q.stop()
+    input_rows = 0
+    busy_ms = 0
+    state_rows_max = 0
+    batches = 0
+    for p in q.recentProgress:
+        rows = p.get("numInputRows", 0) or 0
+        if rows == 0:
+            continue  # warm-up/empty triggers say nothing about throughput
+        input_rows += rows
+        busy_ms += (p.get("durationMs") or {}).get("triggerExecution", 0) or 0
+        batches += 1
+        for so in p.get("stateOperators", []) or []:
+            state_rows_max = max(state_rows_max, so.get("numRowsTotal", 0) or 0)
+    import os
+
+    table_rows = (
+        spark.read.parquet(base_dir).count() if os.path.isdir(base_dir) else 0
+    )
+    if work_dir is None:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "rows_per_sec": round(input_rows / (busy_ms / 1000.0), 1) if busy_ms else 0.0,
+        "input_rows": input_rows,
+        "batches": batches,
+        "state_rows_max": state_rows_max,
+        "n_keys": n_keys,
+        "upsert_table_rows": table_rows,
+    }
+
+
 def start_upsert_sink(
     stream: DataFrame,
     spark,

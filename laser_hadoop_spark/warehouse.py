@@ -49,11 +49,22 @@ def ensure_bucketed_facts(
     Skips tables that already exist (the write is the one-time cost the
     warehouse amortizes across every recurring join).
     """
+    import os
+    import shutil
+
     out: dict[str, str] = {}
     for fact in facts:
         keys, sort_by = FACT_LAYOUT[fact]
         name = bucketed_name(fact, sf_dir, n_buckets)
         if not spark.catalog.tableExists(name):
+            # In-memory catalogs forget tables between sessions while the
+            # managed location survives on disk; clear the orphan or
+            # saveAsTable raises LOCATION_ALREADY_EXISTS. (A persistent
+            # metastore — the cluster case — never hits this branch.)
+            wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            loc = os.path.join(wh.removeprefix("file:"), name.lower())
+            if os.path.exists(loc):
+                shutil.rmtree(loc)
             write_bucketed(
                 table(spark, sf_dir, fact),
                 name,

@@ -96,12 +96,12 @@ def test_unpivot_is_shuffle_free(spark, sf_dir):
 
 def test_embedding_threshold_no_driver_collect_no_single_partition(spark, sf_dir):
     """L4 all-pairs: the grid-blocked kernel must not funnel through a
-    single partition, and the whole pair generation is a cogrouped
-    Arrow kernel — no full-side collect() exists in the path (the plan
-    builds without running any job)."""
+    single partition, and the whole pair generation is a grouped Arrow
+    kernel over exploded grid cells — no full-side collect() exists in
+    the path."""
     df = registry.get("q_embedding_threshold").fn(spark, sf_dir)
     plan = _plan(df)
-    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
 
 
@@ -111,6 +111,23 @@ def test_row_number_chunking_no_global_window(spark, sf_dir):
     df = registry.get("q_row_number_chunking").fn(spark, sf_dir)
     plan = _plan(df)
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_bucketed_fact_join_no_join_shuffle(spark, sf_dir):
+    """X5: the bucketed lineitem x orders join must read co-located
+    buckets — the only exchange in the plan is the final aggregate's."""
+    df = registry.get("q_bucketed_fact_join").fn(spark, sf_dir)
+    plan = _plan(df)
+    assert _n_shuffles(plan) == 1, plan
+    try:
+        rows = {tuple(r) for r in df.collect()}
+        want = {
+            tuple(r)
+            for r in registry.get("q_large_join_multikey").fn(spark, sf_dir).collect()
+        }
+        assert rows == want
+    finally:
+        pass
 
 
 def test_driver_priority_list_in_sync():

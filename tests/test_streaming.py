@@ -229,3 +229,22 @@ def test_foreach_batch_upsert_sink(spark, stream_dir, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(store).count() == 6
+
+
+def test_rate_pipeline_bench_bounded_state(spark, tmp_path):
+    """Streaming micro-bench: throughput is measured (not asserted) and
+    the state store stays bounded by keys x open windows at fixed key
+    cardinality — the property that holds at any ingest rate."""
+    m = ops.rate_pipeline_bench(
+        spark,
+        seconds=8.0,
+        rows_per_second=100_000,
+        n_keys=20,
+        work_dir=str(tmp_path / "bench"),
+    )
+    assert m["input_rows"] > 0 and m["batches"] >= 1
+    assert m["rows_per_sec"] > 0
+    # watermark 2s + 1s windows: open windows stay in single digits,
+    # so state is O(n_keys * open_windows) — far below input_rows
+    assert 0 < m["state_rows_max"] <= 20 * 40
+    assert 0 < m["upsert_table_rows"] <= 20 * 40
