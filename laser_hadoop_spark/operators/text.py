@@ -160,3 +160,42 @@ def token_chunks(
             F.array_join(F.slice(w, s, size), " ").alias("chunk_text"),
         ),
     )
+
+
+def unigram_lm_scores(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """CCNet-style unigram-LM document quality scoring.
+
+    Trains the language model on the corpus itself — one token-count
+    aggregate — and scores every document by its mean smoothed token
+    log10-probability (higher = more typical text; boilerplate/garble
+    scores low). Output: (id, lm_score, n_tokens).
+
+    Scale shape: explode -> vocab aggregate (shuffle on token) ->
+    token-logprob lookup join (AQE promotes the vocab side to broadcast
+    when it fits) -> per-doc aggregate (shuffle on id). No Python, no
+    driver state; vocabulary size, not corpus size, bounds the join
+    build side. Additive smoothing alpha keeps unseen-token math total.
+    """
+    toks = df.select(F.col(id_col), F.explode(words(text_col)).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count("*").alias("n"))
+    totals = vocab.agg(
+        F.sum("n").alias("total"), F.count("*").alias("v")
+    )
+    logprob = F.log10(
+        (F.col("n") + F.lit(alpha)) / (F.col("total") + F.lit(alpha) * F.col("v"))
+    )
+    return (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg(logprob), 4).alias("lm_score"),
+            F.count("*").alias("n_tokens"),
+        )
+    )

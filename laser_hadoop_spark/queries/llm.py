@@ -175,6 +175,36 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.md5(normalized).alias("fingerprint"))
 
 
+@register(
+    "q_text_lm_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    vocab AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+    tot AS (SELECT SUM(n) AS total, COUNT(*) AS v FROM vocab)
+    SELECT doc_id,
+           ROUND(AVG(LOG10((n + 0.5) / (total + 0.5 * v))), 4) AS lm_score,
+           COUNT(*) AS n_tokens
+    FROM toks JOIN vocab USING (token) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 extension: CCNet-style unigram-LM quality scoring.
+
+    The corpus trains its own unigram LM (one vocab aggregate); each
+    document scores as its mean smoothed token log10-probability —
+    the classic cheap perplexity proxy for pretraining-data quality
+    filtering. operators/text.unigram_lm_scores; vocabulary (not
+    corpus) size bounds the lookup join's build side.
+    """
+    from laser_hadoop_spark.operators.text import unigram_lm_scores
+
+    d = table(spark, sf_dir, "documents")
+    return unigram_lm_scores(d, id_col="doc_id", text_col="text", alpha=0.5)
+
+
 # --- near-duplicate detection ------------------------------------------------
 
 _JACCARD_THRESHOLD = 0.8

@@ -358,3 +358,277 @@ def q_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_nationkey % 10
         """
     )
+
+
+@register(
+    "q_forecast_revenue",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount
+                               AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: fully-pushed-down selective scan + 1-row aggregate.
+
+    Every predicate reaches the parquet reader; the aggregate is a
+    map-side partial into a 1-row exchange — at 100 TB this query is
+    I/O-bound scan + row-group skipping on the shipdate min/max stats.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(ROUND(SUM(CAST(volume AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional two-nation trade volume by year.
+
+    The nation dimension joins TWICE (supplier side and customer side)
+    under different aliases; both broadcast. The disjunctive nation
+    pair predicate runs post-join but before the aggregate, so the only
+    shuffle is the final (nation, nation, year) aggregate.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(money_sum(revenue_expr()).alias("revenue"))
+    )
+
+
+@register(
+    "q_market_share",
+    oracle="""
+    SELECT o_year,
+           ROUND(100.0 * CAST(SUM(CASE WHEN nation = 'NATION_3'
+                                       THEN vol_micro ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(vol_micro) AS DOUBLE), 4) AS mkt_share_pct
+    FROM (
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+               CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000 + 0.5)
+                    AS BIGINT) AS vol_micro,
+               n1.n_name AS nation
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region   ON n2.n_regionkey = r_regionkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+    )
+    GROUP BY o_year
+    """,
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional volume per year.
+
+    Seven-table join (region gates the CUSTOMER nation; the SUPPLIER
+    nation labels the share) — every dimension broadcasts, lineitem
+    never shuffles before the per-year aggregate. The share is a ratio
+    of two exact micro-unit int64 sums computed identically on both
+    engines, so the division is bit-identical (q_promo_revenue
+    pattern).
+    """
+    from laser_hadoop_spark.functions.scalar import micro_units
+
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("nation")
+    )
+    vol_micro = micro_units(revenue_expr())
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+    )
+    agg = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("nation") == "NATION_3", vol_micro).otherwise(F.lit(0)))
+        .alias("share_micro"),
+        F.sum(vol_micro).alias("total_micro"),
+    )
+    return agg.select(
+        "o_year",
+        F.round(
+            100.0 * F.col("share_micro").cast("double")
+            / F.col("total_micro").cast("double"),
+            4,
+        ).alias("mkt_share_pct"),
+    )
+
+
+@register(
+    "q_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue,
+           CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,2)), 4) AS DOUBLE) AS acctbal,
+           n_name
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1995-07-01'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top customers by returned-item revenue.
+
+    Selective fact predicates (returnflag + order-date window), dims
+    broadcast, one aggregate shuffle, then TakeOrderedAndProject for
+    the top-20 (no global sort). Ties broken by the unique c_custkey.
+    """
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-07-01")
+    )
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(money_sum(revenue_expr()).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round(F.col("c_acctbal").cast("decimal(18,2)"), 4)
+            .cast("double")
+            .alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_large_volume_orders",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 4) AS DOUBLE)
+               AS total_price,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 4) AS DOUBLE)
+               AS sum_qty
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders via a grouped-HAVING semi-join.
+
+    The IN-subquery becomes an aggregate on lineitem (sum qty per
+    order, HAVING > 300) semi-joined back — both the filter aggregate
+    and the main aggregate shuffle on l_orderkey, so Catalyst reuses
+    one partitioning; customer broadcasts; final top-10 is
+    TakeOrderedAndProject.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 300)
+        .select("l_orderkey")
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    li2 = table(spark, sf_dir, "lineitem")
+    return (
+        li2.join(big.withColumnRenamed("l_orderkey", "bk"), li2.l_orderkey == F.col("bk"), "left_semi")
+        .join(o, li2.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(money_sum(F.col("l_quantity"), scale=2).alias("sum_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.round(F.col("o_totalprice").cast("decimal(18,2)"), 4)
+            .cast("double")
+            .alias("total_price"),
+            "sum_qty",
+        )
+        .orderBy(F.col("total_price").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )

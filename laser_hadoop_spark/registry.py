@@ -126,8 +126,15 @@ _DRIVER_PRIORITY = [
     "q_sample_quota",
     "q_semantic_dedup",
     # ^-- 50-entry driver window ends here
-    # -- 3. never-tested overflow (rows-only / llm extras): round 3 --
+    # -- 3. never-tested overflow (new + rows-only + llm extras):
+    #    first in line for round 3's window rotation
     "q_bucketed_fact_join",
+    "q_forecast_revenue",
+    "q_volume_shipping",
+    "q_market_share",
+    "q_returned_items",
+    "q_large_volume_orders",
+    "q_text_lm_score",
     "q_contamination",
     "q_doc_repetition",
     "q_embedding_centroid",

@@ -113,6 +113,26 @@ def test_row_number_chunking_no_global_window(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan, plan
 
 
+def test_tpch_widening_plans(spark, sf_dir):
+    """Round-2 TPC-H widening: pushdown + broadcast dims + minimal
+    shuffles + top-k via TakeOrderedAndProject (never a global sort)."""
+    expectations = {
+        # name: (max shuffles, min broadcast joins, wants TakeOrdered)
+        "q_forecast_revenue": (1, 0, False),
+        "q_volume_shipping": (1, 4, False),
+        "q_market_share": (1, 6, False),
+        "q_returned_items": (1, 2, True),
+        "q_large_volume_orders": (2, 2, True),
+    }
+    for name, (max_sh, min_bhj, topk) in expectations.items():
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        assert _n_shuffles(plan) <= max_sh, f"{name}: {plan}"
+        assert plan.count("BroadcastHashJoin") >= min_bhj, f"{name}: {plan}"
+        if topk:
+            assert "TakeOrderedAndProject" in plan, f"{name}: {plan}"
+        assert "PushedFilters: [" in plan, f"{name}: {plan}"
+
+
 def test_bucketed_fact_join_no_join_shuffle(spark, sf_dir):
     """X5: the bucketed lineitem x orders join must read co-located
     buckets — the only exchange in the plan is the final aggregate's."""
