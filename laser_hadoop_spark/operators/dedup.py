@@ -330,3 +330,78 @@ def contamination_overlap(
             F.round(overlap, 4).alias("overlap"),
         )
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_tokens: int = 3,
+    max_docs_per_line: int = 1,
+) -> DataFrame:
+    """Falcon/RefinedWeb-style line-level dedup: drop every line that
+    appears in more than max_docs_per_line distinct documents, keep the
+    rest in document order.
+
+    Real corpora split on newlines; the synthetic documents table is
+    single-line word soup, so lines here are fixed-width token windows
+    (line_tokens wide) — the operator shape (line extraction -> corpus
+    line-frequency aggregate -> per-doc filter -> ordered reassembly)
+    is identical either way.
+
+    Scale shape: lines explode scan-side; the corpus aggregate groups
+    by md5(line) (16-byte shuffle keys, never bodies); the frequency
+    table joins back by hash — AQE broadcasts it when the duplicate
+    set is small, which it is by construction (only lines crossing the
+    threshold matter). Reassembly sorts WITHIN each doc's collected
+    line structs (array_sort on (pos, line)), not across docs — no
+    global sort. Output: (id, n_lines, n_kept, new_text).
+    """
+    w = F.split(F.col(text_col), " ")
+    n_lines = F.floor((F.size(w) + F.lit(line_tokens - 1)) / F.lit(line_tokens))
+    lines = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), (n_lines - 1).cast("int")),
+                    lambda i: F.array_join(
+                        F.slice(w, i * line_tokens + 1, line_tokens), " "
+                    ),
+                )
+            ).alias("pos", "line"),
+        )
+        .withColumn("h", F.md5("line"))
+    )
+    dup = (
+        lines.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") > max_docs_per_line)
+        .select("h")
+    )
+    kept = lines.join(dup, "h", "left_anti")
+    return (
+        lines.groupBy(id_col)
+        .agg(F.count("*").alias("n_lines"))
+        .join(
+            kept.groupBy(id_col).agg(
+                F.count("*").alias("n_kept"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                        lambda s: s["line"],
+                    ),
+                    " ",
+                ).alias("new_text"),
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("new_text", F.lit("")).alias("new_text"),
+        )
+    )

@@ -440,3 +440,43 @@ def semantic_dedup(
     return df.select(cluster_col, id_col, vec_col).groupBy(cluster_col).applyInPandas(
         dedup, f"{cluster_col} int, drop_id long, keep_id long"
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Per-vector symmetric int quantization of an embedding column,
+    with reconstruction-quality metrics.
+
+    The storage/bandwidth lever for 100 TB ANN: int8 vectors are 4x
+    smaller than float32, so every shuffle, broadcast, and cache in the
+    similarity stack shrinks 4x, and the distance kernels switch to
+    integer SIMD. scale = max|v| / (2^(bits-1) - 1); q_i = floor(v_i /
+    scale + 0.5) (round-half-up — spelled as floor(+0.5) so both
+    engines agree bit-for-bit, unlike round()'s half-even/half-away
+    split). Emits per-vector scale, the quantized array, max absolute
+    reconstruction error, and cosine(original, dequantized) — the
+    number an ANN recall budget is set against.
+
+    Pure codegen'd higher-order array expressions: scan-local, no
+    shuffle, no Python.
+    """
+    qmax = (1 << (bits - 1)) - 1
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, F.abs)) / F.lit(float(qmax))
+    q = F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    deq = F.transform(q, lambda x: x.cast("double") * scale)
+    err = F.array_max(
+        F.zip_with(v, deq, lambda a, b: F.abs(a - b))
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        q.alias("q_vec"),
+        F.round(err, 6).alias("max_err"),
+        F.round(cosine_expr(v, deq), 6).alias("cos_fidelity"),
+    )

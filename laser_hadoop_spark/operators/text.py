@@ -162,6 +162,45 @@ def token_chunks(
     )
 
 
+# PII patterns kept to the regex subset Java (Spark) and RE2-ish engines
+# agree on: no lookaround, no backreferences. \b is ASCII word boundary
+# in both.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    out_col: str = "redacted",
+) -> DataFrame:
+    """Scrub emails / phone numbers / IPv4 addresses from a text column.
+
+    The standard pretraining-data privacy pass: every match is replaced
+    with a typed placeholder (``<EMAIL>``, ``<PHONE>``, ``<IP>``) and a
+    per-category match count is emitted so the pipeline can audit
+    redaction rates per source.
+
+    Scale shape: pure codegen'd regexp_replace / regexp_count column
+    expressions — scan-local, no shuffle, no Python; patterns chain in
+    a fixed order (email first, so user@host never half-matches as an
+    IP-like token after the @ strip).
+    """
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(pat)).alias(f"n_{kind}")
+        for kind, pat in PII_PATTERNS.items()
+    ]
+    red = t
+    for kind, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{kind.upper().replace('IPV4', 'IP')}>")
+    return df.select("*", *counts, red.alias(out_col))
+
+
 def unigram_lm_scores(
     df: DataFrame,
     *,
