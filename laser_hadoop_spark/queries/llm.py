@@ -893,3 +893,181 @@ def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.where(F.col("source") == "src0"),
     )
     return res.source_stats
+
+
+@register(
+    "q_pack_sequences",
+    oracle=r"""
+    WITH RECURSIVE sized AS (
+        SELECT CAST(doc_id % 8 AS INT) AS shard,
+               doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        FROM documents
+    ), pack AS (
+        SELECT shard, doc_id, n_tokens, rn,
+               CAST(0 AS BIGINT) AS bin_id,
+               n_tokens AS bin_fill
+        FROM sized WHERE rn = 1
+        UNION ALL
+        SELECT s.shard, s.doc_id, s.n_tokens, s.rn,
+               CAST(CASE WHEN p.bin_fill + s.n_tokens > 128
+                         THEN p.bin_id + 1 ELSE p.bin_id END AS BIGINT),
+               CAST(CASE WHEN p.bin_fill + s.n_tokens > 128
+                         THEN s.n_tokens ELSE p.bin_fill + s.n_tokens END AS BIGINT)
+        FROM pack p JOIN sized s ON s.shard = p.shard AND s.rn = p.rn + 1
+    )
+    SELECT shard, doc_id, n_tokens, bin_id, bin_fill FROM pack
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X44: sequence packing — documents greedily packed into
+    128-token training bins within 8 id-hash shards (operators/
+    packing.pack_sequences). The greedy fold is inherently sequential,
+    so the oracle restates it as a per-shard recursive CTE walking docs
+    in id order; the Spark side runs one applyInPandas kernel per
+    shard over (id, n_tokens) pairs only — 16 bytes/row to Python,
+    shard count scales with the cluster."""
+    from laser_hadoop_spark.operators.packing import pack_sequences
+
+    d = table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    return pack_sequences(
+        sized, id_col="doc_id", tokens_col="n_tokens", budget=128, n_shards=8
+    )
+
+
+@register(
+    "q_line_dedup",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), lines AS (
+        SELECT doc_id, pos,
+               array_to_string(w[pos * 3 + 1 : pos * 3 + 3], ' ') AS line
+        FROM (
+            SELECT doc_id, w,
+                   UNNEST(generate_series(0,
+                       CAST(ceil(len(w) / 3.0) AS INT) - 1)) AS pos
+            FROM w
+        )
+    ), dup AS (
+        SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT doc_id) > 1
+    ), kept AS (
+        SELECT * FROM lines WHERE line NOT IN (SELECT line FROM dup)
+    )
+    SELECT n.doc_id, n.n_lines,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           COALESCE(k.new_text, '') AS new_text
+    FROM (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id) n
+    LEFT JOIN (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(line, ' ' ORDER BY pos) AS new_text
+        FROM kept GROUP BY doc_id
+    ) k ON n.doc_id = k.doc_id
+    """,
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style line-level dedup (operators/dedup.line_dedup):
+    drop every 3-token line appearing in >1 distinct documents, then
+    reassemble remaining lines in document order. Corpus line
+    frequencies group by 16-byte md5 keys; the oracle groups by the
+    line text itself (md5 is injective on this corpus), so values must
+    agree end-to-end."""
+    from laser_hadoop_spark.operators.dedup import line_dedup
+
+    d = table(spark, sf_dir, "documents")
+    return line_dedup(
+        d.select("doc_id", "text"), id_col="doc_id", text_col="text",
+        line_tokens=3, max_docs_per_line=1,
+    )
+
+
+@register(
+    "q_redact_pii",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT)
+               AS n_email,
+           CAST(len(regexp_extract_all(text,
+               '\b\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phone,
+           CAST(len(regexp_extract_all(text,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text,
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+               AS redacted
+    FROM documents
+    """,
+)
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (operators/text.redact_pii): emails / phones
+    / IPv4s replaced with typed placeholders + per-category counts.
+    Pure codegen'd regexp expressions, scan-local, no shuffle; the
+    patterns stay in the regex subset Java and RE2 agree on."""
+    from laser_hadoop_spark.operators.text import redact_pii
+
+    d = table(spark, sf_dir, "documents")
+    return redact_pii(d.select("doc_id", "text"), text_col="text").select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "redacted"
+    )
+
+
+@register(
+    "q_quantize_embeddings",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), s AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        FROM v
+    ), q AS (
+        SELECT vec_id, v, scale,
+               list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) AS qv,
+               list_transform(v, x -> floor(x / scale + 0.5) * scale) AS deq
+        FROM s
+    ), m AS (
+        SELECT vec_id, scale, qv,
+               list_max(list_transform(generate_series(1, len(v)),
+                                       i -> abs(v[i] - deq[i]))) AS max_err,
+               list_sum(list_transform(generate_series(1, len(v)),
+                                       i -> v[i] * deq[i]))
+               / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(deq, x -> x * x))))
+                   AS cos_fid
+        FROM q
+    )
+    SELECT vec_id, ROUND(scale, 6) AS scale,
+           ROUND(max_err, 6) AS max_err,
+           ROUND(cos_fid, 6) AS cos_fidelity,
+           UNNEST(generate_series(0, len(qv) - 1)) AS pos,
+           UNNEST(qv) AS q_val
+    FROM m
+    """,
+)
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (operators/similarity.
+    quantize_embeddings): per-vector symmetric scale, quantized values
+    (posexploded — the driver canonicalizer rejects array cells),
+    max reconstruction error and cosine fidelity. Pure codegen'd
+    higher-order array expressions; round-half-up spelled as
+    floor(x/scale + 0.5) so both engines agree bit-for-bit."""
+    from laser_hadoop_spark.operators.similarity import quantize_embeddings
+
+    e = table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(e, id_col="vec_id", vec_col="embedding", bits=8)
+    return q.select(
+        "vec_id", "scale", "max_err", "cos_fidelity",
+        F.posexplode("q_vec").alias("pos", "q_val"),
+    )

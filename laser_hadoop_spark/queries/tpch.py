@@ -632,3 +632,168 @@ def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_price").desc(), F.col("o_orderkey"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp: the driver's star schema has no partsupp table, so the
+# partsupp-dependent TPC-H shapes (Q2/Q20) derive one deterministically from
+# part x supplier with engine-independent integer arithmetic — the SAME rule
+# is restated in the DuckDB oracle, so correctness still hash-checks.
+# Rule: each part gets 4 suppliers at (p_partkey*7 + i*13) mod n_supp,
+# supplycost in integer micro-units, availqty in 1..9999.
+_PARTSUPP_SQL = """
+    ns AS (SELECT MAX(s_suppkey) + 1 AS n_supp FROM supplier),
+    partsupp AS (
+        SELECT ps_partkey, ps_suppkey,
+               (ps_partkey * 7919 + ps_suppkey * 104729) % 100000000 + 1000000
+                   AS ps_supplycost_micro,
+               (ps_partkey * 13 + ps_suppkey * 7) % 9999 + 1 AS ps_availqty
+        FROM (
+            SELECT p_partkey AS ps_partkey,
+                   (p_partkey * 7 + i * 13) % n_supp AS ps_suppkey
+            FROM part, ns, (SELECT UNNEST(generate_series(0, 3)) AS i)
+        )
+    )
+"""
+
+
+def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic partsupp derivation (see _PARTSUPP_SQL). All
+    integer arithmetic on BIGINT — identical values on any engine; the
+    n_supp scalar broadcasts, the 4x part fan-out is scan-local."""
+    p = table(spark, sf_dir, "part").select("p_partkey")
+    ns = table(spark, sf_dir, "supplier").agg(
+        (F.max("s_suppkey") + F.lit(1)).alias("n_supp")
+    )
+    return (
+        p.crossJoin(F.broadcast(ns))
+        .select(
+            "p_partkey",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+            "n_supp",
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.pmod(F.col("p_partkey") * 7 + F.col("i") * 13, F.col("n_supp"))
+                .alias("ps_suppkey"),
+        )
+        .select(
+            "ps_partkey",
+            "ps_suppkey",
+            (
+                F.pmod(
+                    F.col("ps_partkey") * 7919 + F.col("ps_suppkey") * 104729,
+                    F.lit(100000000),
+                )
+                + 1000000
+            ).alias("ps_supplycost_micro"),
+            (
+                F.pmod(F.col("ps_partkey") * 13 + F.col("ps_suppkey") * 7, F.lit(9999))
+                + 1
+            ).alias("ps_availqty"),
+        )
+    )
+
+
+@register(
+    "q_min_cost_supplier",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost_micro
+    FROM partsupp
+    JOIN part ON p_partkey = ps_partkey
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE p_size <= 10 AND p_type = 'ECONOMY' AND r_name = 'EUROPE'
+      AND ps_supplycost_micro = (
+          SELECT MIN(ps2.ps_supplycost_micro)
+          FROM partsupp ps2
+          JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+          JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+          JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+          WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier per part in a region — a
+    correlated scalar subquery whose inner block is itself a 4-table
+    join sharing the outer's region filter (the 2-level correlated
+    shape). Catalyst decorrelates the MIN into a grouped aggregate
+    joined back on ps_partkey; every dimension broadcasts; costs stay
+    integer micro-units end-to-end (no FP in the equality)."""
+    from laser_hadoop_spark.tables import register_views
+
+    register_views(spark, sf_dir, names=("part", "supplier", "nation", "region"))
+    derived_partsupp(spark, sf_dir).createOrReplaceTempView("partsupp")
+    return spark.sql(
+        """
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost_micro
+        FROM partsupp
+        JOIN part ON p_partkey = ps_partkey
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE p_size <= 10 AND p_type = 'ECONOMY' AND r_name = 'EUROPE'
+          AND ps_supplycost_micro = (
+              SELECT MIN(ps2.ps_supplycost_micro)
+              FROM partsupp ps2
+              JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+              JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+              JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+              WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE'
+          )
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+        """
+    )
+
+
+@register(
+    "q_potential_promotion",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE s_suppkey IN (
+        SELECT ps_suppkey FROM partsupp
+        WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          AND ps_availqty > (
+              SELECT 100 * SUM(l_quantity) FROM lineitem
+              WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                AND l_shipdate >= TIMESTAMP '1995-01-01'
+                AND l_shipdate <  TIMESTAMP '1996-01-01'
+          )
+    )
+    """,
+)
+def q_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers overstocked on 'red' parts — an IN
+    subquery whose inner block contains BOTH a second IN subquery and a
+    correlated scalar aggregate over lineitem keyed on two outer
+    columns (the nested-EXISTS family). Catalyst rewrites the INs to
+    left-semi joins and decorrelates the SUM into a grouped aggregate;
+    at 100 TB the lineitem aggregate is the only large shuffle."""
+    from laser_hadoop_spark.tables import register_views
+
+    register_views(spark, sf_dir, names=("part", "supplier", "nation", "lineitem"))
+    derived_partsupp(spark, sf_dir).createOrReplaceTempView("partsupp")
+    return spark.sql(
+        """
+        SELECT s_name, n_name
+        FROM supplier JOIN nation ON n_nationkey = s_nationkey
+        WHERE s_suppkey IN (
+            SELECT ps_suppkey FROM partsupp
+            WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+              AND ps_availqty > (
+                  SELECT 100 * SUM(l_quantity) FROM lineitem
+                  WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                    AND l_shipdate >= TIMESTAMP '1995-01-01'
+                    AND l_shipdate <  TIMESTAMP '1996-01-01'
+              )
+        )
+        """
+    )

@@ -53,81 +53,18 @@ def _load_all() -> None:
     queries.load_all()
 
 
-# The driver verifies a 50-entry PREFIX of queries() order (round 1:
-# CORRECTNESS_r01.json is exactly the first 50 registrations), so dict
-# order is a verification budget. Priority for round 2:
-#   1. the 7 queries whose round-1 verdicts are being fixed (HUGEINT
-#      oracle casts / array-output canon crash) — must re-verify;
-#   2. every query that has never received a driver verdict, ordered so
-#      each SURVEY §2 family (tpch, windows, scans, scalars, setops,
-#      streaming-batch, udfs, llm) appears inside the 50-window;
-#   3. the remaining never-tested rows-only + llm-extra queries
-#      (positions 51+ — first in line for round 3);
-#   4. queries already hash-green in round 1 (their verdicts stand).
+# The driver verifies a 50-entry PREFIX of queries() order (rounds 1-2:
+# CORRECTNESS_r0{1,2}.json are exactly the first 50 registrations), so
+# dict order is a verification budget. Priority for round 3:
+#   1. the 16 round-2 queries that have never received a driver verdict
+#      (round 2's overflow, positions 51+ last round);
+#   2. queries newly added in round 3 (pack_sequences, partsupp TPC-H
+#      shapes, ...) — never tested by definition;
+#   3. previously-green queries, recently-verified last: their verdicts
+#      stand (r1∪r2 ever-green ledger), and re-running a rotating subset
+#      inside the window guards against refactor regressions.
 _DRIVER_PRIORITY = [
-    # -- 1. round-1 verdict fixes ------------------------------------
-    "q_broadcast_inner_join",
-    "q_count_conditional",
-    "q_null_semantics",
-    "q_cumulative_distinct",
-    "q_sessionize_batch",
-    "q_variant_json",
-    "q_approx_percentile",
-    # -- 2. never-driver-tested, every family represented ------------
-    # TPC-H headliners (bench credibility)
-    "q_pricing_summary",
-    "q_shipping_priority",
-    "q_local_supplier_volume",
-    "q_scalar_subquery",
-    "q_shipmode_priority",
-    "q_promo_revenue",
-    "q_inactive_customers",
-    # windows (whole family untested in r1)
-    "q_row_number_chunking",
-    "q_ntile_batching",
-    "q_rank_topk_per_group",
-    "q_window_running_sum",
-    "q_lag_lead",
-    # scans / projections / filters
-    "q_scan_project_filter",
-    "q_filter_compound",
-    "q_having_threshold",
-    "q_route_by_arity",
-    "q_json_extract",
-    # scalar-function families
-    "q_string_funcs",
-    "q_string_key_concat",
-    "q_math_funcs",
-    "q_date_funcs",
-    "q_array_funcs",
-    "q_map_funcs",
-    "q_pivot",
-    # set operations (whole family untested in r1)
-    "q_union_all",
-    "q_intersect",
-    "q_except",
-    # streaming-batch (whole family untested in r1)
-    "q_tumbling_window_agg",
-    "q_sliding_window_agg",
-    "q_session_window",
-    # UDF surface (whole family untested in r1)
-    "q_grouped_map_normalize",
-    "q_scalar_udf",
-    "q_grouped_agg_udf",
-    "q_python_udtf",
-    # LLM-pipeline operators (oracle-backed, untested in r1)
-    "q_embedding_topk",
-    "q_embedding_threshold",
-    "q_curation_pipeline",
-    "q_pretrain_pipeline",
-    "q_text_chunks",
-    "q_text_tfidf",
-    "q_dedup_clusters",
-    "q_sample_quota",
-    "q_semantic_dedup",
-    # ^-- 50-entry driver window ends here
-    # -- 3. never-tested overflow (new + rows-only + llm extras):
-    #    first in line for round 3's window rotation
+    # -- 1. round-2 overflow: oracle-backed, never driver-tested ------
     "q_bucketed_fact_join",
     "q_forecast_revenue",
     "q_volume_shipping",
@@ -139,11 +76,50 @@ _DRIVER_PRIORITY = [
     "q_doc_repetition",
     "q_embedding_centroid",
     "q_disjunctive_pred",
+    # rows-only overflow (weaker check, still needs a first run)
     "q_dedup_near",
     "q_dedup_simhash",
     "q_ann_lsh",
     "q_ann_ivf",
     "q_sample_stratified",
+    # -- 2. new in round 3 -------------------------------------------
+    "q_pack_sequences",
+    "q_line_dedup",
+    "q_redact_pii",
+    "q_quantize_embeddings",
+    "q_min_cost_supplier",
+    "q_potential_promotion",
+    # -- 3. previously-green regression re-checks (r1 greens first:
+    #    verified longest ago) ---------------------------------------
+    "q_partial_final_agg",
+    "q_count_distinct",
+    "q_dedup_exact",
+    "q_order_limit",
+    "q_semi_join",
+    "q_anti_join",
+    "q_scalar_consistency",
+    "q_large_join_multikey",
+    "q_outer_join",
+    "q_range_join",
+    "q_asof_join",
+    "q_salted_join",
+    "q_rollup",
+    "q_cube",
+    "q_grouping_sets",
+    "q_percentile",
+    "q_text_wordcount",
+    "q_dedup_ngram_jaccard",
+    "q_exists_subquery",
+    "q_lateral_topk",
+    "q_unpivot",
+    "q_first_last_window",
+    "q_min_max_by",
+    "q_regexp_funcs",
+    "q_gap_fill",
+    "q_histogram",
+    "q_edit_distance_join",
+    "q_recursive_cte",
+    # ^-- 50-entry driver window ends here (16 + 6 + 28)
 ]
 
 
