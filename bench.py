@@ -48,12 +48,15 @@ def main() -> None:
     specs = registry.specs()
     # one-time bucketed-warehouse build stays out of the timings — it is
     # the amortized cost the recurring q_bucketed_fact_join measures
+    warehouse_error = None
     try:
         from laser_hadoop_spark.warehouse import ensure_bucketed_facts
 
         ensure_bucketed_facts(spark, sf_dir)
-    except Exception:  # noqa: BLE001 - bench must always emit its line
-        pass
+    except Exception as exc:  # noqa: BLE001 - bench must always emit its line
+        # surfaced in the JSON: a failed build means q_bucketed_fact_join
+        # rebuilds inside the timed loop and its number is not comparable
+        warehouse_error = f"{type(exc).__name__}: {exc}"
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = specs[name].fn
@@ -81,6 +84,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "streaming": streaming,
+                **({"warehouse_error": warehouse_error} if warehouse_error else {}),
                 "sf": float(sf) if sf else None,
             }
         )

@@ -20,7 +20,7 @@ training-data pipeline (/root/repo/BASELINE.json:6).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -34,6 +34,25 @@ def stratified_sample(
     """Seeded per-stratum Bernoulli sample; strata absent from
     `fractions` are dropped (fraction 0.0)."""
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def stratified_sample_expr(
+    df: DataFrame,
+    *,
+    fraction: Column,
+    seed: int = 42,
+) -> DataFrame:
+    """Seeded Bernoulli sample with a PER-ROW fraction expression.
+
+    The dict-based form above needs the strata enumerated up front —
+    fine when the mixture config is literally a config, but a driver
+    round-trip if the fractions derive from the data (the VERDICT r2
+    flagged exactly that collect in q_sample_stratified). Here the
+    fraction is any Column expression evaluated row-side, so mixture
+    rules like "0.5 for even-hash sources, 0.2 otherwise" stay entirely
+    in the scan: one pass, no shuffle, no driver round-trip, same
+    binomial semantics as sampleBy (rand(seed) < fraction)."""
+    return df.where(F.rand(seed) < fraction)
 
 
 def quota_sample(

@@ -80,6 +80,7 @@ def brute_force_pairs_blocked(
     out_b: str = "vec_b",
     out_sim: str = "cosine_sim",
     round_to: int = 4,
+    max_collect_rows: int = 262_144,
 ) -> DataFrame:
     """All-pairs cosine above threshold, broadcast-matmul style.
 
@@ -89,12 +90,25 @@ def brute_force_pairs_blocked(
     faster than per-pair array expressions. The i<j triangle is kept by
     id comparison.
 
-    Scale envelope: the broadcast side must fit in executor memory
-    (~1M x 128 dims = 0.5 GB). Beyond that, block BOTH sides: add a
-    block id, self-join block pairs, and run this kernel per block pair
-    — or switch to ann_lsh_topk for approximate retrieval.
+    Scale guard: the broadcast side must fit in executor memory
+    (~1M x 128 dims = 0.5 GB), so inputs above `max_collect_rows` are
+    delegated to :func:`brute_force_pairs_grid` (identical output
+    schema and semantics, nothing on the driver). The count that sizes
+    the gate is one metadata-served job.
     """
     import pandas as pd
+
+    if df.count() > max_collect_rows:
+        return brute_force_pairs_grid(
+            df,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+            out_a=out_a,
+            out_b=out_b,
+            out_sim=out_sim,
+            round_to=round_to,
+        )
 
     sc = df.sparkSession.sparkContext
     rows = df.select(id_col, vec_col).collect()
@@ -291,7 +305,19 @@ def ivf_topk(
     """
     import pandas as pd
 
-    sample = df.select(id_col, vec_col).orderBy(id_col).limit(train_rows).collect()
+    # Hash-ordered TakeOrdered: a per-partition heap of train_rows rows
+    # (no full sort, no count pass) picking a pseudo-random — not
+    # smallest-id — subset, deterministic at any scale for a fixed
+    # input. The id tiebreaker pins hash collisions; the driver-side
+    # re-sort (<= train_rows rows, free) makes centroid training
+    # independent of arrival order.
+    sample = sorted(
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("bigint")), F.col(id_col))
+        .limit(train_rows)
+        .collect(),
+        key=lambda r: r[0],
+    )
     mat = np.array([r[1] for r in sample], dtype=np.float64)
     centroids = _kmeans_centroids(mat, n_cells, seed)
     sc = df.sparkSession.sparkContext

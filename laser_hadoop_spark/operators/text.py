@@ -220,21 +220,32 @@ def unigram_lm_scores(
     when it fits) -> per-doc aggregate (shuffle on id). No Python, no
     driver state; vocabulary size, not corpus size, bounds the join
     build side. Additive smoothing alpha keeps unseen-token math total.
+
+    Cross-engine determinism: each token logprob is fixed-pointed to
+    integer micro-units BEFORE aggregating (the money-sum discipline) —
+    a float AVG's value depends on summation order, which differs
+    between engines and can flip a 4th-decimal rounding boundary; a
+    bigint SUM of identical per-token integers cannot.
     """
     toks = df.select(F.col(id_col), F.explode(words(text_col)).alias("token"))
     vocab = toks.groupBy("token").agg(F.count("*").alias("n"))
     totals = vocab.agg(
         F.sum("n").alias("total"), F.count("*").alias("v")
     )
-    logprob = F.log10(
-        (F.col("n") + F.lit(alpha)) / (F.col("total") + F.lit(alpha) * F.col("v"))
-    )
+    logprob_micro = F.round(
+        F.log10(
+            (F.col("n") + F.lit(alpha)) / (F.col("total") + F.lit(alpha) * F.col("v"))
+        )
+        * F.lit(1_000_000.0)
+    ).cast("bigint")
     return (
         toks.join(vocab, "token")
         .crossJoin(F.broadcast(totals))
         .groupBy(id_col)
         .agg(
-            F.round(F.avg(logprob), 4).alias("lm_score"),
+            F.round(
+                F.sum(logprob_micro) / F.lit(1_000_000.0) / F.count("*"), 4
+            ).alias("lm_score"),
             F.count("*").alias("n_tokens"),
         )
     )

@@ -184,7 +184,10 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
     tot AS (SELECT SUM(n) AS total, COUNT(*) AS v FROM vocab)
     SELECT doc_id,
-           ROUND(AVG(LOG10((n + 0.5) / (total + 0.5 * v))), 4) AS lm_score,
+           ROUND(CAST(SUM(CAST(ROUND(
+                     LOG10((n + 0.5) / (total + 0.5 * v)) * 1000000.0
+                 ) AS BIGINT)) AS BIGINT) / 1000000.0 / COUNT(*),
+                 4) AS lm_score,
            COUNT(*) AS n_tokens
     FROM toks JOIN vocab USING (token) CROSS JOIN tot
     GROUP BY doc_id
@@ -518,24 +521,27 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 extension: TF-IDF scores per (document, token).
 
-    Two aggregations over one exploded token relation; the df side and
-    the corpus count broadcast back onto tf (both tiny relative to the
-    token stream), so the only full shuffle is the tf groupBy. At
-    100 TB cap the vocabulary with a document-frequency floor before
-    the join (rare-token long tail dominates the df table).
+    Two aggregations over one exploded token relation. The tf-df join
+    strategy is left to AQE: at test scale the df table broadcasts on
+    its runtime size; at 100 TB its rare-token long tail can outgrow a
+    broadcast and AQE falls back to a shuffle join instead of OOMing a
+    forced hint (cap the vocabulary with a document-frequency floor to
+    get the broadcast back). The corpus count rides in as a 1-row
+    broadcast cross join so the whole query is one lazy plan — no
+    separate driver count action.
     """
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df_ = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()
-    return tf.join(F.broadcast(df_), "token").select(
+    n = d.agg(F.count("*").cast("double").alias("__n_docs"))
+    return tf.join(df_, "token").crossJoin(F.broadcast(n)).select(
         "doc_id",
         "token",
         "tf",
         "df",
         F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+            F.col("tf") * F.log(F.col("__n_docs") / F.col("df")), 4
         ).alias("tfidf"),
     )
 
@@ -619,16 +625,20 @@ def q_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mixture weights: seeded per-source Bernoulli sampling.
 
-    Sampling decisions are per-row hashes of (seed, row) — no count
-    pass, no shuffle; fractions are approximate (binomial), so the
-    check is rows-only + a pytest tolerance test.
+    Sampling decisions are per-row coin flips against a fraction
+    DERIVED per-row from the stratum value (even source-hash -> 0.5,
+    odd -> 0.2) — no distinct-collect of the strata, no count pass, no
+    shuffle; the mixture rule travels with the scan. Fractions are
+    approximate (binomial), so the check is rows-only + a pytest
+    tolerance test.
     """
-    from laser_hadoop_spark.operators.sampling import stratified_sample
+    from laser_hadoop_spark.operators.sampling import stratified_sample_expr
 
     d = table(spark, sf_dir, "documents")
-    sources = [r["source"] for r in d.select("source").distinct().collect()]
-    fractions = {s: (0.5 if i % 2 == 0 else 0.2) for i, s in enumerate(sorted(sources))}
-    return stratified_sample(d, strata_col="source", fractions=fractions)
+    frac = F.when(
+        F.pmod(F.xxhash64("source"), F.lit(2)) == 0, F.lit(0.5)
+    ).otherwise(F.lit(0.2))
+    return stratified_sample_expr(d, fraction=frac, seed=42)
 
 
 @register(

@@ -32,9 +32,24 @@ FACT_LAYOUT: dict[str, tuple[list[str], list[str]]] = {
 DEFAULT_BUCKETS = 16
 
 
+def _source_fingerprint(sf_dir: str, table_name: str) -> str:
+    """Size+mtime fingerprint of the source parquet, so a regenerated
+    source yields a NEW bucketed-table name instead of silently reusing
+    stale bucketed data (ADVICE r2). Falls back to empty for non-local
+    paths (a cluster metastore tracks staleness itself)."""
+    import os
+
+    try:
+        st = os.stat(os.path.join(sf_dir, f"{table_name}.parquet"))
+    except OSError:
+        return ""
+    return f"{zlib.crc32(f'{st.st_size}:{st.st_mtime_ns}'.encode()) & 0xFFFFFFFF:08x}"
+
+
 def bucketed_name(table_name: str, sf_dir: str, n_buckets: int) -> str:
     tag = zlib.crc32(sf_dir.rstrip("/").encode()) & 0xFFFFFFFF
-    return f"lh_{table_name}_{tag:08x}_b{n_buckets}"
+    fp = _source_fingerprint(sf_dir, table_name)
+    return f"lh_{table_name}_{tag:08x}_{fp}_b{n_buckets}"
 
 
 def ensure_bucketed_facts(
@@ -59,8 +74,11 @@ def ensure_bucketed_facts(
         if not spark.catalog.tableExists(name):
             # In-memory catalogs forget tables between sessions while the
             # managed location survives on disk; clear the orphan or
-            # saveAsTable raises LOCATION_ALREADY_EXISTS. (A persistent
-            # metastore — the cluster case — never hits this branch.)
+            # saveAsTable raises LOCATION_ALREADY_EXISTS. The name carries
+            # the source fingerprint, so this only ever removes a stale
+            # build of the SAME source bytes — a regenerated source maps
+            # to a different name entirely. (A persistent metastore — the
+            # cluster case — never hits this branch.)
             wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
             loc = os.path.join(wh.removeprefix("file:"), name.lower())
             if os.path.exists(loc):

@@ -693,3 +693,52 @@ def test_observed_counters_single_pass_gate(spark, tmp_path):
     )
     clean.write.mode("overwrite").parquet(str(tmp_path / "out2"))
     assert gate_observed(obs2) == {"GROUP_FILE_INVALID_ROW": 0}
+
+
+def test_brute_force_blocked_delegates_above_gate(spark, sf_dir):
+    """Above max_collect_rows the broadcast-matmul form hands off to the
+    grid kernel (same schema, same pairs) instead of collecting a side
+    that no longer fits on the driver."""
+    emb = table(spark, sf_dir, "embeddings").limit(80).cache()
+    want = {
+        (r["vec_a"], r["vec_b"]): r["cosine_sim"]
+        for r in similarity.brute_force_pairs_blocked(
+            emb, id_col="vec_id", vec_col="embedding", threshold=0.3
+        ).collect()
+    }
+    delegated = similarity.brute_force_pairs_blocked(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.3,
+        max_collect_rows=0,
+    )
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cosine_sim"] for r in delegated.collect()
+    }
+    assert got == want
+    plan = delegated._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan  # grid kernel, not mapInPandas
+
+
+def test_stratified_sample_expr_rule_based(spark, sf_dir):
+    """Per-row fraction expression: deterministic for a fixed seed and
+    within binomial tolerance of the rule's expected keep rate."""
+    from pyspark.sql import functions as F
+
+    from laser_hadoop_spark.operators.sampling import stratified_sample_expr
+
+    d = table(spark, sf_dir, "documents")
+    frac = F.when(
+        F.pmod(F.xxhash64("source"), F.lit(2)) == 0, F.lit(0.5)
+    ).otherwise(F.lit(0.2))
+    s = stratified_sample_expr(d, fraction=frac, seed=7)
+    n1 = s.count()
+    assert stratified_sample_expr(d, fraction=frac, seed=7).count() == n1
+    expected = (
+        d.groupBy("source").agg(F.count("*").alias("n"))
+        .withColumn(
+            "f",
+            F.when(F.pmod(F.xxhash64("source"), F.lit(2)) == 0, 0.5).otherwise(0.2),
+        )
+        .agg(F.sum(F.col("n") * F.col("f")))
+        .collect()[0][0]
+    )
+    assert 0.5 * expected < n1 < 1.5 * expected
