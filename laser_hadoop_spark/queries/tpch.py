@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from laser_hadoop_spark.functions.scalar import money_sum, revenue_expr
+from laser_hadoop_spark.functions.scalar import micro_units, money_sum, revenue_expr
 from laser_hadoop_spark.registry import register
 from laser_hadoop_spark.tables import table
 
@@ -795,5 +795,277 @@ def q_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AND l_shipdate <  TIMESTAMP '1996-01-01'
               )
         )
+        """
+    )
+
+
+@register(
+    "q_product_profit",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(ROUND(SUM(CAST(
+               l_extendedprice * (1 - l_discount)
+               - (ps_supplycost_micro / 1000000.0) * l_quantity
+               AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit by nation and year.
+
+    Six-way join centered on lineitem: partsupp matches on BOTH
+    (partkey, suppkey) — the one two-key fact-fact equi-join in the
+    suite — while part/supplier/nation broadcast and orders shuffles on
+    orderkey. Profit = revenue minus supply cost x quantity, summed via
+    the exact micro-unit discipline (supply costs are integer micro
+    already, so the subtraction stays on the 6-decimal grid). At 100 TB
+    partsupp is 4x|part| — too big to broadcast, AQE plans the two-key
+    join as a shuffle join; everything else rides the existing
+    orderkey/partkey exchanges.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    ps = derived_partsupp(spark, sf_dir)
+    p = table(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders")
+    amount = revenue_expr() - (
+        F.col("ps_supplycost_micro") / F.lit(1_000_000.0)
+    ) * F.col("l_quantity")
+    return (
+        li.join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(money_sum(amount).alias("sum_profit"))
+    )
+
+
+@register(
+    "q_important_stock",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    vals AS (
+        SELECT ps_partkey,
+               CAST(SUM(ps_supplycost_micro * ps_availqty) AS BIGINT)
+                   AS value_micro
+        FROM partsupp JOIN supplier ON s_suppkey = ps_suppkey
+        WHERE s_nationkey < 13
+        GROUP BY ps_partkey
+    )
+    SELECT ps_partkey, value_micro
+    FROM vals
+    WHERE value_micro * (SELECT COUNT(*) FROM vals)
+          > 3 * (SELECT CAST(SUM(value_micro) AS BIGINT) FROM vals)
+    """,
+)
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts holding an outsized share (>3x the mean)
+    of the tracked nations' total stock value.
+
+    Grouped aggregate compared against a global scalar aggregate of the
+    SAME relation — Catalyst plans the subquery as a 1-row broadcast,
+    the vals relation computes once and reuses. All arithmetic is exact
+    bigint micro-units; the threshold is the integer cross-multiply
+    `value * n > 3 * total` (a mean multiple, not a fixed share, so the
+    predicate stays selective-but-nonempty at every scale factor —
+    a fixed share goes empty as |part| grows).
+    """
+    ps = derived_partsupp(spark, sf_dir)
+    s = table(spark, sf_dir, "supplier").where(F.col("s_nationkey") < 13)
+    vals = (
+        ps.join(F.broadcast(s), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(F.col("ps_supplycost_micro") * F.col("ps_availqty"))
+            .alias("value_micro")
+        )
+    )
+    total = vals.agg(
+        F.sum("value_micro").alias("__total"), F.count("*").alias("__n")
+    )
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .where(F.col("value_micro") * F.col("__n") > 3 * F.col("__total"))
+        .select("ps_partkey", "value_micro")
+    )
+
+
+@register(
+    "q_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                   * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS total_revenue_micro
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue_micro
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue_micro = (SELECT MAX(total_revenue_micro) FROM revenue)
+    """,
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue.
+
+    The classic view-plus-scalar-max: per-supplier revenue aggregates
+    once, its MAX broadcasts back as a 1-row join, and the equality is
+    on EXACT bigint micro-units — a float-revenue equality would be a
+    cross-engine coin flip, the integer one cannot disagree.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(micro_units(revenue_expr())).alias("total_revenue_micro"))
+    )
+    top = rev.agg(F.max("total_revenue_micro").alias("__max_rev"))
+    s = table(spark, sf_dir, "supplier")
+    return (
+        F.broadcast(s)
+        .join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .crossJoin(F.broadcast(top))
+        .where(F.col("total_revenue_micro") == F.col("__max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue_micro")
+    )
+
+
+@register(
+    "q_parts_supplier_count",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM partsupp JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#3'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND ps_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: supplier counts per part attribute bucket with
+    a NOT IN exclusion subquery.
+
+    Catalyst rewrites the NOT IN (non-null key) to a broadcast
+    left-anti join; the distinct count shuffles on the grouping
+    attributes only after partsupp pre-filters against the broadcast
+    part dimension.
+    """
+    from laser_hadoop_spark.tables import register_views
+
+    register_views(spark, sf_dir, names=("part", "supplier"))
+    derived_partsupp(spark, sf_dir).createOrReplaceTempView("partsupp")
+    return spark.sql(
+        """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+        FROM partsupp JOIN part ON p_partkey = ps_partkey
+        WHERE p_brand <> 'Brand#3'
+          AND p_type NOT LIKE 'PROMO%'
+          AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+          AND ps_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0
+          )
+        GROUP BY p_brand, p_type, p_size
+        """
+    )
+
+
+@register(
+    "q_waiting_suppliers",
+    oracle="""
+    WITH flagged AS (
+        SELECT l_orderkey, l_suppkey,
+               (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderstatus = 'F'
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM flagged l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE l1.late
+      AND EXISTS (
+          SELECT 1 FROM flagged l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM flagged l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.late
+      )
+    GROUP BY s_name
+    """,
+)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who alone were late on finalized
+    multi-supplier orders (this schema has no commit/receipt dates, so
+    "late" is shipping >90 days after the order date).
+
+    The EXISTS + NOT EXISTS pair over the same derived relation is the
+    hardest decorrelation shape in the suite: Catalyst turns them into
+    a left-semi and a left-anti join on l_orderkey, both reusing the
+    flagged relation's orderkey partitioning. Three shuffles total at
+    any scale (flagged build, semi, anti) — no per-row subqueries.
+    """
+    from laser_hadoop_spark.tables import register_views
+
+    register_views(spark, sf_dir, names=("lineitem", "orders", "supplier", "nation"))
+    return spark.sql(
+        """
+        WITH flagged AS (
+            SELECT l_orderkey, l_suppkey,
+                   (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE o_orderstatus = 'F'
+        )
+        SELECT s_name, COUNT(*) AS numwait
+        FROM flagged l1
+        JOIN supplier ON s_suppkey = l1.l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE l1.late
+          AND EXISTS (
+              SELECT 1 FROM flagged l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM flagged l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.late
+          )
+        GROUP BY s_name
         """
     )

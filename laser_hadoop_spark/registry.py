@@ -89,6 +89,11 @@ _DRIVER_PRIORITY = [
     "q_quantize_embeddings",
     "q_min_cost_supplier",
     "q_potential_promotion",
+    "q_product_profit",
+    "q_important_stock",
+    "q_top_supplier",
+    "q_parts_supplier_count",
+    "q_waiting_suppliers",
     # -- 3. previously-green regression re-checks (r1 greens first:
     #    verified longest ago) ---------------------------------------
     "q_partial_final_agg",
@@ -119,7 +124,9 @@ _DRIVER_PRIORITY = [
     "q_histogram",
     "q_edit_distance_join",
     "q_recursive_cte",
-    # ^-- 50-entry driver window ends here (16 + 6 + 28)
+    # ^-- the driver's 50-entry window covers through q_min_max_by
+    #     (16 overflow + 11 new + 23 re-checks); the re-checks past the
+    #     line are all r1-green, their verdicts stand
 ]
 
 

@@ -227,3 +227,20 @@ def test_sample_stratified_scan_local(spark, sf_dir):
     )
     plan = _plan(registry.get("q_sample_stratified").fn(spark, sf_dir))
     assert _n_shuffles(plan) == 0, plan
+
+
+def test_partsupp_tpch_shapes_stay_jvm_side(spark, sf_dir):
+    """X47: the Q9/Q11/Q15/Q16/Q21 shapes plan with broadcast dims and
+    no Python nodes; the Q21 EXISTS/NOT-EXISTS pair decorrelates to
+    joins (no per-row subquery nodes survive)."""
+    for name in (
+        "q_product_profit",
+        "q_important_stock",
+        "q_top_supplier",
+        "q_parts_supplier_count",
+        "q_waiting_suppliers",
+    ):
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+        assert "InSubquery" not in plan, name
