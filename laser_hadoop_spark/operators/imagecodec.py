@@ -1,16 +1,16 @@
 """Pure-numpy image codecs for the multimodal decode kernels (L5).
 
 The container has no image libraries (no Pillow/OpenCV, and installs are
-out of scope), but PNG, BMP, and PPM need nothing beyond stdlib zlib +
-numpy — so the decode path for those formats is REAL: actual bytes in,
-actual (h, w, c) uint8 rasters out. JPEG (a genuine DCT codec) stays
-NotImplementedError.
+out of scope), but the decode path is REAL: actual bytes in, actual
+(h, w, c) uint8 rasters out.
 
 Supported:
 - PNG: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
   4 (gray+alpha), 6 (RGBA); all five scanline filters; no interlace.
 - BMP: uncompressed 24/32-bit BITMAPINFOHEADER.
 - PPM/PGM: binary P6/P5, maxval 255.
+- JPEG: baseline sequential (SOF0) incl. chroma subsampling and restart
+  markers, via operators/jpegcodec.py; progressive stays unsupported.
 - encode_png: filter-0 8-bit encoder (test fixtures + png sink kernel).
 
 Reference for PNG structure: the public PNG specification (RFC 2083) —
@@ -30,7 +30,8 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> raw channels
 
 
 class UnsupportedImage(NotImplementedError):
-    """Format/feature outside the pure-numpy codec's envelope (e.g. JPEG)."""
+    """Format/feature outside the pure-numpy codec's envelope (e.g.
+    progressive JPEG)."""
 
 
 def sniff_format(data: bytes) -> str | None:
@@ -209,7 +210,9 @@ def decode_pnm(data: bytes) -> np.ndarray:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Decode PNG/BMP/PPM bytes to (h, w, c) uint8; JPEG/unknown raise."""
+    """Decode PNG/BMP/PPM/baseline-JPEG bytes to (h, w, c) uint8.
+
+    Progressive JPEG and unknown formats raise UnsupportedImage."""
     fmt = sniff_format(bytes(data))
     if fmt == "png":
         return decode_png(bytes(data))
@@ -218,7 +221,9 @@ def decode_image(data: bytes) -> np.ndarray:
     if fmt == "pnm":
         return decode_pnm(bytes(data))
     if fmt == "jpeg":
-        raise UnsupportedImage("JPEG needs a DCT codec library (not available)")
+        from laser_hadoop_spark.operators.jpegcodec import decode_jpeg
+
+        return decode_jpeg(bytes(data))
     raise UnsupportedImage("unrecognized image format")
 
 

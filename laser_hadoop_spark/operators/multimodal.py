@@ -6,10 +6,11 @@ Arrow-batched functions over mapInPandas so Python touches whole record
 batches, never rows.
 
 No image libraries ship in this container, so the REAL decode path uses
-the pure-numpy codec in operators/imagecodec.py (PNG all-filters, BMP,
-PPM/PGM — stdlib zlib + numpy only; see that module). JPEG genuinely
-needs a DCT codec -> UnsupportedImage. ``fake=True`` keeps the
-deterministic stub (shape metadata + checksum) for plumbing-only tests.
+the pure-numpy codecs in operators/imagecodec.py + jpegcodec.py (PNG
+all-filters, BMP, PPM/PGM, baseline-sequential JPEG incl. subsampling
+and restart markers — stdlib zlib + numpy only). Progressive JPEG ->
+UnsupportedImage. ``fake=True`` keeps the deterministic stub (shape
+metadata + checksum) for plumbing-only tests.
 """
 
 from __future__ import annotations
@@ -60,11 +61,12 @@ def decode_image_batches(
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: decode image payloads per Arrow batch.
 
-    Real path (fake=False): operators/imagecodec.py decodes PNG/BMP/PPM
-    payload bytes to (h, w, c) rasters — width/height/gray_mean come
-    from the DECODED pixels, not metadata. JPEG/unknown payloads raise
-    UnsupportedImage (pre-filter with imagecodec.sniff_format when a
-    corpus mixes formats). The fake path is deterministic: dimensions
+    Real path (fake=False): operators/imagecodec.py decodes
+    PNG/BMP/PPM/baseline-JPEG payload bytes to (h, w, c) rasters —
+    width/height/gray_mean come from the DECODED pixels, not metadata.
+    Progressive-JPEG/unknown payloads raise UnsupportedImage
+    (pre-filter with imagecodec.sniff_format when a corpus mixes
+    formats). The fake path is deterministic: dimensions
     from metadata, gray_mean from a crc32 of the payload — exercising
     the same batch plumbing with no codec in the loop.
     """

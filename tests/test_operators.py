@@ -742,3 +742,93 @@ def test_stratified_sample_expr_rule_based(spark, sf_dir):
         .collect()[0][0]
     )
     assert 0.5 * expected < n1 < 1.5 * expected
+
+
+def test_jpeg_roundtrip_all_paths():
+    """Baseline JPEG: encode->decode roundtrip within quantization error
+    for 4:4:4, 4:2:0, restart intervals, grayscale, and odd dims."""
+    import numpy as np
+
+    from laser_hadoop_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 255 // w, yy * 255 // h, (xx + yy) * 255 // (h + w)], axis=2
+    ).astype(np.uint8)
+    for kw in (
+        {},
+        {"subsample": True},
+        {"restart_interval": 3},
+        {"subsample": True, "restart_interval": 2},
+    ):
+        out = decode_jpeg(encode_jpeg(img, quality=90, **kw))
+        assert out.shape == (h, w, 3), kw
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.max() <= 12, (kw, err.max())
+
+    gray = (yy * 255 // h).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(gray, quality=90))
+    assert out.shape == (h, w, 1)
+    assert np.abs(out[:, :, 0].astype(int) - gray.astype(int)).max() <= 4
+
+    odd = img[:37, :41]
+    for kw in ({}, {"subsample": True}):
+        out = decode_jpeg(encode_jpeg(odd, quality=85, **kw))
+        assert out.shape == (37, 41, 3)
+        assert np.abs(out.astype(int) - odd.astype(int)).max() <= 16
+
+
+def test_jpeg_uniform_dc_exact():
+    """A uniform image is all-DC: decode must be bit-exact (any zigzag /
+    table / predictor bug shows up here immediately)."""
+    import numpy as np
+
+    from laser_hadoop_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    for color in ([200, 30, 90], [0, 0, 0], [255, 255, 255]):
+        img = np.tile(np.array(color, dtype=np.uint8), (24, 32, 1))
+        out = decode_jpeg(encode_jpeg(img, quality=95))
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 2, color
+
+
+def test_jpeg_progressive_rejected():
+    """Progressive (SOF2) raises UnsupportedImage, never garbage."""
+    import pytest as _pytest
+
+    from laser_hadoop_spark.operators.imagecodec import UnsupportedImage
+    from laser_hadoop_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+    import numpy as np
+
+    data = bytearray(
+        encode_jpeg(np.zeros((16, 16, 3), dtype=np.uint8))
+    )
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2  # rewrite marker to progressive
+    with _pytest.raises(UnsupportedImage):
+        decode_jpeg(bytes(data))
+
+
+def test_decode_media_real_jpeg(spark):
+    """decode_media real path over JPEG payloads: dims + gray stats come
+    from decoded pixels (within lossy-codec tolerance)."""
+    import numpy as np
+
+    from laser_hadoop_spark.operators.jpegcodec import encode_jpeg
+
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = np.stack(
+        [xx * 255 // 64, yy * 255 // 48, (xx * yy) % 256], axis=2
+    ).astype(np.uint8)
+    rows = [
+        (1, "image", bytearray(encode_jpeg(img, quality=90)),
+         ("image/jpeg", None, None, None)),
+        (2, "image", bytearray(encode_jpeg(img, quality=90, subsample=True)),
+         ("image/jpeg", None, None, None)),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in multimodal.decode_media(df, fake=False).collect()}
+    want_mean = float(img.mean()) / 255.0
+    for mid in (1, 2):
+        assert (got[mid]["width"], got[mid]["height"]) == (64, 48)
+        assert abs(got[mid]["gray_mean"] - want_mean) < 0.02
