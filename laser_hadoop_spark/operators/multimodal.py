@@ -219,6 +219,76 @@ def resize_images(
     )
 
 
+AUDIO_RESULT_SCHEMA = (
+    "media_id long, n_bytes long, duration_ms long, sample_rate int, "
+    "n_channels int, rms double, zero_crossing_rate double, "
+    "spectral_centroid_hz double"
+)
+
+
+def audio_feature_batches(
+    batches: Iterator[pd.DataFrame], *, fake: bool
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: WAV decode + feature extraction per batch.
+
+    Real path: operators/audiocodec.py decodes RIFF PCM payloads and
+    computes RMS / zero-crossing rate / spectral centroid from the
+    DECODED samples (FFT bounded to a fixed sample budget per clip).
+    Compressed audio (MP3/OGG/FLAC) raises UnsupportedAudio — honest,
+    like progressive JPEG on the image side. Fake path: deterministic
+    stats from metadata + payload crc, same plumbing, no codec.
+    """
+    cols = [
+        "media_id", "n_bytes", "duration_ms", "sample_rate", "n_channels",
+        "rms", "zero_crossing_rate", "spectral_centroid_hz",
+    ]
+    if not fake:
+        from laser_hadoop_spark.operators.audiocodec import (
+            audio_features,
+            decode_wav,
+        )
+
+        for pdf in batches:
+            recs = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload or b"")
+                x, rate = decode_wav(buf)
+                f = audio_features(x, rate)
+                recs.append(
+                    (
+                        media_id, len(buf), f["duration_ms"], f["sample_rate"],
+                        f["n_channels"], f["rms"], f["zero_crossing_rate"],
+                        f["spectral_centroid_hz"],
+                    )
+                )
+            yield pd.DataFrame(recs, columns=cols)
+        return
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
+                "duration_ms": pdf["meta"].map(lambda m: m["duration_ms"] or 0),
+                "sample_rate": 16000,
+                "n_channels": 1,
+                "rms": payloads.map(
+                    lambda b: (zlib.crc32(bytes(b or b"")) % 1000) / 1000.0
+                ),
+                "zero_crossing_rate": 0.0,
+                "spectral_centroid_hz": 0.0,
+            }
+        )
+
+
+def extract_audio_features(df: DataFrame, *, fake: bool = False) -> DataFrame:
+    """Audio rows -> per-clip acoustic features (Arrow-batched; same
+    large-blob partitioning note as decode_media)."""
+    return df.where(F.col("kind") == "audio").mapInPandas(
+        lambda it: audio_feature_batches(it, fake=fake), AUDIO_RESULT_SCHEMA
+    )
+
+
 def sample_frames(df: DataFrame, *, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video rows: one output row per sampled
     timestamp (decode itself stubbed as above). Pure plan: the frame

@@ -832,3 +832,77 @@ def test_decode_media_real_jpeg(spark):
     for mid in (1, 2):
         assert (got[mid]["width"], got[mid]["height"]) == (64, 48)
         assert abs(got[mid]["gray_mean"] - want_mean) < 0.02
+
+
+def test_wav_roundtrip_and_features():
+    """WAV codec: 16-bit/float32 roundtrip; features recover the known
+    physics of a synthesized tone (rms = A/sqrt(2), centroid ~ f0)."""
+    import numpy as np
+
+    from laser_hadoop_spark.operators.audiocodec import (
+        audio_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    rate = 16000
+    t = np.arange(rate) / rate  # 1 second
+    tone = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+
+    x, r = decode_wav(encode_wav(tone, rate, bits=16))
+    assert r == rate and x.shape == (rate, 1)
+    assert np.abs(x[:, 0] - tone).max() < 1e-3  # 16-bit quantization
+
+    x32, _ = decode_wav(encode_wav(tone, rate, bits=32))
+    assert np.abs(x32[:, 0] - tone).max() < 1e-6
+
+    stereo = np.stack([tone, -tone], axis=1)
+    xs, _ = decode_wav(encode_wav(stereo, rate, bits=16))
+    assert xs.shape == (rate, 2)
+
+    f = audio_features(x, rate)
+    assert f["duration_ms"] == 1000
+    assert abs(f["rms"] - 0.5 / np.sqrt(2)) < 1e-3
+    assert abs(f["spectral_centroid_hz"] - 440.0) < 30.0
+    assert abs(f["zero_crossing_rate"] - 2 * 440.0 / rate) < 1e-3
+
+
+def test_wav_compressed_rejected():
+    import pytest as _pytest
+
+    from laser_hadoop_spark.operators.audiocodec import (
+        UnsupportedAudio,
+        decode_wav,
+        sniff_audio,
+    )
+
+    assert sniff_audio(b"ID3\x04rest") == "mp3"
+    assert sniff_audio(b"OggS....") == "ogg"
+    with _pytest.raises(UnsupportedAudio):
+        decode_wav(b"ID3\x04not a wav at all")
+
+
+def test_extract_audio_features_real(spark):
+    """Real audio path end-to-end through the Arrow kernel."""
+    import numpy as np
+
+    from laser_hadoop_spark.operators.audiocodec import encode_wav
+
+    rate = 8000
+    t = np.arange(rate // 2) / rate
+    rows = [
+        (1, "audio", bytearray(encode_wav(0.25 * np.sin(2 * np.pi * 220 * t), rate)),
+         ("audio/wav", None, None, 500)),
+        (2, "audio", bytearray(encode_wav(0.9 * np.sin(2 * np.pi * 1000 * t), rate)),
+         ("audio/wav", None, None, 500)),
+        (3, "image", bytearray(b"not audio"), ("image/png", 1, 1, None)),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in
+           multimodal.extract_audio_features(df, fake=False).collect()}
+    assert set(got) == {1, 2}  # image row filtered out
+    assert got[1]["duration_ms"] == 500
+    assert got[1]["sample_rate"] == rate
+    assert abs(got[1]["spectral_centroid_hz"] - 220.0) < 40.0
+    assert abs(got[2]["spectral_centroid_hz"] - 1000.0) < 40.0
+    assert got[2]["rms"] > got[1]["rms"]
