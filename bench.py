@@ -39,6 +39,10 @@ HEADLINE = [
     "q_scalar_subquery",
     "q_curation_pipeline",
     "q_bucketed_fact_join",
+    # round 3: the two heaviest new TPC-H shapes (two-key fact-fact
+    # join; EXISTS+NOT EXISTS decorrelation over a derived relation)
+    "q_product_profit",
+    "q_waiting_suppliers",
 ]
 
 

@@ -3,6 +3,13 @@
 
 Usage: python scripts/check_oracles.py [sf_dir] [query ...]
 Defaults to /root/testdata/sf0.01 (the driver's correctness scale).
+
+SPARK_GRAFT_ADVERSARIAL=1 hardens the session the way the driver's
+vanilla session (or a hostile cluster default) might: ANSI mode ON
+(Spark 4 default the tuned session might mask), a non-UTC session
+timezone, and an awkward shuffle partition count. Every query must stay
+green under it — parquet timestamps are NTZ so TZ must not matter, and
+no operator may rely on wrapping arithmetic or partition counts.
 """
 
 from __future__ import annotations
@@ -23,6 +30,11 @@ def main() -> int:
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     names = args[1:] if args and os.path.isdir(args[0]) else args
     spark = get_spark("check_oracles")
+    if os.environ.get("SPARK_GRAFT_ADVERSARIAL"):
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        print("ADVERSARIAL session: ANSI on, TZ=America/New_York, shuffle=7")
     con = duckdb_connect(sf_dir)
     specs = registry.specs()
     if names:
