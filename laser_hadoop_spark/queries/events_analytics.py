@@ -155,3 +155,58 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").alias("n_click_after_view")))
         .crossJoin(p.agg(F.count("*").alias("n_purchase_after_click")))
     )
+
+
+@register(
+    "q_time_rollup",
+    oracle="""
+    WITH e AS (
+        SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+               user_id, value
+        FROM events
+    )
+    SELECT CASE WHEN GROUPING(h) = 0 THEN 'hour' ELSE 'day' END AS resolution,
+           COALESCE(h, d) AS bucket,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)
+               AS DOUBLE) AS sum_value
+    FROM e GROUP BY GROUPING SETS ((h), (d))
+    """,
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution time rollup: hourly AND daily
+    event aggregates from ONE scan via GROUPING SETS on two bucket
+    widths (one Expand + one aggregate — a naive engine scans twice).
+
+    Buckets truncate on the raw epoch-micros long (unix_micros), not
+    date_trunc on the session-zoned timestamp: date_trunc('day') shifts
+    with spark.sql.session.timeZone while the integer division is
+    TZ-independent — the adversarial-session probe catches the
+    difference. The decimal SUM spelling is identical on both engines
+    (exact, order-independent). At 100 TB this is the continuous-
+    aggregate pattern: the Expand doubles rows pre-shuffle but the
+    partial aggregate collapses them before the exchange.
+    """
+    from laser_hadoop_spark.tables import register_views
+
+    register_views(spark, sf_dir, names=("events",))
+    return spark.sql(
+        """
+        WITH e AS (
+            SELECT timestamp_micros(
+                       (unix_micros(ts) div 3600000000) * 3600000000) AS h,
+                   timestamp_micros(
+                       (unix_micros(ts) div 86400000000) * 86400000000) AS d,
+                   user_id, value
+            FROM events
+        )
+        SELECT CASE WHEN GROUPING(h) = 0 THEN 'hour' ELSE 'day' END AS resolution,
+               COALESCE(h, d) AS bucket,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)
+                   AS sum_value
+        FROM e GROUP BY GROUPING SETS ((h), (d))
+        """
+    )

@@ -241,3 +241,11 @@ def read_dispatch(spark: SparkSession, fmt: str, path: str, **kwargs) -> DataFra
     except KeyError:
         raise ValueError(f"unknown genotype format {fmt!r}") from None
     return reader(spark, path, **kwargs)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar ORC scan (built-in DataSource V1/V2, same pushdown +
+    pruning guarantees as parquet — PushedFilters/ReadSchema reach the
+    stripe reader). Interchange-format coverage beyond parquet: ORC is
+    the other columnar format a warehouse migration actually hits."""
+    return spark.read.orc(path)

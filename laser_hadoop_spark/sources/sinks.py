@@ -186,3 +186,18 @@ def upsert_parquet(
     if os.path.isdir(base_dir):
         shutil.rmtree(base_dir)
     os.replace(tmp_dir, base_dir)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink (optionally hive-partitioned). Pairs with
+    readers.read_orc for the non-parquet columnar interchange path."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

@@ -192,3 +192,28 @@ def test_upsert_parquet_merge(spark, tmp_path):
     got = {r.k: (r.s, r.v) for r in spark.read.parquet(base_dir).collect()}
     assert got == {1: ("a", 1.0), 2: ("B", 20.0), 3: ("c", 3.0), 4: ("d", 4.0)}
     assert not os.path.isdir(base_dir + ".__tmp__")
+
+
+def test_orc_roundtrip_pushdown_and_partitioning(spark, sf_dir, tmp_path):
+    """S14-analogue for ORC: values roundtrip exactly; filters and
+    column pruning reach the ORC scan; partition pruning works."""
+    from laser_hadoop_spark.sources.readers import read_orc
+    from laser_hadoop_spark.sources.sinks import write_orc
+    from laser_hadoop_spark.tables import table
+
+    src = table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_orc")
+    write_orc(src, out, partition_by=("o_orderstatus",))
+
+    back = read_orc(spark, out)
+    assert back.count() == src.count()
+    want = {tuple(r) for r in src.select("o_orderkey", "o_totalprice").collect()}
+    got = {tuple(r) for r in back.select("o_orderkey", "o_totalprice").collect()}
+    assert got == want
+
+    pruned = back.where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "o_custkey" not in plan, "ORC scan reads unprojected columns"
+    # partition pruning: only the o_orderstatus=F directory is read
+    n_f = src.where(F.col("o_orderstatus") == "F").count()
+    assert pruned.count() == n_f
