@@ -291,8 +291,9 @@ def extract_audio_features(df: DataFrame, *, fake: bool = False) -> DataFrame:
 
 def sample_frames(df: DataFrame, *, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video rows: one output row per sampled
-    timestamp (decode itself stubbed as above). Pure plan: the frame
-    timestamps come from metadata duration, exploded JVM-side."""
+    timestamp (metadata-driven; see decode_video_frames for the real
+    pixel path). Pure plan: the frame timestamps come from metadata
+    duration, exploded JVM-side."""
     return df.where(F.col("kind") == "video").select(
         "media_id",
         F.explode(
@@ -302,4 +303,44 @@ def sample_frames(df: DataFrame, *, every_ms: int = 1000) -> DataFrame:
                 F.lit(every_ms),
             )
         ).alias("frame_ts_ms"),
+    )
+
+
+FRAME_RESULT_SCHEMA = (
+    "media_id long, frame_index int, width int, height int, gray_mean double"
+)
+
+
+def video_frame_batches(
+    batches: Iterator[pd.DataFrame], *, every_n: int, max_frames: int | None
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: REAL frame extraction from MJPEG-AVI payloads
+    (operators/videocodec.py walks the RIFF container; jpegcodec decodes
+    the sampled frames). Skipped frames cost a chunk-walk step only —
+    sparse sampling of long clips never pays their IDCTs. Inter-frame
+    codecs raise UnsupportedVideo."""
+    from laser_hadoop_spark.operators.videocodec import decode_frames
+
+    cols = ["media_id", "frame_index", "width", "height", "gray_mean"]
+    for pdf in batches:
+        recs = []
+        for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+            for idx, img in decode_frames(
+                bytes(payload or b""), every_n=every_n, max_frames=max_frames
+            ):
+                recs.append(
+                    (media_id, idx, img.shape[1], img.shape[0],
+                     float(img.mean()) / 255.0)
+                )
+        yield pd.DataFrame(recs, columns=cols)
+
+
+def decode_video_frames(
+    df: DataFrame, *, every_n: int = 1, max_frames: int | None = None
+) -> DataFrame:
+    """Video rows -> one row per sampled decoded frame (Arrow-batched;
+    same large-blob partitioning note as decode_media)."""
+    return df.where(F.col("kind") == "video").mapInPandas(
+        lambda it: video_frame_batches(it, every_n=every_n, max_frames=max_frames),
+        FRAME_RESULT_SCHEMA,
     )

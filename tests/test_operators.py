@@ -906,3 +906,64 @@ def test_extract_audio_features_real(spark):
     assert abs(got[1]["spectral_centroid_hz"] - 220.0) < 40.0
     assert abs(got[2]["spectral_centroid_hz"] - 1000.0) < 40.0
     assert got[2]["rms"] > got[1]["rms"]
+
+
+def test_mjpeg_avi_roundtrip_and_sampling():
+    """MJPEG-AVI: encode 5 JPEG frames into a standard AVI, walk it
+    back out, decode sampled frames; non-MJPEG payloads rejected."""
+    import numpy as np
+    import pytest as _pytest
+
+    from laser_hadoop_spark.operators.jpegcodec import encode_jpeg
+    from laser_hadoop_spark.operators.videocodec import (
+        UnsupportedVideo,
+        decode_frames,
+        encode_mjpeg_avi,
+        iter_mjpeg_frames,
+        sniff_video,
+    )
+
+    h, w = 24, 32
+    frames, rasters = [], []
+    for i in range(5):
+        img = np.full((h, w, 3), 40 * i + 20, dtype=np.uint8)
+        rasters.append(img)
+        frames.append(encode_jpeg(img, quality=95))
+    avi = encode_mjpeg_avi(frames, width=w, height=h, fps=5)
+    assert sniff_video(avi) == "avi"
+    assert [f[:3] for f in iter_mjpeg_frames(avi)] == [b"\xff\xd8\xff"] * 5
+
+    got = list(decode_frames(avi, every_n=2))
+    assert [i for i, _ in got] == [0, 2, 4]
+    for idx, img in got:
+        assert img.shape == (h, w, 3)
+        assert abs(float(img.mean()) - float(rasters[idx].mean())) < 3.0
+
+    got = list(decode_frames(avi, every_n=1, max_frames=2))
+    assert [i for i, _ in got] == [0, 1]
+
+    with _pytest.raises(UnsupportedVideo):
+        list(iter_mjpeg_frames(b"\x1a\x45\xdf\xa3 matroska"))
+
+
+def test_decode_video_frames_real(spark):
+    """Real video path end-to-end through the Arrow kernel."""
+    import numpy as np
+
+    from laser_hadoop_spark.operators.jpegcodec import encode_jpeg
+    from laser_hadoop_spark.operators.videocodec import encode_mjpeg_avi
+
+    frames = [
+        bytes(encode_jpeg(np.full((16, 16, 3), v, dtype=np.uint8), quality=95))
+        for v in (10, 120, 240)
+    ]
+    avi = encode_mjpeg_avi(frames, width=16, height=16, fps=3)
+    rows = [
+        (1, "video", bytearray(avi), ("video/avi", 16, 16, 1000)),
+        (2, "image", bytearray(b"x"), ("image/png", 1, 1, None)),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = multimodal.decode_video_frames(df, every_n=1).collect()
+    assert [(r["media_id"], r["frame_index"]) for r in got] == [(1, 0), (1, 1), (1, 2)]
+    means = [r["gray_mean"] for r in got]
+    assert means[0] < means[1] < means[2]
