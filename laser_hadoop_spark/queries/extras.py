@@ -724,3 +724,63 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
         F.round("value", 4).alias("value"),
     )
+
+
+def _pagerank_sql(n_iters: int, intdiv: str) -> str:
+    """Shared fixed-point PageRank SQL, parameterized on the integer
+    division operator ('div' Spark, '//' DuckDB). All arithmetic is
+    bigint parts-per-billion, so both engines walk the IDENTICAL
+    integer recurrence and the iterative result is exactly comparable
+    (the q_dedup_clusters trick, extended to an aggregate-per-iteration
+    loop via unrolled CTEs — recursive CTEs cannot aggregate)."""
+    d = intdiv
+    ctes = [
+        "s AS (SELECT s_suppkey AS node FROM supplier)",
+        "cnt AS (SELECT COUNT(*) AS n FROM s)",
+        f"""edges AS (
+            SELECT DISTINCT node AS src, (node * 7 + 3) % n AS dst
+            FROM s CROSS JOIN cnt
+            UNION
+            SELECT DISTINCT node, (node * 13 + 5) % n FROM s CROSS JOIN cnt
+        )""",
+        "outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, CAST(1000000000 {d} n AS BIGINT) AS r "
+        "FROM s CROSS JOIN cnt)",
+    ]
+    for k in range(1, n_iters + 1):
+        ctes.append(f"""r{k} AS (
+            SELECT s.node,
+                   CAST((150000000 {d} n)
+                        + (85 * COALESCE(inf.contrib, 0)) {d} 100
+                        AS BIGINT) AS r
+            FROM s CROSS JOIN cnt
+            LEFT JOIN (
+                SELECT e.dst AS node, SUM(p.r {d} o.deg) AS contrib
+                FROM edges e
+                JOIN r{k - 1} p ON p.node = e.src
+                JOIN outdeg o ON o.src = e.src
+                GROUP BY e.dst
+            ) inf ON inf.node = s.node
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f" SELECT node, r AS rank_ppb FROM r{n_iters}"
+    )
+
+
+@register("q_pagerank_exact", oracle=_pagerank_sql(5, "//"))
+def q_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X50: exactly-verified iterative PageRank (5 unrolled iterations,
+    bigint parts-per-billion fixed point) over a deterministic supplier
+    graph (each node links to (7u+3)%n and (13u+5)%n).
+
+    This makes an aggregate-per-iteration loop value-checkable across
+    engines — float PageRank (operators/graph.pagerank, the scale
+    operator with damping/dangling handling and localCheckpoint lineage
+    truncation) can only ever be rows-checked because float summation
+    order diverges; the integer recurrence cannot. Per iteration the
+    plan is one broadcast join + one aggregate; the loop composes lazy
+    plans, no driver state beyond the loop counter.
+    """
+    register_views(spark, sf_dir, names=("supplier",))
+    return spark.sql(_pagerank_sql(5, "div"))

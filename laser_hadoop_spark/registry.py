@@ -95,6 +95,7 @@ _DRIVER_PRIORITY = [
     "q_parts_supplier_count",
     "q_waiting_suppliers",
     "q_time_rollup",
+    "q_pagerank_exact",
     # -- 3. previously-green regression re-checks (r1 greens first:
     #    verified longest ago) ---------------------------------------
     "q_partial_final_agg",
@@ -125,8 +126,8 @@ _DRIVER_PRIORITY = [
     "q_histogram",
     "q_edit_distance_join",
     "q_recursive_cte",
-    # ^-- the driver's 50-entry window covers through q_first_last_window
-    #     (16 overflow + 12 new + 22 re-checks); the re-checks past the
+    # ^-- the driver's 50-entry window covers through q_unpivot
+    #     (16 overflow + 13 new + 21 re-checks); the re-checks past the
     #     line are all r1-green, their verdicts stand
 ]
 
