@@ -1,0 +1,120 @@
+"""Bloom-filter pruned semi-join — scale path for selective key lookups.
+
+The reference's one lookup strategy is a distributed-cache HashMap
+probed per record (LASERInputCheckMapper.java:53-72): the build side
+must fit in every mapper's heap, and every fact row pays a hash probe.
+The Spark-first restatement of that idea at 100 TB is a Bloom filter:
+
+1. build a fixed-size bitmap over the dim keys with one aggregation
+   (`explode` k hash positions -> per-word `bit_or` -> one map row);
+2. broadcast the single-row bitmap and test membership with pure
+   codegen expressions on the fact scan (no shuffle of the fact side,
+   no Python);
+3. run the exact semi-join only on the survivors, killing the false
+   positives.
+
+The win over a plain semi-join: the fact-side shuffle carries only
+rows that pass the bitmap (false-positive rate ~ (1-e^{-kn/m})^k),
+instead of every fact row. Spark's own `spark.sql.optimizer.
+runtimeFilter.bloomFilter` does this inside AQE for some shapes; this
+operator makes the plan explicit, tunable, and available to DataFrame
+pipelines on any join shape.
+
+Everything is deterministic (xxhash64 with fixed seeds), so results
+are reproducible across retries and engines agree on semantics (the
+bitmap only prunes; the residual join fixes semantics exactly).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["build_bloom", "might_contain", "bloom_semi_join"]
+
+
+def build_bloom(keys: DataFrame, key_col: str, *, n_bits: int = 1 << 20,
+                n_hashes: int = 5) -> DataFrame:
+    """Aggregate a key column into a single-row Bloom bitmap.
+
+    Returns a 1-row DataFrame with one column ``bloom``: a
+    ``map<int, bigint>`` from 64-bit word index to word value. Sparse
+    by construction — only words with at least one set bit appear — so
+    a small dim side costs far less than ``n_bits/8`` bytes to
+    broadcast. The build is one narrow explode (k rows per key) plus
+    two aggregations (per-word ``bit_or``, then a global
+    ``map_from_entries``); nothing touches the driver.
+    """
+    if n_bits % 64:
+        raise ValueError("n_bits must be a multiple of 64")
+    positions = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(n_bits))
+            for seed in range(n_hashes)
+        ]
+    )
+    return (
+        keys.select(F.explode(positions).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("int").alias("word_idx"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
+            ).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+        .groupBy()
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("word_idx", "word")))
+            ).alias("bloom")
+        )
+    )
+
+
+def might_contain(key: Column, bloom: Column, *, n_bits: int = 1 << 20,
+                  n_hashes: int = 5) -> Column:
+    """Membership-test expression against a ``build_bloom`` bitmap.
+
+    Pure codegen: k (hash, map-lookup, bitwise-and) probes AND-ed
+    together. A missing word (never set during build) is treated as
+    all-zero. No false negatives; false positives are removed by the
+    caller's residual join.
+    """
+    tests = []
+    for seed in range(n_hashes):
+        pos = F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(n_bits))
+        word = F.element_at(bloom, (pos / 64).cast("int"))
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+        )
+        tests.append(F.coalesce(word, F.lit(0)).bitwiseAND(bit) != 0)
+    return reduce(lambda a, b: a & b, tests)
+
+
+def bloom_semi_join(facts: DataFrame, dim_keys: DataFrame, fact_col: str,
+                    dim_col: str, *, n_bits: int = 1 << 20,
+                    n_hashes: int = 5) -> DataFrame:
+    """Semi-join ``facts`` to ``dim_keys`` with a Bloom pre-filter.
+
+    Exactly equivalent to ``facts.join(dim, fact_col == dim_col,
+    "left_semi")`` — the bitmap only prunes the fact side before the
+    exact residual semi-join. At scale the pruned fact side is what
+    enters the join's exchange, so shuffle bytes drop by the filter's
+    selectivity while the broadcast cost is one sparse bitmap.
+    """
+    bloom = build_bloom(dim_keys.select(dim_col), dim_col,
+                        n_bits=n_bits, n_hashes=n_hashes)
+    pruned = (
+        facts.join(F.broadcast(bloom))
+        .where(might_contain(F.col(fact_col), F.col("bloom"),
+                             n_bits=n_bits, n_hashes=n_hashes))
+        .drop("bloom")
+    )
+    return pruned.join(
+        dim_keys.select(F.col(dim_col).alias("__bloom_dim_key")).distinct(),
+        F.col(fact_col) == F.col("__bloom_dim_key"),
+        "left_semi",
+    )

@@ -344,3 +344,45 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         money_sum(F.col("c_acctbal"), scale=2).alias("sum_acctbal"),
     )
+
+
+@register(
+    "q_bloom_semi_join",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n_items,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 4) AS DOUBLE)
+               AS sum_price
+    FROM lineitem
+    WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    GROUP BY l_returnflag
+    """,
+)
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-closure: Bloom-filter pruned semi-join (operators/bloom.py).
+
+    Semantically a plain left-semi join of lineitem onto urgent orders
+    (the oracle IS the plain semi-join); physically the fact side is
+    pre-filtered by a broadcast single-row Bloom bitmap built from the
+    dim keys in one aggregation, so only bitmap survivors enter the
+    join exchange. At 100 TB the exchange carries ~selectivity x |fact|
+    rows instead of all of them; the bitmap is sparse
+    (map<word_idx, word>), deterministic (fixed xxhash64 seeds), and
+    the residual exact semi-join removes false positives, keeping the
+    result value-identical to the un-pruned join.
+    """
+    from laser_hadoop_spark.functions.scalar import money_sum
+    from laser_hadoop_spark.operators.bloom import bloom_semi_join
+
+    li = table(spark, sf_dir, "lineitem")
+    urgent = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    kept = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    return kept.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        money_sum(F.col("l_extendedprice"), scale=2).alias("sum_price"),
+    )

@@ -96,6 +96,7 @@ _DRIVER_PRIORITY = [
     "q_waiting_suppliers",
     "q_time_rollup",
     "q_pagerank_exact",
+    "q_bloom_semi_join",
     # -- 3. previously-green regression re-checks (r1 greens first:
     #    verified longest ago) ---------------------------------------
     "q_partial_final_agg",

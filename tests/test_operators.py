@@ -967,3 +967,71 @@ def test_decode_video_frames_real(spark):
     assert [(r["media_id"], r["frame_index"]) for r in got] == [(1, 0), (1, 1), (1, 2)]
     means = [r["gray_mean"] for r in got]
     assert means[0] < means[1] < means[2]
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark, sf_dir):
+    """bloom_semi_join is value-identical to the exact semi-join: the
+    bitmap only prunes (no false negatives), the residual join removes
+    false positives."""
+    from laser_hadoop_spark.operators.bloom import bloom_semi_join
+    from laser_hadoop_spark.tables import table
+
+    li = table(spark, sf_dir, "lineitem")
+    dim = (
+        table(spark, sf_dir, "orders")
+        .where("o_orderpriority = '2-HIGH'")
+        .select("o_orderkey")
+    )
+    got = bloom_semi_join(li, dim, "l_orderkey", "o_orderkey")
+    want = li.join(dim, li.l_orderkey == dim.o_orderkey, "left_semi")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_bloom_bitmap_prunes_before_the_join(spark, sf_dir):
+    """The broadcast-bitmap filter alone (no residual join) must already
+    cut the fact side down to near the true selectivity — that pruned
+    cardinality is what enters the join exchange at scale."""
+    import pyspark.sql.functions as F
+
+    from laser_hadoop_spark.operators.bloom import build_bloom, might_contain
+    from laser_hadoop_spark.tables import table
+
+    li = table(spark, sf_dir, "lineitem")
+    dim = (
+        table(spark, sf_dir, "orders")
+        .where("o_orderpriority = '1-URGENT'")
+        .select("o_orderkey")
+    )
+    bloom = build_bloom(dim, "o_orderkey")
+    pruned = (
+        li.join(F.broadcast(bloom))
+        .where(might_contain(F.col("l_orderkey"), F.col("bloom")))
+        .count()
+    )
+    exact = li.join(dim, li.l_orderkey == dim.o_orderkey, "left_semi").count()
+    total = li.count()
+    assert exact <= pruned < total
+    # false-positive rate: survivors beyond the exact matches, relative
+    # to the non-matching population, must be far under 1% with
+    # n ~ 12k keys in m = 2^20 bits, k = 5
+    fp_rate = (pruned - exact) / max(total - exact, 1)
+    assert fp_rate < 0.01, fp_rate
+
+
+def test_bloom_semi_join_plan_stays_jvm_side(spark, sf_dir):
+    """No Python evaluation anywhere in the bloom path, and the bitmap
+    build aggregates into a single row without collecting to the
+    driver."""
+    from laser_hadoop_spark import registry
+
+    plan = (
+        registry.get("q_bloom_semi_join")
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
