@@ -304,3 +304,151 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct_status",
         "n_fallback",
     )
+
+
+@register(
+    "q_regression_stats",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS sx,
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
+               SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+                   * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sxy,
+               SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+                   * CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS sxx,
+               SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS HUGEINT)
+                   * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS syy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE),
+                 4) AS slope,
+           ROUND(CAST(CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                 / 100.0, 4) AS intercept,
+           ROUND(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 / SQRT(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                        * CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)),
+                 4) AS corr_xy,
+           ROUND(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (n - 1)) / 10000.0, 4) AS covar_samp
+    FROM s
+    """,
+)
+def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-closure: exactly-verified second-moment statistics.
+
+    Per-group least-squares slope/intercept, Pearson correlation, and
+    sample covariance of (l_quantity, l_extendedprice) — computed NOT
+    with the built-in single-pass moment aggregates (regr_slope, corr,
+    covar_samp: float accumulation order differs per engine and per
+    partitioning, so their last digits are not reproducible) but from
+    exact integer power sums in centi-units: n, Σx, Σy, Σxy, Σx², Σy²
+    are bigint/decimal-exact and order-independent, and doubles appear
+    only in one final IEEE division/sqrt, which is bit-identical on
+    both engines. The unit scaling cancels in slope and corr; intercept
+    divides by 100, covariance by 100².
+
+    The map-side partial aggregation story is the same as the built-ins
+    (six algebraic sums), so this is also the 100 TB-safe formulation:
+    no second pass, no Python, one shuffle of six longs per group.
+    """
+    xc = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint")
+    yc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    s = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_returnflag"), xc.alias("xc"), yc.alias("yc"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("xc").alias("sx"),
+            F.sum("yc").alias("sy"),
+            F.sum(F.col("xc") * F.col("yc")).alias("sxy"),
+            F.sum(F.col("xc") * F.col("xc")).alias("sxx"),
+            F.sum((F.col("yc").cast("decimal(38,0)") * F.col("yc"))).alias("syy"),
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num_xy = (dec("n") * F.col("sxy") - dec("sx") * F.col("sy")).cast("double")
+    den_xx = (dec("n") * F.col("sxx") - dec("sx") * F.col("sx")).cast("double")
+    den_yy = (dec("n") * F.col("syy") - dec("sy") * F.col("sy")).cast("double")
+    num_b0 = (dec("sy") * F.col("sxx") - dec("sx") * F.col("sxy")).cast("double")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(num_xy / den_xx, 4).alias("slope"),
+        F.round(num_b0 / den_xx / F.lit(100.0), 4).alias("intercept"),
+        F.round(num_xy / F.sqrt(den_xx * den_yy), 4).alias("corr_xy"),
+        F.round(
+            num_xy / (F.col("n").cast("double") * (F.col("n") - 1)) / F.lit(10000.0), 4
+        ).alias("covar_samp"),
+    )
+
+
+@register(
+    "q_hll_sketch",
+    oracle="""
+    SELECT o_orderpriority AS grp,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+           TRUE AS within_5pct
+    FROM orders
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'ALL', CAST(COUNT(DISTINCT o_custkey) AS BIGINT), TRUE
+    FROM orders
+    """,
+)
+def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8-closure: mergeable HLL sketches (Datasketches), accuracy-gated.
+
+    Per-priority distinct-customer estimates from hll_sketch_agg, PLUS
+    the re-aggregation story that makes sketches the 100 TB path: the
+    per-group sketch BINARIES are merged with hll_union_agg into the
+    global estimate without touching the raw data again — the rollup
+    a second exact count-distinct pass would need the full input for.
+
+    Sketch estimates are engine-specific, so the driver-checkable
+    contract is the accuracy gate: each row asserts |est - exact| <=
+    5% * exact (HLL lgK=12 gives ~1.6% standard error), and the oracle
+    asserts the same exact counts with the flag literally true. A
+    drifting or broken sketch implementation flips the flag and fails
+    the hash compare; the exact counts pin everything else.
+    """
+    o = table(spark, sf_dir, "orders")
+    per_group = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count_distinct("o_custkey").alias("exact_distinct"),
+        F.hll_sketch_agg("o_custkey").alias("sketch"),
+    )
+    gated = per_group.select(
+        "grp",
+        "exact_distinct",
+        (
+            F.abs(
+                F.hll_sketch_estimate("sketch")
+                - F.col("exact_distinct")
+            )
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("within_5pct"),
+    )
+    merged = (
+        per_group.agg(
+            F.hll_union_agg("sketch").alias("sketch"),
+            F.sum(F.lit(0)).alias("_z"),
+        )
+        .crossJoin(
+            o.agg(F.count_distinct("o_custkey").alias("exact_distinct"))
+        )
+        .select(
+            F.lit("ALL").alias("grp"),
+            "exact_distinct",
+            (
+                F.abs(F.hll_sketch_estimate("sketch") - F.col("exact_distinct"))
+                <= 0.05 * F.col("exact_distinct")
+            ).alias("within_5pct"),
+        )
+    )
+    return gated.unionByName(merged)

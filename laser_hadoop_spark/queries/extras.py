@@ -784,3 +784,156 @@ def q_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir, names=("supplier",))
     return spark.sql(_pagerank_sql(5, "div"))
+
+
+@register(
+    "q_max_concurrent",
+    oracle="""
+    WITH ev AS (
+        SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS d,
+               1 AS delta
+        FROM orders
+        UNION ALL
+        SELECT o_orderpriority,
+               CAST(o_orderdate AS DATE)
+                   + CAST(o_orderkey % 30 + 1 AS INTEGER),
+               -1
+        FROM orders
+    ),
+    agg AS (SELECT prio, d, SUM(delta) AS delta FROM ev GROUP BY prio, d),
+    run AS (
+        SELECT prio, d,
+               SUM(delta) OVER (
+                   PARTITION BY prio ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        FROM agg
+    ),
+    pk AS (SELECT prio, d, running,
+                  MAX(running) OVER (PARTITION BY prio) AS peak
+           FROM run)
+    SELECT prio, CAST(MAX(running) AS BIGINT) AS peak_concurrent,
+           MIN(d) AS peak_date
+    FROM pk WHERE running = peak
+    GROUP BY prio
+    """,
+)
+def q_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-closure: sweep-line maximum interval overlap.
+
+    Peak number of concurrently-open orders per priority (an order is
+    open for (o_orderkey % 30 + 1) days — a deterministic synthetic
+    duration), plus the earliest date the peak is reached. The classic
+    sweep: every interval contributes a +1 event at its start and a -1
+    at its end; per-date deltas aggregate first (ONE shuffle over the
+    fact table), then a running sum walks the compressed date axis.
+
+    Scale shape: the window partition is the per-(priority, date) delta
+    table — bounded by the calendar (~2.5k dates/priority), not by the
+    fact cardinality — so the only full-data operation is the per-date
+    groupBy; everything after runs on a few thousand rows. All values
+    are exact integers; no FP anywhere.
+    """
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    dur = (F.col("o_orderkey") % 30 + 1).cast("int")
+    starts = o.select(
+        F.col("o_orderpriority").alias("prio"), d.alias("d"), F.lit(1).alias("delta")
+    )
+    ends = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.date_add(d, dur).alias("d"),
+        F.lit(-1).alias("delta"),
+    )
+    deltas = (
+        starts.unionByName(ends).groupBy("prio", "d").agg(F.sum("delta").alias("delta"))
+    )
+    w_run = (
+        Window.partitionBy("prio").orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = deltas.select(
+        "prio", "d", F.sum("delta").over(w_run).alias("running")
+    ).withColumn("peak", F.max("running").over(Window.partitionBy("prio")))
+    return (
+        run.where(F.col("running") == F.col("peak"))
+        .groupBy("prio")
+        .agg(
+            F.max("running").alias("peak_concurrent"),
+            F.min("d").alias("peak_date"),
+        )
+    )
+
+
+@register(
+    "q_dq_checks",
+    oracle="""
+    SELECT 'orders_pk_unique' AS check_name,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_custkey_null',
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_status_domain',
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_fk_orders', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    """,
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validation-closure: declarative data-quality expectation suite.
+
+    Five constraint checks -> one (check_name, violations) table:
+    primary-key uniqueness, null rate, domain membership, value range,
+    and referential integrity. The reference validates inputs
+    imperatively per record and aborts on the first bad file
+    (LASERInputValidator.java:29-211, counters + System.exit); here
+    each expectation is an aggregate over the full input and all of
+    them run in one job.
+
+    Plan shape: the three orders checks fuse into ONE scan (conditional
+    aggregates + stack unpivot), lineitem's range check is a second
+    scan, and the FK check is a broadcast/shuffled anti join — 3 jobs
+    total regardless of how many single-table expectations are added.
+    """
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    orders_checks = (
+        o.agg(
+            (F.count("*") - F.countDistinct("o_orderkey")).alias("pk"),
+            F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("nulls"),
+            F.sum(
+                F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+            ).alias("domain"),
+        )
+        .select(
+            F.expr(
+                "stack(3, 'orders_pk_unique', pk, 'orders_custkey_null', nulls,"
+                " 'orders_status_domain', domain) AS (check_name, violations)"
+            )
+        )
+        .select("check_name", F.col("violations").cast("bigint").alias("violations"))
+    )
+    qty = li.agg(
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("violations")
+    ).select(F.lit("lineitem_qty_range").alias("check_name"), "violations")
+    fk = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count("*").alias("violations"))
+        .select(F.lit("lineitem_fk_orders").alias("check_name"), "violations")
+    )
+    return orders_checks.unionByName(qty).unionByName(fk)

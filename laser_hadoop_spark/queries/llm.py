@@ -1081,3 +1081,56 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "scale", "max_err", "cos_fidelity",
         F.posexplode("q_vec").alias("pos", "q_val"),
     )
+
+
+@register(
+    "q_inverted_index",
+    oracle="""
+    WITH toks AS (
+        SELECT DISTINCT token, doc_id FROM (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+            FROM documents
+        )
+    ),
+    g AS (
+        SELECT token, COUNT(*) AS df,
+               STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                   AS postings
+        FROM toks GROUP BY token
+    )
+    SELECT token, df, postings FROM g WHERE df BETWEEN 5 AND 40
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-closure: inverted-index (posting-list) construction.
+
+    token -> document frequency + the sorted posting list of doc ids,
+    for mid-frequency tokens (5 <= df <= 40; head stopwords and
+    singleton hapaxes are the classic index prune). The search-index
+    build shape: explode -> distinct (token, doc) -> one groupBy. The
+    posting list is emitted as a CSV string because the driver
+    canonicalizer hashes scalar cells.
+
+    Scale: distinct + groupBy shuffle on the token hash; posting lists
+    are bounded above by the df cap, so no group outgrows memory —
+    uncapped index builds should instead chunk postings per (token,
+    bucket) the way operators/chunking.py batches rows.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("df"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .where(F.col("df").between(5, 40))
+    )

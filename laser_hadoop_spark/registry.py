@@ -97,6 +97,11 @@ _DRIVER_PRIORITY = [
     "q_time_rollup",
     "q_pagerank_exact",
     "q_bloom_semi_join",
+    "q_regression_stats",
+    "q_max_concurrent",
+    "q_inverted_index",
+    "q_dq_checks",
+    "q_hll_sketch",
     # -- 3. previously-green regression re-checks (r1 greens first:
     #    verified longest ago) ---------------------------------------
     "q_partial_final_agg",
@@ -127,9 +132,10 @@ _DRIVER_PRIORITY = [
     "q_histogram",
     "q_edit_distance_join",
     "q_recursive_cte",
-    # ^-- the driver's 50-entry window covers through q_unpivot
-    #     (16 overflow + 13 new + 21 re-checks); the re-checks past the
-    #     line are all r1-green, their verdicts stand
+    # ^-- the driver's 50-entry window covers through q_grouping_sets
+    #     (16 r2-overflow + 19 round-3 new + 15 re-checks); the
+    #     re-checks past the line are all r1/r2-green, their verdicts
+    #     stand in LEDGER.json
 ]
 
 
