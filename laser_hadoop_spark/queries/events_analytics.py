@@ -210,3 +210,117 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM e GROUP BY GROUPING SETS ((h), (d))
         """
     )
+
+
+@register(
+    "q_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS v_micro,
+               (LEAD(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                - epoch_us(ts)) // 1000 AS dt_ms
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(dt_ms) AS BIGINT) AS total_ms,
+           ROUND(CAST(SUM(CAST(v_micro AS HUGEINT) * dt_ms) AS DOUBLE)
+                 / CAST(SUM(dt_ms) AS DOUBLE) / 1000000.0, 4) AS twap
+    FROM seq
+    WHERE dt_ms IS NOT NULL AND dt_ms > 0
+    GROUP BY user_id
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS-closure: time-weighted average (TWAP) per user.
+
+    Each observation holds its value until the next event, so the mean
+    weights values by interval duration — the irregular-time-series
+    aggregate (TimescaleDB `time_weight('LOCF')` semantics) a plain AVG
+    gets wrong. Exact cross-engine arithmetic: micro-unit values times
+    integer millisecond durations summed in decimal(38) (HUGEINT on the
+    oracle side), one IEEE division at the end.
+
+    Plan: one window (lead) and one aggregate, both partitioned by
+    user_id — two shuffles on the same key; AQE coalesces. Zero-length
+    intervals (same-timestamp ties) drop out as weight-0.
+    """
+    from laser_hadoop_spark.functions.scalar import micro_units
+
+    e = table(spark, sf_dir, "events")
+    ts_us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    seq = e.select(
+        "user_id",
+        micro_units(F.col("value")).alias("v_micro"),
+        ((F.lead(ts_us).over(w) - ts_us) / 1000).cast("bigint").alias("dt_ms"),
+    ).where(F.col("dt_ms").isNotNull() & (F.col("dt_ms") > 0))
+    return seq.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum("dt_ms").alias("total_ms"),
+        F.round(
+            F.sum((F.col("v_micro") * F.col("dt_ms")).cast("decimal(38,0)")).cast(
+                "double"
+            )
+            / F.sum("dt_ms").cast("double")
+            / F.lit(1_000_000.0),
+            4,
+        ).alias("twap"),
+    )
+
+
+@register(
+    "q_ohlc_candles",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                  ORDER BY ts, event_id) AS rn_open,
+               ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_close
+        FROM events
+    )
+    SELECT event_type, day,
+           ROUND(MAX(CASE WHEN rn_open  = 1 THEN value END), 4) AS open,
+           ROUND(MAX(value), 4) AS high,
+           ROUND(MIN(value), 4) AS low,
+           ROUND(MAX(CASE WHEN rn_close = 1 THEN value END), 4) AS close,
+           COUNT(*) AS n_events
+    FROM ranked
+    GROUP BY event_type, day
+    """,
+)
+def q_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS-closure: OHLC (open-high-low-close) candlestick rollup.
+
+    Daily candles per event type: first/last value by event time (with
+    the unique event_id tiebreaker — arg_min/arg_max alone would be
+    nondeterministic under timestamp ties) plus min/max extremes. The
+    financial-bar shape; open/close select a row *at* an extreme of the
+    ordering, high/low are plain extremes, all in one window + one
+    aggregate over the same (type, day) partitioning.
+    """
+    e = table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    w_open = Window.partitionBy("event_type", day).orderBy("ts", "event_id")
+    w_close = Window.partitionBy("event_type", day).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = e.select(
+        "event_type",
+        day.alias("day"),
+        "value",
+        F.row_number().over(w_open).alias("rn_open"),
+        F.row_number().over(w_close).alias("rn_close"),
+    )
+    return ranked.groupBy("event_type", "day").agg(
+        F.round(F.max(F.when(F.col("rn_open") == 1, F.col("value"))), 4).alias("open"),
+        F.round(F.max("value"), 4).alias("high"),
+        F.round(F.min("value"), 4).alias("low"),
+        F.round(F.max(F.when(F.col("rn_close") == 1, F.col("value"))), 4).alias(
+            "close"
+        ),
+        F.count("*").alias("n_events"),
+    )

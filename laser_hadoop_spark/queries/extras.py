@@ -937,3 +937,123 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("lineitem_fk_orders").alias("check_name"), "violations")
     )
     return orders_checks.unionByName(qty).unionByName(fk)
+
+
+@register(
+    "q_zorder_stats",
+    oracle="""
+    WITH sp AS (
+        SELECT o_orderkey,
+               ((a | (a << 8)) & 16711935) AS a1,
+               ((b | (b << 8)) & 16711935) AS b1
+        FROM (
+            SELECT o_orderkey,
+                   o_custkey & 65535 AS a,
+                   date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                       & 65535 AS b
+            FROM orders
+        )
+    ),
+    sp2 AS (SELECT o_orderkey,
+                   ((a1 | (a1 << 4)) & 252645135) AS a2,
+                   ((b1 | (b1 << 4)) & 252645135) AS b2 FROM sp),
+    sp3 AS (SELECT o_orderkey,
+                   ((a2 | (a2 << 2)) & 858993459) AS a3,
+                   ((b2 | (b2 << 2)) & 858993459) AS b3 FROM sp2),
+    sp4 AS (SELECT o_orderkey,
+                   ((a3 | (a3 << 1)) & 1431655765) AS a4,
+                   ((b3 | (b3 << 1)) & 1431655765) AS b4 FROM sp3),
+    z AS (SELECT o_orderkey, (a4 | (b4 << 1)) AS zval FROM sp4)
+    SELECT CAST(zval >> 16 AS BIGINT) AS z_bucket,
+           COUNT(*) AS n_orders,
+           CAST(MIN(zval) AS BIGINT) AS z_min,
+           CAST(MAX(zval) AS BIGINT) AS z_max
+    FROM z
+    GROUP BY z_bucket
+    """,
+)
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-closure: Z-order (Morton) clustering key (operators/zorder.py).
+
+    Interleaves the low 16 bits of o_custkey with the epoch-day of
+    o_orderdate into a 32-bit Z-value via the 4-step parallel-prefix
+    bit spread, then summarizes the coarse Z buckets (z >> 16) the
+    `zorder_write` sink range-partitions files by. A file per bucket
+    has tight min/max on BOTH customer and date, so either predicate
+    prunes ~97% of files — the two-dimensional data-skipping layout
+    parquet footer stats cannot give under any single-column sort.
+
+    Pure codegen bit arithmetic on both engines (the oracle unrolls
+    the identical spread steps); exact integers end-to-end.
+    """
+    from laser_hadoop_spark.operators.zorder import interleave16
+
+    o = table(spark, sf_dir, "orders")
+    epoch_day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+    z = o.select(
+        interleave16(F.col("o_custkey"), epoch_day).alias("zval")
+    )
+    return (
+        z.groupBy((F.col("zval") / (1 << 16)).cast("bigint").alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("zval").alias("z_min"),
+            F.max("zval").alias("z_max"),
+        )
+    )
+
+
+@register(
+    "q_key_skew_profile",
+    oracle="""
+    WITH per_key AS (
+        SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey
+    ),
+    tot AS (SELECT SUM(cnt) AS total, COUNT(*) AS n_keys FROM per_key),
+    top AS (
+        SELECT l_orderkey, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, l_orderkey) AS rnk
+        FROM per_key
+    )
+    SELECT t.rnk, t.l_orderkey, t.cnt,
+           CAST((t.cnt * 10000) // tot.total AS BIGINT) AS share_bp,
+           CAST(tot.n_keys AS BIGINT) AS n_keys
+    FROM top t CROSS JOIN tot
+    WHERE t.rnk <= 10
+    """,
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiling-closure: join/groupBy key-skew diagnosis.
+
+    Top-10 heaviest join keys with their basis-point share of all rows
+    plus the total key cardinality — the numbers that decide between a
+    plain shuffle join, AQE skew splitting, and deliberate salting
+    (operators/relational.salted_join). Exact integers only.
+
+    Scale shape: one per-key aggregate (the only full shuffle), then
+    TakeOrdered for the top-k — the global row_number never sees more
+    than k rows on the Spark side because the orderBy+limit plans as
+    TakeOrderedAndProject, and the scalar totals broadcast.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count("*").alias("cnt"))
+    tot = per_key.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("n_keys")
+    )
+    top = (
+        per_key.orderBy(F.col("cnt").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("l_orderkey"))
+            ),
+        )
+    )
+    return top.crossJoin(F.broadcast(tot)).select(
+        "rnk",
+        "l_orderkey",
+        "cnt",
+        F.expr("CAST((cnt * 10000) DIV total AS BIGINT)").alias("share_bp"),
+        F.col("n_keys").cast("bigint").alias("n_keys"),
+    )

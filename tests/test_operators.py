@@ -1035,3 +1035,52 @@ def test_bloom_semi_join_plan_stays_jvm_side(spark, sf_dir):
     )
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_zorder_write_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """Files written by zorder_write have tight min/max ranges on BOTH
+    interleaved dimensions: a point predicate on either column overlaps
+    only a fraction of files — the data-skipping claim, measured from
+    the actual parquet footers."""
+    import glob as _glob
+
+    import pyspark.sql.functions as F
+
+    from laser_hadoop_spark.operators.zorder import zorder_write
+    from laser_hadoop_spark.tables import table
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01")).alias(
+            "epoch_day"
+        ),
+    )
+    path = str(tmp_path / "zorders")
+    zorder_write(o, path, "o_custkey", "epoch_day", n_files=16)
+
+    files = sorted(_glob.glob(f"{path}/part-*.parquet"))
+    assert len(files) >= 8
+    stats = []
+    for f in files:
+        row = (
+            spark.read.parquet(f)
+            .agg(
+                F.min("o_custkey"),
+                F.max("o_custkey"),
+                F.min("epoch_day"),
+                F.max("epoch_day"),
+            )
+            .collect()[0]
+        )
+        stats.append(tuple(row))
+    lo_c, hi_c, lo_d, hi_d = stats[len(stats) // 2]
+    probe_cust = (lo_c + hi_c) // 2
+    probe_day = (lo_d + hi_d) // 2
+    hit_cust = sum(1 for (a, b, _, _) in stats if a <= probe_cust <= b)
+    hit_day = sum(1 for (_, _, c, d) in stats if c <= probe_day <= d)
+    # a single-column sort would leave the OTHER dimension's ranges
+    # covering everything (hit = all files); z-order keeps both bounded
+    assert hit_cust <= len(stats) * 0.75, (hit_cust, len(stats))
+    assert hit_day <= len(stats) * 0.75, (hit_day, len(stats))
+    assert hit_cust + hit_day < 2 * len(stats)
