@@ -324,3 +324,75 @@ def q_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_events"),
     )
+
+
+@register(
+    "q_market_basket",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut),
+    s AS (SELECT event_type, COUNT(*) AS supp FROM ut GROUP BY event_type),
+    p AS (
+        SELECT a.event_type AS ante, b.event_type AS cons, COUNT(*) AS supp_ab
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.ante, p.cons, p.supp_ab,
+           sa.supp AS supp_a, sb.supp AS supp_b,
+           CAST(p.supp_ab * 10000 // sa.supp AS BIGINT) AS conf_bp,
+           CAST((CAST(p.supp_ab AS HUGEINT) * n.n_users * 1000000)
+                // (CAST(sa.supp AS HUGEINT) * sb.supp) AS BIGINT) AS lift_micro
+    FROM p
+    JOIN s sa ON sa.event_type = p.ante
+    JOIN s sb ON sb.event_type = p.cons
+    CROSS JOIN n
+    """,
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mining-closure: association rules (support / confidence / lift).
+
+    Pairwise co-occurrence of event types across users: for each
+    unordered type pair, the user support of both, the confidence of
+    ante=>cons in basis points, and the lift in micro-units — all exact
+    integer arithmetic (DIV), no FP. The classic market-basket shape:
+    distinct (user, item), a self-join keyed on user (pair blowup
+    bounded by items-per-user squared), and broadcast joins against the
+    tiny per-item support and global count relations.
+    """
+    e = table(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    n = ut.agg(F.count_distinct("user_id").alias("n_users"))
+    s = ut.groupBy("event_type").agg(F.count("*").alias("supp"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ante"), F.col("b.event_type").alias("cons")
+        )
+        .agg(F.count("*").alias("supp_ab"))
+    )
+    sa = s.select(F.col("event_type").alias("ante"), F.col("supp").alias("supp_a"))
+    sb = s.select(F.col("event_type").alias("cons"), F.col("supp").alias("supp_b"))
+    return (
+        p.join(F.broadcast(sa), "ante")
+        .join(F.broadcast(sb), "cons")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ante",
+            "cons",
+            "supp_ab",
+            "supp_a",
+            "supp_b",
+            F.expr("CAST((supp_ab * 10000) DIV supp_a AS BIGINT)").alias("conf_bp"),
+            F.expr(
+                "CAST((CAST(supp_ab AS DECIMAL(38,0)) * n_users * 1000000)"
+                " DIV (CAST(supp_a AS DECIMAL(38,0)) * supp_b) AS BIGINT)"
+            ).alias("lift_micro"),
+        )
+    )

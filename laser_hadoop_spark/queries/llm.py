@@ -14,7 +14,7 @@ MinHash-LSH path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from laser_hadoop_spark.operators.similarity import brute_force_pairs_grid
@@ -1134,3 +1134,76 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("df").between(5, 40))
     )
+
+
+@register(
+    "q_winnow_fingerprints",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i,
+               CAST(('0x' || substring(
+                   md5(arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]),
+                   1, 15)) AS BIGINT) AS h
+        FROM (
+            SELECT doc_id, arr,
+                   unnest(generate_series(1, len(arr) - 2)) AS i
+            FROM toks WHERE len(arr) >= 3
+        )
+    ),
+    wins AS (
+        SELECT doc_id, i,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+               COUNT(*) OVER (PARTITION BY doc_id) AS m
+        FROM grams
+    )
+    SELECT DISTINCT doc_id, fp FROM wins WHERE i <= m - 3
+    """,
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-closure: winnowing document fingerprints (MOSS algorithm).
+
+    Robust near-dup/plagiarism fingerprinting: hash every 3-gram, then
+    keep the MINIMUM hash of each sliding window of 4 — guarantees any
+    shared substring of >= 6 tokens contributes at least one identical
+    fingerprint to both documents, while storing only ~1/4 of the gram
+    hashes (the winnowing density bound). Candidate pairs then come
+    from an equi-join on fp, exactly like the shingle join in
+    operators/dedup.py — this query verifies the fingerprint extraction
+    itself.
+
+    Cross-engine exactness: grams hash via a 60-bit md5 prefix, the one
+    hash both engines spell identically (conv(substr(md5,1,15),16,10)
+    here, '0x'-cast in DuckDB) — xxhash64 keys elsewhere are
+    engine-internal, but winnowing SELECTS BY hash ORDER, so the hash
+    itself must agree. Plan: scan-local gram hashing (zip_with over
+    slice views, no per-gram string explode until posexplode), one
+    window per doc_id partition, one distinct.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    m3 = F.greatest(F.size(t) - 2, F.lit(0))
+    s0, s1, s2 = (F.slice(t, j + 1, m3) for j in range(3))
+    grams = F.zip_with(F.zip_with(s0, s1, lambda a, b: F.concat_ws(" ", a, b)),
+                       s2, lambda a, b: F.concat_ws(" ", a, b))
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"),
+    )
+    exploded = (
+        d.where(F.size(t) >= 3)
+        .select("doc_id", F.posexplode(hashes).alias("i0", "h"))
+        .select("doc_id", (F.col("i0") + 1).alias("i"), "h")
+    )
+    w_min = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
+    w_cnt = Window.partitionBy("doc_id")
+    wins = exploded.select(
+        "doc_id",
+        "i",
+        F.min("h").over(w_min).alias("fp"),
+        F.count("*").over(w_cnt).alias("m"),
+    )
+    return wins.where(F.col("i") <= F.col("m") - 3).select("doc_id", "fp").distinct()
