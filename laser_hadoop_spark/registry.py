@@ -138,7 +138,7 @@ _DRIVER_PRIORITY = [
     "q_histogram",
     "q_edit_distance_join",
     "q_recursive_cte",
-    # ^-- the driver's 50-entry window covers through q_large_join_multikey
+    # ^-- the driver's 50-entry window covers through q_outer_join
     #     (16 r2-overflow + 25 round-3 new + 9 re-checks); the
     #     re-checks past the line are all r1/r2-green, their verdicts
     #     stand in LEDGER.json
