@@ -43,6 +43,8 @@ HEADLINE = [
     # join; EXISTS+NOT EXISTS decorrelation over a derived relation)
     "q_product_profit",
     "q_waiting_suppliers",
+    # round 3: bitmap-pruned semi-join — the selective-lookup scale path
+    "q_bloom_semi_join",
 ]
 
 

@@ -39,13 +39,15 @@ def build_bloom(keys: DataFrame, key_col: str, *, n_bits: int = 1 << 20,
                 n_hashes: int = 5) -> DataFrame:
     """Aggregate a key column into a single-row Bloom bitmap.
 
-    Returns a 1-row DataFrame with one column ``bloom``: a
-    ``map<int, bigint>`` from 64-bit word index to word value. Sparse
-    by construction — only words with at least one set bit appear — so
-    a small dim side costs far less than ``n_bits/8`` bytes to
-    broadcast. The build is one narrow explode (k rows per key) plus
-    two aggregations (per-word ``bit_or``, then a global
-    ``map_from_entries``); nothing touches the driver.
+    Returns a 1-row DataFrame with one column ``bloom``: a DENSE
+    ``array<bigint>`` of ``n_bits/64`` words, so each probe is one O(1)
+    array index. Density matters: a ``map<int,bigint>`` bitmap probes
+    via Spark's GetMapValue, which LINEARLY SCANS the map per lookup —
+    measured ~20x slower end-to-end at sf0.1. The densification here is
+    a broadcast left-join of ``spark.range(n_words)`` onto the sparse
+    per-word ``bit_or`` aggregate — every step stays in codegen, and
+    nothing touches the driver; the array broadcasts at ``n_bits/8``
+    bytes (128 KiB at the default 2^20 bits).
     """
     if n_bits % 64:
         raise ValueError("n_bits must be a multiple of 64")
@@ -55,38 +57,44 @@ def build_bloom(keys: DataFrame, key_col: str, *, n_bits: int = 1 << 20,
             for seed in range(n_hashes)
         ]
     )
-    return (
+    sparse = (
         keys.select(F.explode(positions).alias("pos"))
         .select(
-            (F.col("pos") / 64).cast("int").alias("word_idx"),
+            (F.col("pos") / 64).cast("long").alias("word_idx"),
             F.call_function(
                 "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
             ).alias("mask"),
         )
         .groupBy("word_idx")
         .agg(F.bit_or("mask").alias("word"))
+    )
+    dense = (
+        keys.sparkSession.range(n_bits // 64)
+        .join(F.broadcast(sparse), F.col("id") == F.col("word_idx"), "left")
+        .select("id", F.coalesce("word", F.lit(0)).alias("word"))
         .groupBy()
         .agg(
-            F.map_from_entries(
-                F.sort_array(F.collect_list(F.struct("word_idx", "word")))
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("id", "word"))),
+                lambda s: s["word"],
             ).alias("bloom")
         )
     )
+    return dense
 
 
 def might_contain(key: Column, bloom: Column, *, n_bits: int = 1 << 20,
                   n_hashes: int = 5) -> Column:
     """Membership-test expression against a ``build_bloom`` bitmap.
 
-    Pure codegen: k (hash, map-lookup, bitwise-and) probes AND-ed
-    together. A missing word (never set during build) is treated as
-    all-zero. No false negatives; false positives are removed by the
-    caller's residual join.
+    Pure codegen: k (hash, O(1) array-index, bitwise-and) probes AND-ed
+    together against the dense word array. No false negatives; false
+    positives are removed by the caller's residual join.
     """
     tests = []
     for seed in range(n_hashes):
         pos = F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(n_bits))
-        word = F.element_at(bloom, (pos / 64).cast("int"))
+        word = bloom.getItem((pos / 64).cast("int"))  # 0-based array index
         bit = F.call_function(
             "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
         )
