@@ -452,3 +452,40 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return gated.unionByName(merged)
+
+
+@register(
+    "q_stat_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(median(l_quantity), 4) AS med_qty,
+           CAST(bit_and(l_linenumber) AS INTEGER) AS band,
+           CAST(bit_or(l_linenumber) AS INTEGER) AS bor,
+           CAST(bit_xor(l_linenumber) AS INTEGER) AS bxor,
+           bool_and(l_quantity >= 1) AS all_positive,
+           bool_or(l_quantity > 49) AS any_near_max,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_stat_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-closure: median / bitwise / boolean aggregate surface.
+
+    Exact interpolated median (both engines interpolate even-count
+    groups identically — proven by the shared quantile_cont convention
+    of q_percentile), bit_and/bit_or/bit_xor over the int line numbers,
+    and bool_and/bool_or predicates. All exact values; median is the
+    only sort-based aggregate, and its scalable sibling is
+    q_approx_percentile's mergeable sketch.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+        F.bit_and("l_linenumber").alias("band"),
+        F.bit_or("l_linenumber").alias("bor"),
+        F.bit_xor("l_linenumber").alias("bxor"),
+        F.bool_and(F.col("l_quantity") >= 1).alias("all_positive"),
+        F.bool_or(F.col("l_quantity") > 49).alias("any_near_max"),
+        F.count("*").alias("n"),
+    )

@@ -201,3 +201,46 @@ def write_orc(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    *,
+    target_mb: int = 128,
+    sort_within: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~target_mb-sized files.
+
+    The small-file problem: a streaming sink or over-parallel writer
+    leaves thousands of KB-scale files, and at 100 TB the NameNode/
+    listing cost plus per-file open overhead dominates scans. Compaction
+    = read, repartition to ceil(bytes / target), optionally re-sort
+    within partitions (to preserve a clustering like zorder_write's),
+    write. The file count comes from the actual on-disk byte size (via
+    the source's own file statuses), not a guess — no driver data
+    round-trip, just metadata.
+
+    Returns the number of output partitions chosen. The reference's
+    chunked-gzip sink (TRACEWriter.java batching) is the row-count
+    analogue; this is the byte-oriented engine-ops form.
+    """
+    import math
+    import os
+
+    total_bytes = 0
+    for root, _dirs, files in os.walk(src_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total_bytes += os.path.getsize(os.path.join(root, f))
+    n_parts = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_path)
+    if sort_within:
+        df = df.repartitionByRange(n_parts, *sort_within).sortWithinPartitions(
+            *sort_within
+        )
+    else:
+        df = df.repartition(n_parts)
+    df.write.mode("overwrite").parquet(dst_path)
+    return n_parts

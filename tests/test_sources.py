@@ -217,3 +217,25 @@ def test_orc_roundtrip_pushdown_and_partitioning(spark, sf_dir, tmp_path):
     # partition pruning: only the o_orderstatus=F directory is read
     n_f = src.where(F.col("o_orderstatus") == "F").count()
     assert pruned.count() == n_f
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    """Compaction folds an over-fragmented directory into byte-sized
+    output files, preserving rows and (optionally) sort clustering."""
+    import glob
+
+    from laser_hadoop_spark.sources.sinks import compact_parquet
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    spark.range(20000).selectExpr("id", "id % 97 AS k").repartition(
+        64
+    ).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 64
+
+    n = compact_parquet(spark, src, dst, target_mb=1, sort_within=["k", "id"])
+    out_files = glob.glob(f"{dst}/part-*.parquet")
+    assert len(out_files) == n <= 4
+    got = spark.read.parquet(dst)
+    assert got.count() == 20000
+    assert got.selectExpr("sum(id) s").collect()[0]["s"] == sum(range(20000))
