@@ -63,6 +63,13 @@ def main() -> None:
         # surfaced in the JSON: a failed build means q_bucketed_fact_join
         # rebuilds inside the timed loop and its number is not comparable
         warehouse_error = f"{type(exc).__name__}: {exc}"
+    # One untimed warmup pass: JIT-compiles the hot codegen/shuffle paths
+    # so per-query numbers don't depend on what ran earlier in the JVM.
+    # (Measured: q_broadcast_inner_join reports 1.2s in a cold JVM vs a
+    # stable 0.85s warm — rounds where ensure_bucketed_facts was a no-op
+    # looked like regressions purely from losing its warmup effect.)
+    for name in HEADLINE:
+        specs[name].fn(spark, sf_dir).collect()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = specs[name].fn
