@@ -355,17 +355,22 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pairwise co-occurrence of event types across users: for each
     unordered type pair, the user support of both, the confidence of
     ante=>cons in basis points, and the lift in micro-units — all exact
-    integer arithmetic (DIV), no FP. The classic market-basket shape:
-    distinct (user, item), a self-join keyed on user (pair blowup
-    bounded by items-per-user squared), and broadcast joins against the
-    tiny per-item support and global count relations.
+    integer arithmetic (DIV), no FP.
+
+    Plan discipline: ONE distinct over (user, item) feeds everything.
+    Per-item supports attach as a count window over the item partition
+    and ride through the user-keyed self-join (min() in the pair
+    aggregate recovers them), instead of re-aggregating — and
+    re-shuffling — the distinct relation once per support table; the
+    global user count is the only single-partition stage (one long).
     """
     e = table(spark, sf_dir, "events")
     ut = e.select("user_id", "event_type").distinct()
     n = ut.agg(F.count_distinct("user_id").alias("n_users"))
-    s = ut.groupBy("event_type").agg(F.count("*").alias("supp"))
-    a = ut.alias("a")
-    b = ut.alias("b")
+    w_item = Window.partitionBy("event_type")
+    uts = ut.withColumn("supp", F.count("*").over(w_item))
+    a = uts.alias("a")
+    b = uts.alias("b")
     p = (
         a.join(
             b,
@@ -375,24 +380,21 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.event_type").alias("ante"), F.col("b.event_type").alias("cons")
         )
-        .agg(F.count("*").alias("supp_ab"))
-    )
-    sa = s.select(F.col("event_type").alias("ante"), F.col("supp").alias("supp_a"))
-    sb = s.select(F.col("event_type").alias("cons"), F.col("supp").alias("supp_b"))
-    return (
-        p.join(F.broadcast(sa), "ante")
-        .join(F.broadcast(sb), "cons")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "ante",
-            "cons",
-            "supp_ab",
-            "supp_a",
-            "supp_b",
-            F.expr("CAST((supp_ab * 10000) DIV supp_a AS BIGINT)").alias("conf_bp"),
-            F.expr(
-                "CAST((CAST(supp_ab AS DECIMAL(38,0)) * n_users * 1000000)"
-                " DIV (CAST(supp_a AS DECIMAL(38,0)) * supp_b) AS BIGINT)"
-            ).alias("lift_micro"),
+        .agg(
+            F.count("*").alias("supp_ab"),
+            F.min("a.supp").alias("supp_a"),
+            F.min("b.supp").alias("supp_b"),
         )
+    )
+    return p.crossJoin(F.broadcast(n)).select(
+        "ante",
+        "cons",
+        "supp_ab",
+        "supp_a",
+        "supp_b",
+        F.expr("CAST((supp_ab * 10000) DIV supp_a AS BIGINT)").alias("conf_bp"),
+        F.expr(
+            "CAST((CAST(supp_ab AS DECIMAL(38,0)) * n_users * 1000000)"
+            " DIV (CAST(supp_a AS DECIMAL(38,0)) * supp_b) AS BIGINT)"
+        ).alias("lift_micro"),
     )

@@ -244,3 +244,25 @@ def test_partsupp_tpch_shapes_stay_jvm_side(spark, sf_dir):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
         assert "BroadcastHashJoin" in plan, name
         assert "InSubquery" not in plan, name
+
+
+def test_round3_queries_stay_jvm_side_and_shuffle_bounded(spark, sf_dir):
+    """Round-3 additions: no Python nodes anywhere; single-pass
+    aggregation families plan exactly one shuffle; the sweep-line and
+    basket shapes stay within their declared exchange budget."""
+    budgets = {
+        "q_regression_stats": 1,
+        "q_zorder_stats": 1,
+        "q_winnow_fingerprints": 1,   # posexplode+window+distinct share doc_id
+        "q_time_weighted_avg": 1,     # lead window + agg share user_id
+        "q_stat_aggs": 1,
+        "q_max_concurrent": 2,        # per-date deltas, then per-prio windows
+        "q_market_basket": 6,         # one distinct feeds supports AND pairs
+        "q_bloom_semi_join": 4,       # bitmap build + residual semi-join
+    }
+    for name, budget in budgets.items():
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        got = _n_shuffles(plan)
+        assert got <= budget, (name, got, budget)
