@@ -398,3 +398,72 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (CAST(supp_a AS DECIMAL(38,0)) * supp_b) AS BIGINT)"
         ).alias("lift_micro"),
     )
+
+
+@register(
+    "q_attribution",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, value,
+               FIRST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                                THEN event_type END IGNORE NULLS)
+                   OVER w AS first_touch,
+               LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                               THEN event_type END IGNORE NULLS)
+                   OVER w AS last_touch
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    conv AS (SELECT * FROM seq WHERE event_type = 'purchase')
+    SELECT 'first_touch' AS model, COALESCE(first_touch, 'none') AS touch,
+           COUNT(*) AS n_conversions,
+           CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_micro
+    FROM conv GROUP BY 2
+    UNION ALL
+    SELECT 'last_touch', COALESCE(last_touch, 'none'), COUNT(*),
+           CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+    FROM conv GROUP BY 2
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mining-closure: first-touch / last-touch conversion attribution.
+
+    Every purchase credits the user's earliest (first-touch) and most
+    recent (last-touch) preceding marketing touch (click/view), via
+    first/last IGNORE NULLS over a [unbounded, -1] row frame — the
+    running-state-per-user shape that in the reference would be an
+    imperative per-record scan. Purchases with no preceding touch land
+    in 'none'. Revenue sums in exact micro-units; one user_id window +
+    one small aggregate.
+    """
+    from laser_hadoop_spark.functions.scalar import micro_units
+
+    e = table(spark, sf_dir, "events")
+    touch = F.when(F.col("event_type").isin("click", "view"), F.col("event_type"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = e.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+    )
+    conv = seq.where(F.col("event_type") == "purchase")
+
+    def roll(model: str, col: str) -> DataFrame:
+        return conv.groupBy(
+            F.coalesce(F.col(col), F.lit("none")).alias("touch")
+        ).agg(
+            F.count("*").alias("n_conversions"),
+            F.sum(micro_units(F.col("value"))).alias("value_micro"),
+        ).select(F.lit(model).alias("model"), "touch", "n_conversions", "value_micro")
+
+    return roll("first_touch", "first_touch").unionByName(
+        roll("last_touch", "last_touch")
+    )

@@ -1057,3 +1057,42 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((cnt * 10000) DIV total AS BIGINT)").alias("share_bp"),
         F.col("n_keys").cast("bigint").alias("n_keys"),
     )
+
+
+_TRIANGLE_SQL = """
+    WITH s AS (SELECT s_suppkey AS node FROM supplier),
+    cnt AS (SELECT COUNT(*) AS n FROM s),
+    raw AS (
+        SELECT node AS src, (node * 7 + 3) % n AS dst FROM s CROSS JOIN cnt
+        UNION ALL
+        SELECT node, (node * 13 + 5) % n FROM s CROSS JOIN cnt
+    ),
+    e AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM raw WHERE src <> dst
+    )
+    SELECT COUNT(*) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+@register("q_triangle_count", oracle=_TRIANGLE_SQL)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-closure: triangle counting by ordered-triple enumeration.
+
+    Over the same deterministic supplier graph as q_pagerank_exact
+    (u -> (7u+3)%n, (13u+5)%n): canonicalize to a < b undirected edges,
+    then count paths a<b<c closed by an (a, c) edge — each triangle
+    enumerated exactly once, the standard two-join SQL formulation.
+
+    Scale shape: both joins are equi-joins on a single node key; the
+    a<b orientation is the degree-ordering trick's cheap cousin — it
+    halves the edge list and bounds each join's fan-out by the
+    out-neighborhood of the lower endpoint. Production-scale graphs
+    would orient by (degree, id) instead to cap hub fan-out; same plan,
+    different ordering key.
+    """
+    register_views(spark, sf_dir, names=("supplier",))
+    return spark.sql(_TRIANGLE_SQL)

@@ -109,6 +109,8 @@ _DRIVER_PRIORITY = [
     "q_winnow_fingerprints",
     "q_market_basket",
     "q_stat_aggs",
+    "q_attribution",
+    "q_triangle_count",
     # -- 3. previously-green regression re-checks (r1 greens first:
     #    verified longest ago) ---------------------------------------
     "q_partial_final_agg",
@@ -139,8 +141,8 @@ _DRIVER_PRIORITY = [
     "q_histogram",
     "q_edit_distance_join",
     "q_recursive_cte",
-    # ^-- the driver's 50-entry window covers through q_large_join_multikey
-    #     (16 r2-overflow + 26 round-3 new + 8 re-checks); the
+    # ^-- the driver's 50-entry window covers through q_anti_join
+    #     (16 r2-overflow + 28 round-3 new + 6 re-checks); the
     #     re-checks past the line are all r1/r2-green, their verdicts
     #     stand in LEDGER.json
 ]
