@@ -27,6 +27,10 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Runtime (injected) bloom filters: when one join side is selective,
+    # Catalyst builds a bloom from it and prunes the other side's scan —
+    # the automatic sibling of operators/bloom.py's explicit form.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # Arrow batches for all pandas UDF / toPandas / createDataFrame paths.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Deterministic timestamps vs the DuckDB oracle.

@@ -1084,3 +1084,27 @@ def test_zorder_write_prunes_both_dimensions(spark, sf_dir, tmp_path):
     assert hit_cust <= len(stats) * 0.75, (hit_cust, len(stats))
     assert hit_day <= len(stats) * 0.75, (hit_day, len(stats))
     assert hit_cust + hit_day < 2 * len(stats)
+
+
+def test_morton_interleave_is_bijective_on_16_bits(spark):
+    """spread16/interleave16 must be injective over the full 16-bit
+    domain of both coordinates — any collision would silently merge
+    distinct (a, b) cells into one Z location and break file pruning."""
+    import pyspark.sql.functions as F
+
+    from laser_hadoop_spark.operators.zorder import interleave16, spread16
+
+    # all 2^16 values of one coordinate: spread is injective and the
+    # odd (b) lane never collides with the even (a) lane
+    d = spark.range(1 << 16)
+    n = d.select(spread16(F.col("id")).alias("s")).distinct().count()
+    assert n == 1 << 16
+    # dense 256x256 grid: interleave is injective and fills [0, 2^16)
+    grid = spark.range(1 << 16).select(
+        (F.col("id") % 256).alias("a"), (F.col("id") / 256).cast("long").alias("b")
+    )
+    z = grid.select(interleave16(F.col("a"), F.col("b")).alias("z"))
+    stats = z.agg(
+        F.count_distinct("z").alias("n"), F.min("z").alias("lo"), F.max("z").alias("hi")
+    ).collect()[0]
+    assert (stats["n"], stats["lo"], stats["hi"]) == (1 << 16, 0, (1 << 16) - 1)
