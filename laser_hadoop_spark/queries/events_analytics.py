@@ -467,3 +467,161 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roll("first_touch", "first_touch").unionByName(
         roll("last_touch", "last_touch")
     )
+
+
+@register(
+    "q_resample_linear",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS t_us,
+               CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS v_micro,
+               event_id
+        FROM events
+    ),
+    bounds AS (
+        SELECT user_id,
+               ((MIN(t_us) + 3599999999) // 3600000000) * 3600000000 AS g_lo,
+               (MAX(t_us) // 3600000000) * 3600000000 AS g_hi
+        FROM ev GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(g_lo, g_hi, 3600000000)) AS g_us
+        FROM bounds WHERE g_lo <= g_hi
+    ),
+    merged AS (
+        SELECT user_id, t_us, v_micro, 0 AS is_grid, event_id FROM ev
+        UNION ALL
+        SELECT user_id, g_us, NULL, 1, NULL FROM grid
+    ),
+    walked AS (
+        SELECT user_id, t_us, is_grid,
+               LAST_VALUE(v_micro IGNORE NULLS) OVER w_fwd AS v0,
+               LAST_VALUE(CASE WHEN is_grid = 0 THEN t_us END IGNORE NULLS)
+                   OVER w_fwd AS t0,
+               FIRST_VALUE(v_micro IGNORE NULLS) OVER w_bwd AS v1,
+               FIRST_VALUE(CASE WHEN is_grid = 0 THEN t_us END IGNORE NULLS)
+                   OVER w_bwd AS t1
+        FROM merged
+        WINDOW
+          w_fwd AS (PARTITION BY user_id
+                    ORDER BY t_us, is_grid, event_id NULLS FIRST
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          w_bwd AS (PARTITION BY user_id
+                    ORDER BY t_us, is_grid, event_id NULLS FIRST
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    interp AS (
+        SELECT user_id, t_us,
+               v0 + CASE WHEN (t1 - t0) // 1000 <= 0 THEN 0
+                    ELSE ((v1 - v0) * ((t_us - t0) // 1000))
+                         // ((t1 - t0) // 1000) END AS v_interp
+        FROM walked
+        WHERE is_grid = 1 AND v0 IS NOT NULL AND v1 IS NOT NULL
+    )
+    SELECT user_id, t_us AS grid_us,
+           CAST((v_interp + 50) // 100 AS DOUBLE) / 10000.0 AS value_interp
+    FROM interp
+    """,
+)
+def q_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS-closure: resample irregular series onto an hourly grid with
+    linear interpolation.
+
+    The regularization step before any fixed-step model: per user, grid
+    points between the first and last observation get v0 + (v1-v0) *
+    (g-t0)/(t1-t0) from the bracketing events. Implemented without an
+    interval join: grid rows UNION into the event stream and one
+    forward + one backward IGNORE-NULLS window walk attaches the
+    bracketing (t0,v0,t1,v1) — the gap-fill trick (X23) extended to
+    two-sided brackets. Exact integer arithmetic: micro-unit values,
+    millisecond deltas, integer division — identical on both engines
+    (grid timestamps are exact hour multiples in epoch micros).
+
+    Scale shape: the grid is generated per user from a per-user min/max
+    aggregate (sequence explode, bounded by span/step), and both
+    windows share the user_id partitioning — one shuffle for the
+    windows plus the small bounds aggregate.
+    """
+    e = table(spark, sf_dir, "events")
+    from laser_hadoop_spark.functions.scalar import micro_units
+
+    HOUR = 3_600_000_000
+    ev = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        micro_units(F.col("value")).alias("v_micro"),
+        "event_id",
+    )
+    bounds = ev.groupBy("user_id").agg(
+        (((F.min("t_us") + HOUR - 1) / HOUR).cast("bigint") * HOUR).alias("g_lo"),
+        ((F.max("t_us") / HOUR).cast("bigint") * HOUR).alias("g_hi"),
+    )
+    grid = bounds.where(F.col("g_lo") <= F.col("g_hi")).select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("g_lo"), F.col("g_hi"), F.lit(HOUR))
+        ).alias("t_us"),
+    )
+    merged = ev.select(
+        "user_id", "t_us", "v_micro", F.lit(0).alias("is_grid"), "event_id"
+    ).unionByName(
+        grid.select(
+            "user_id",
+            "t_us",
+            F.lit(None).cast("bigint").alias("v_micro"),
+            F.lit(1).alias("is_grid"),
+            F.lit(None).cast("bigint").alias("event_id"),
+        )
+    )
+    order = [F.col("t_us"), F.col("is_grid"), F.col("event_id").asc_nulls_first()]
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_bwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    ev_t = F.when(F.col("is_grid") == 0, F.col("t_us"))
+    walked = merged.select(
+        "user_id",
+        "t_us",
+        "is_grid",
+        F.last("v_micro", ignorenulls=True).over(w_fwd).alias("v0"),
+        F.last(ev_t, ignorenulls=True).over(w_fwd).alias("t0"),
+        F.first("v_micro", ignorenulls=True).over(w_bwd).alias("v1"),
+        F.first(ev_t, ignorenulls=True).over(w_bwd).alias("t1"),
+    )
+    # Spark's DIV and DuckDB's // both truncate toward zero, so the
+    # integer recurrence is identical. The final 4-decimal rounding
+    # happens IN INTEGER SPACE ((v + 50) DIV 100, values are
+    # non-negative) before one exact double division — ROUND(double, 4)
+    # straddles .xxxx5 boundaries differently per engine (Spark rounds
+    # the shortest decimal repr, DuckDB the binary value) and was
+    # measured flipping the 4th decimal on this query.
+    interp = F.col("v0") + F.when(
+        F.expr("(t1 - t0) DIV 1000") <= 0, F.lit(0)
+    ).otherwise(
+        F.expr("((v1 - v0) * ((t_us - t0) DIV 1000)) DIV ((t1 - t0) DIV 1000)")
+    )
+    return (
+        walked.where(
+            (F.col("is_grid") == 1)
+            & F.col("v0").isNotNull()
+            & F.col("v1").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.col("t_us").alias("grid_us"),
+            interp.alias("v_interp"),
+        )
+        .select(
+            "user_id",
+            "grid_us",
+            (
+                F.expr("(v_interp + 50) DIV 100").cast("double") / F.lit(10_000.0)
+            ).alias("value_interp"),
+        )
+    )

@@ -111,6 +111,7 @@ _DRIVER_PRIORITY = [
     "q_stat_aggs",
     "q_attribution",
     "q_triangle_count",
+    "q_resample_linear",
     # -- 3. previously-green regression re-checks (r1 greens first:
     #    verified longest ago) ---------------------------------------
     "q_partial_final_agg",
@@ -141,8 +142,8 @@ _DRIVER_PRIORITY = [
     "q_histogram",
     "q_edit_distance_join",
     "q_recursive_cte",
-    # ^-- the driver's 50-entry window covers through q_anti_join
-    #     (16 r2-overflow + 28 round-3 new + 6 re-checks); the
+    # ^-- the driver's 50-entry window covers through q_semi_join
+    #     (16 r2-overflow + 29 round-3 new + 5 re-checks); the
     #     re-checks past the line are all r1/r2-green, their verdicts
     #     stand in LEDGER.json
 ]
