@@ -259,6 +259,7 @@ def test_round3_queries_stay_jvm_side_and_shuffle_bounded(spark, sf_dir):
         "q_max_concurrent": 2,        # per-date deltas, then per-prio windows
         "q_market_basket": 6,         # one distinct feeds supports AND pairs
         "q_bloom_semi_join": 4,       # bitmap build + residual semi-join
+        "q_resample_linear": 2,       # bounds agg + shared user_id windows
     }
     for name, budget in budgets.items():
         plan = _plan(registry.get(name).fn(spark, sf_dir))
