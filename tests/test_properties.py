@@ -105,14 +105,20 @@ def test_token_chunk_windows_cover_every_token(n_tokens, size, stride):
 @given(st.lists(money, min_size=1, max_size=30))
 @settings(max_examples=20, deadline=None)
 def test_money_sum_spark_equals_decimal_reference(spark, values):
-    """money_sum on Spark == exact Decimal sum rounded half-even at 4,
-    independent of partitioning/order (hypothesis varies both values
-    and implicit partition layout via list size)."""
+    """money_sum on Spark == exact Decimal sum rounded HALF_UP (away
+    from zero on ties) at 4 decimals, independent of partitioning/order
+    (hypothesis varies both values and implicit partition layout via
+    list size). HALF_UP is the tie rule BOTH engines apply (Spark
+    round() = BigDecimal HALF_UP; DuckDB ROUND = half away from zero) —
+    quantize's default ROUND_HALF_EVEN is the wrong reference and
+    flagged exact .xxxx5 sums like 0.06445 as failures."""
+    import decimal
+
     from laser_hadoop_spark.functions.scalar import money_sum
 
     df = spark.createDataFrame([(float(v),) for v in values], "x double")
     got = df.agg(money_sum(F.col("x")).alias("s")).first().s
     expected = float(
-        (sum(values)).quantize(Decimal("0.0001"))
+        sum(values).quantize(Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP)
     )
     assert got == expected, (values, got, expected)
