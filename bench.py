@@ -45,6 +45,9 @@ HEADLINE = [
     "q_waiting_suppliers",
     # round 3: bitmap-pruned semi-join — the selective-lookup scale path
     "q_bloom_semi_join",
+    # round 3: winnowing fingerprint extraction — the hot document-
+    # fingerprinting kernel (scan-local gram hashing + per-doc window)
+    "q_winnow_fingerprints",
 ]
 
 
