@@ -1096,3 +1096,68 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir, names=("supplier",))
     return spark.sql(_TRIANGLE_SQL)
+
+
+def _kmeans_sql(n_iters: int, intdiv: str) -> str:
+    """Shared exactly-verified k-means SQL, parameterized on the integer
+    division operator ('div' Spark, '//' DuckDB — both truncate toward
+    zero, so the centroid-update recurrence is identical). Points and
+    centroids live in exact centi-unit integers; assignment compares
+    exact squared distances with a (dist, centroid) tiebreak; updates
+    are integer means. Same unrolled-CTE pattern as _pagerank_sql."""
+    d = intdiv
+    ctes = [
+        """pts AS (
+            SELECT c_custkey AS pid,
+                   CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS x,
+                   (c_custkey * 37) % 100000 AS y
+            FROM customer
+        )""",
+        "c0 AS (SELECT pid AS cid, x AS cx, y AS cy FROM pts WHERE pid < 4)",
+    ]
+    for k in range(1, n_iters + 1):
+        ctes.append(f"""a{k} AS (
+            SELECT pid, x, y, cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY pid
+                       ORDER BY (x - cx) * (x - cx) + (y - cy) * (y - cy), cid
+                   ) AS rn
+            FROM pts CROSS JOIN c{k - 1}
+        )""")
+        ctes.append(f"""c{k} AS (
+            SELECT cid,
+                   CAST(SUM(x) {d} COUNT(*) AS BIGINT) AS cx,
+                   CAST(SUM(y) {d} COUNT(*) AS BIGINT) AS cy
+            FROM a{k} WHERE rn = 1 GROUP BY cid
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""" SELECT a.cid, c.cx, c.cy, COUNT(*) AS n_points
+           FROM a{n_iters} a JOIN c{n_iters} c ON c.cid = a.cid
+           WHERE a.rn = 1
+           GROUP BY a.cid, c.cx, c.cy"""
+    )
+
+
+@register("q_kmeans_exact", oracle=_kmeans_sql(3, "//"))
+def q_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X68: exactly-verified iterative k-means (3 unrolled Lloyd steps).
+
+    2-D customer points in exact centi-unit integers, k=4 centroids
+    seeded from the first four customers. Assignment = exact bigint
+    squared distances with a (distance, centroid) tiebreak; update =
+    integer mean (both engines' integer division truncates toward
+    zero). Every iteration is one broadcast cross join (k rows) + one
+    window + one aggregate — and because the whole recurrence is
+    integer, the driver hash-checks the ITERATIVE LOOP itself, the same
+    trick as q_pagerank_exact/q_dedup_clusters extended to an ML
+    training step (float k-means can only ever be rows-checked).
+
+    Scale shape: k centroids broadcast to every task per round; the
+    per-point window is partitioned by point id over k rows (argmin),
+    and the update aggregate shuffles k groups. The float/MLlib path at
+    real scale is pyspark.ml KMeans; this operator is the verification
+    form.
+    """
+    register_views(spark, sf_dir, names=("customer",))
+    return spark.sql(_kmeans_sql(3, "div"))
