@@ -12,7 +12,7 @@ Everything except the MinHashLSH model is pure column expressions.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SIMHASH_BITS = 32
@@ -403,5 +403,89 @@ def line_dedup(
             "n_lines",
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
             F.coalesce("new_text", F.lit("")).alias("new_text"),
+        )
+    )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_bp: int = 7000,
+) -> DataFrame:
+    """Token-set Jaccard pairs >= threshold via PREFIX FILTERING (PPJoin
+    family) — candidates from the rarest few tokens only.
+
+    The shingle equi-join (ngram_jaccard_pairs) generates a candidate
+    per SHARED token; prefix filtering generates one only when two docs
+    share a token within their (|d| - ceil(t|d|) + 1)-token PREFIX
+    under a global rarity order (ascending document frequency, token as
+    tiebreak). The prefix-filtering principle guarantees no false
+    negatives: two sets with Jaccard >= t must overlap inside those
+    prefixes. Common tokens — which create the quadratic candidate
+    blowups — are exactly the ones prefixes exclude.
+
+    Everything is exact integer arithmetic: prefix length uses
+    ceil(t*n) = (t_bp*n + 9999) DIV 10000, and the final verify keeps
+    pairs with overlap * 10000 >= t_bp * (|a| + |b| - overlap), emitted
+    as jaccard_bp (basis points, truncating division).
+
+    Scale: one distinct + one df aggregate + one per-doc rank window,
+    then an equi-join on the (rare) prefix tokens — candidate count is
+    bounded by the square of each RARE token's df, not the corpus's
+    stopword df. The verify join touches only candidate pairs.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).distinct()
+    sizes = tok.groupBy("doc").agg(F.count("*").alias("n"))
+    dfreq = tok.groupBy("token").agg(F.count("*").alias("df"))
+    w_rank = Window.partitionBy("doc").orderBy("df", "token")
+    ranked = (
+        tok.join(dfreq, "token")
+        .withColumn("rank", F.row_number().over(w_rank))
+        .join(sizes, "doc")
+    )
+    prefix = ranked.where(
+        F.col("rank")
+        <= F.col("n") - F.expr(f"({threshold_bp} * n + 9999) DIV 10000") + 1
+    ).select("doc", "token")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("da"), F.col("b.doc").alias("db"))
+        .distinct()
+    )
+    overlap = (
+        cand.join(tok.alias("ta"), F.col("da") == F.col("ta.doc"))
+        .join(
+            tok.alias("tb"),
+            (F.col("db") == F.col("tb.doc"))
+            & (F.col("ta.token") == F.col("tb.token")),
+        )
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("overlap"))
+    )
+    sa = sizes.select(F.col("doc").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc").alias("db"), F.col("n").alias("nb"))
+    return (
+        overlap.join(sa, "da")
+        .join(sb, "db")
+        .where(
+            F.col("overlap") * 10000
+            >= threshold_bp * (F.col("na") + F.col("nb") - F.col("overlap"))
+        )
+        .select(
+            "da",
+            "db",
+            F.expr(
+                "CAST(overlap * 10000 DIV (na + nb - overlap) AS BIGINT)"
+            ).alias("jaccard_bp"),
         )
     )

@@ -1207,3 +1207,44 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w_cnt).alias("m"),
     )
     return wins.where(F.col("i") <= F.col("m") - 3).select("doc_id", "fp").distinct()
+
+
+@register(
+    "q_prefix_filter_pairs",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id AS doc, token FROM (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+            FROM documents
+        )
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM tok GROUP BY doc),
+    pairs AS (
+        SELECT a.doc AS da, b.doc AS db, COUNT(*) AS overlap
+        FROM tok a JOIN tok b
+          ON a.token = b.token AND a.doc < b.doc
+        GROUP BY 1, 2
+    )
+    SELECT da, db,
+           CAST(overlap * 10000 // (sa.n + sb.n - overlap) AS BIGINT)
+               AS jaccard_bp
+    FROM pairs
+    JOIN sizes sa ON sa.doc = da
+    JOIN sizes sb ON sb.doc = db
+    WHERE overlap * 10000 >= 7000 * (sa.n + sb.n - overlap)
+    """,
+)
+def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-closure: PPJoin-style prefix-filtered similarity join.
+
+    Token-set Jaccard >= 0.70 pairs where candidates come ONLY from the
+    rarest (|d| - ceil(0.7|d|) + 1) tokens of each document under a
+    global rarity order (operators/dedup.prefix_filter_pairs). The
+    oracle is the ALL-shared-tokens exact join — so a hash match proves
+    the prefix filter's no-false-negative guarantee on this corpus, not
+    just the arithmetic.
+    """
+    from laser_hadoop_spark.operators.dedup import prefix_filter_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return prefix_filter_pairs(d, threshold_bp=7000)

@@ -113,6 +113,7 @@ _DRIVER_PRIORITY = [
     "q_triangle_count",
     "q_resample_linear",
     "q_kmeans_exact",
+    "q_prefix_filter_pairs",
     # -- 3. previously-green regression re-checks (r1 greens first:
     #    verified longest ago) ---------------------------------------
     "q_partial_final_agg",
@@ -143,8 +144,8 @@ _DRIVER_PRIORITY = [
     "q_histogram",
     "q_edit_distance_join",
     "q_recursive_cte",
-    # ^-- the driver's 50-entry window covers through q_order_limit
-    #     (16 r2-overflow + 30 round-3 new + 4 re-checks); the
+    # ^-- the driver's 50-entry window covers through q_dedup_exact
+    #     (16 r2-overflow + 31 round-3 new + 3 re-checks); the
     #     re-checks past the line are all r1/r2-green, their verdicts
     #     stand in LEDGER.json
 ]

@@ -1108,3 +1108,72 @@ def test_morton_interleave_is_bijective_on_16_bits(spark):
         F.count_distinct("z").alias("n"), F.min("z").alias("lo"), F.max("z").alias("hi")
     ).collect()[0]
     assert (stats["n"], stats["lo"], stats["hi"]) == (1 << 16, 0, (1 << 16) - 1)
+
+
+def test_prefix_filter_generates_fewer_candidates(spark):
+    """On a corpus with cluster structure, the prefix join generates a
+    small fraction of the all-shared-tokens candidates (stopwords are
+    excluded from prefixes by the rarity order); the oracle equivalence
+    of q_prefix_filter_pairs separately proves no pair is lost."""
+    import pyspark.sql.functions as F
+
+    # 20 clusters x 10 near-dup docs: 27 cluster tokens + 3 universal
+    # stopwords each -> every doc pair shares the stopwords, but only
+    # same-cluster pairs share anything rare.
+    rows = []
+    for c in range(20):
+        for i in range(10):
+            toks = [f"c{c}tok{j}" for j in range(27)] + ["the", "and", "of"]
+            rows.append((c * 10 + i, " ".join(toks)))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    tok = d.select(
+        F.col("doc_id").alias("doc"), F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    all_pairs = (
+        tok.alias("a")
+        .join(
+            tok.alias("b"),
+            (F.col("a.token") == F.col("b.token")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select("a.doc", "b.doc")
+        .distinct()
+        .count()
+    )
+    from pyspark.sql import Window
+
+    t_bp = 9000
+    sizes = tok.groupBy("doc").agg(F.count("*").alias("n"))
+    dfreq = tok.groupBy("token").agg(F.count("*").alias("df"))
+    ranked = (
+        tok.join(dfreq, "token")
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.partitionBy("doc").orderBy("df", "token")),
+        )
+        .join(sizes, "doc")
+    )
+    prefix = ranked.where(
+        F.col("rank") <= F.col("n") - F.expr(f"({t_bp} * n + 9999) DIV 10000") + 1
+    ).select("doc", "token")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.token") == F.col("b.token")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select("a.doc", "b.doc")
+        .distinct()
+        .count()
+    )
+    # all-shared-tokens joins every pair (19,900); prefixes keep only
+    # within-cluster candidates (20 * C(10,2) = 900)
+    assert all_pairs == 19900
+    assert cand == 900, cand
+
+    # and the filter is still lossless: exact pairs from candidates
+    # equal exact pairs from the full join at threshold 0.9
+    from laser_hadoop_spark.operators.dedup import prefix_filter_pairs
+
+    got = prefix_filter_pairs(d, threshold_bp=9000).count()
+    assert got == 900  # within-cluster Jaccard = 30/30 = 1.0 >= 0.9
