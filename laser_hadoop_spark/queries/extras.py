@@ -1161,3 +1161,118 @@ def q_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir, names=("customer",))
     return spark.sql(_kmeans_sql(3, "div"))
+
+
+@register(
+    "q_best_split",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS x,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    agg AS (SELECT x, COUNT(*) AS n, SUM(y) AS pos FROM pts GROUP BY x),
+    tot AS (SELECT SUM(n) AS n_tot, SUM(pos) AS pos_tot FROM agg),
+    cum AS (
+        SELECT x,
+               SUM(n) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+               SUM(pos) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS posl
+        FROM agg
+    ),
+    scored AS (
+        SELECT c.x AS threshold_centi,
+               CAST(c.nl AS BIGINT) AS nl,
+               CAST(t.n_tot - c.nl AS BIGINT) AS nr,
+               CAST(c.posl AS BIGINT) AS posl,
+               CAST(t.pos_tot - c.posl AS BIGINT) AS posr,
+               CAST((  (CAST(c.posl AS HUGEINT) * c.posl
+                        + CAST(c.nl - c.posl AS HUGEINT) * (c.nl - c.posl))
+                       * (t.n_tot - c.nl)
+                     + (CAST(t.pos_tot - c.posl AS HUGEINT)
+                          * (t.pos_tot - c.posl)
+                        + CAST((t.n_tot - c.nl) - (t.pos_tot - c.posl) AS HUGEINT)
+                          * ((t.n_tot - c.nl) - (t.pos_tot - c.posl)))
+                       * c.nl)
+                    * 1000000 // (CAST(c.nl AS HUGEINT) * (t.n_tot - c.nl))
+                    AS BIGINT) AS score_micro
+        FROM cum c CROSS JOIN tot t
+        WHERE c.nl < t.n_tot
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY score_micro DESC,
+                                     threshold_centi) AS rnk
+        FROM scored
+    )
+    SELECT rnk, threshold_centi, nl, nr, posl, posr, score_micro
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def q_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X70: decision-stump split finding with exact integer Gini.
+
+    The inner loop of every tree learner: over all candidate thresholds
+    of a feature (centi-unit order price), find the split minimizing
+    weighted Gini impurity of a binary label (order fulfilled). The
+    impurity comparison is EXACT: minimizing nL*g(L) + nR*g(R) is
+    equivalent to maximizing (posL² + negL²)·nR + (posR² + negR²)·nL
+    over the common denominator nL·nR, computed in decimal(38) integers
+    and fixed-pointed to micro-units only for the final ranking — both
+    engines walk identical integers, so the argmax is hash-checkable
+    (float Gini argmaxes are tie-unstable).
+
+    Scale shape: per-value label histogram (one shuffle), cumulative
+    counts via one ordered window, scalar totals broadcast. The
+    ordered window is single-partition PER FEATURE — the standard
+    split-finder layout parallelizes across features/nodes, and
+    histogram-binning (q_histogram) caps the candidate count when a
+    feature has too many distinct values.
+    """
+    register_views(spark, sf_dir, names=("orders",))
+    return spark.sql(
+        """
+        WITH pts AS (
+            SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS x,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+            FROM orders
+        ),
+        agg AS (SELECT x, COUNT(*) AS n, SUM(y) AS pos FROM pts GROUP BY x),
+        tot AS (SELECT SUM(n) AS n_tot, SUM(pos) AS pos_tot FROM agg),
+        cum AS (
+            SELECT x,
+                   SUM(n) OVER (ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+                   SUM(pos) OVER (ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS posl
+            FROM agg
+        ),
+        scored AS (
+            SELECT c.x AS threshold_centi,
+                   c.nl AS nl, t.n_tot - c.nl AS nr,
+                   c.posl AS posl, t.pos_tot - c.posl AS posr,
+                   CAST((  (CAST(c.posl AS DECIMAL(38,0)) * c.posl
+                            + CAST(c.nl - c.posl AS DECIMAL(38,0))
+                              * (c.nl - c.posl))
+                           * (t.n_tot - c.nl)
+                         + (CAST(t.pos_tot - c.posl AS DECIMAL(38,0))
+                              * (t.pos_tot - c.posl)
+                            + CAST((t.n_tot - c.nl) - (t.pos_tot - c.posl)
+                                   AS DECIMAL(38,0))
+                              * ((t.n_tot - c.nl) - (t.pos_tot - c.posl)))
+                           * c.nl)
+                        * 1000000 DIV (CAST(c.nl AS DECIMAL(38,0))
+                                       * (t.n_tot - c.nl))
+                        AS BIGINT) AS score_micro
+            FROM cum c CROSS JOIN tot t
+            WHERE c.nl < t.n_tot
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY score_micro DESC,
+                                         threshold_centi) AS rnk
+            FROM scored
+        )
+        SELECT rnk, threshold_centi, nl, nr, posl, posr, score_micro
+        FROM ranked WHERE rnk <= 5
+        """
+    )

@@ -114,6 +114,7 @@ _DRIVER_PRIORITY = [
     "q_resample_linear",
     "q_kmeans_exact",
     "q_prefix_filter_pairs",
+    "q_best_split",
     # -- 3. previously-green regression re-checks (r1 greens first:
     #    verified longest ago) ---------------------------------------
     "q_partial_final_agg",
@@ -144,8 +145,8 @@ _DRIVER_PRIORITY = [
     "q_histogram",
     "q_edit_distance_join",
     "q_recursive_cte",
-    # ^-- the driver's 50-entry window covers through q_dedup_exact
-    #     (16 r2-overflow + 31 round-3 new + 3 re-checks); the
+    # ^-- the driver's 50-entry window covers through q_count_distinct
+    #     (16 r2-overflow + 32 round-3 new + 2 re-checks); the
     #     re-checks past the line are all r1/r2-green, their verdicts
     #     stand in LEDGER.json
 ]
