@@ -1248,3 +1248,45 @@ def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return prefix_filter_pairs(d, threshold_bp=7000)
+
+
+@register(
+    "q_feature_hashing",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT) % 256
+                   AS bucket
+        FROM toks
+    )
+    SELECT doc_id, CAST(bucket AS INT) AS bucket, COUNT(*) AS tf
+    FROM hashed
+    GROUP BY doc_id, bucket
+    """,
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML-preprocessing closure: the hashing trick (feature hashing).
+
+    Tokens hash into a fixed 256-bucket vocabulary-free feature space —
+    the preprocessing step that makes text featurization stateless at
+    100 TB (no vocabulary table to build, broadcast, or keep in sync;
+    collisions are the accepted trade). Sparse (doc, bucket, tf)
+    output; a dense vector view is one pivot/array_agg away. Uses the
+    cross-engine 60-bit md5-prefix hash (the q_winnow_fingerprints
+    convention) because bucket ids must agree with the oracle —
+    in-engine pipelines would use xxhash64 for speed.
+    """
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("bigint") % 256
+    )
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .select("doc_id", bucket.cast("int").alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("tf"))
+    )

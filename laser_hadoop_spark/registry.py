@@ -115,6 +115,7 @@ _DRIVER_PRIORITY = [
     "q_kmeans_exact",
     "q_prefix_filter_pairs",
     "q_best_split",
+    "q_feature_hashing",
     # -- 3. previously-green regression re-checks (r1 greens first:
     #    verified longest ago) ---------------------------------------
     "q_partial_final_agg",
@@ -145,8 +146,8 @@ _DRIVER_PRIORITY = [
     "q_histogram",
     "q_edit_distance_join",
     "q_recursive_cte",
-    # ^-- the driver's 50-entry window covers through q_count_distinct
-    #     (16 r2-overflow + 32 round-3 new + 2 re-checks); the
+    # ^-- the driver's 50-entry window covers through q_partial_final_agg
+    #     (16 r2-overflow + 33 round-3 new + 1 re-check); the
     #     re-checks past the line are all r1/r2-green, their verdicts
     #     stand in LEDGER.json
 ]
