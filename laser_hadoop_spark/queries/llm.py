@@ -1290,3 +1290,71 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").alias("tf"))
     )
+
+
+@register(
+    "q_naive_bayes_train",
+    oracle="""
+    WITH toks AS (
+        SELECT lang, UNNEST(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    hashed AS (
+        SELECT lang,
+               CAST(CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT) % 64
+                    AS INT) AS bucket
+        FROM toks
+    ),
+    class_tot AS (SELECT lang, COUNT(*) AS n_class FROM hashed GROUP BY lang),
+    feat AS (
+        SELECT lang, bucket, COUNT(*) AS n FROM hashed GROUP BY lang, bucket
+    ),
+    grid AS (
+        SELECT c.lang, b.bucket, c.n_class, COALESCE(f.n, 0) AS n
+        FROM class_tot c
+        CROSS JOIN (SELECT DISTINCT bucket FROM hashed) b
+        LEFT JOIN feat f ON f.lang = c.lang AND f.bucket = b.bucket
+    )
+    SELECT lang, bucket, n,
+           CAST(ROUND(LOG10(CAST(n + 1 AS DOUBLE) / (n_class + 64))
+                      * 1000000) AS BIGINT) AS loglik_micro
+    FROM grid
+    """,
+)
+def q_naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML-closure: multinomial Naive Bayes training, exactly verified.
+
+    Trains class-conditional token-bucket likelihoods over the hashed
+    feature space of q_feature_hashing (64 buckets, labels = document
+    language): P(bucket|class) with add-one smoothing, emitted as
+    micro-fixed-point log10 likelihoods. Every input to the LOG is an
+    exact integer ratio, and the per-value log10 rounds to micro-units
+    BEFORE any aggregation touches it (the q_text_lm_score discipline),
+    so both engines produce identical integers — NB training is pure
+    counting, which is exactly why it scales to 100 TB as two
+    aggregates (class totals + (class, bucket) counts) and why it is
+    hash-checkable where gradient-trained models are not.
+
+    Scoring a document is then a broadcast join of this table against
+    its hashed buckets + one sum per class — the q_contamination shape.
+    """
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("bigint") % 64
+    ).cast("int")
+    hashed = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("token")
+    ).select("lang", bucket.alias("bucket"))
+    class_tot = hashed.groupBy("lang").agg(F.count("*").alias("n_class"))
+    feat = hashed.groupBy("lang", "bucket").agg(F.count("*").alias("n"))
+    buckets = hashed.select("bucket").distinct()
+    grid = (
+        class_tot.crossJoin(buckets)
+        .join(feat, ["lang", "bucket"], "left")
+        .select("lang", "bucket", "n_class", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    loglik = F.round(
+        F.log10((F.col("n") + 1).cast("double") / (F.col("n_class") + 64))
+        * 1_000_000
+    ).cast("bigint")
+    return grid.select("lang", "bucket", "n", loglik.alias("loglik_micro"))

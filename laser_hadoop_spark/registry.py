@@ -116,6 +116,7 @@ _DRIVER_PRIORITY = [
     "q_prefix_filter_pairs",
     "q_best_split",
     "q_feature_hashing",
+    "q_naive_bayes_train",
     # -- 3. previously-green regression re-checks (r1 greens first:
     #    verified longest ago) ---------------------------------------
     "q_partial_final_agg",
@@ -146,8 +147,10 @@ _DRIVER_PRIORITY = [
     "q_histogram",
     "q_edit_distance_join",
     "q_recursive_cte",
-    # ^-- the driver's 50-entry window covers through q_partial_final_agg
-    #     (16 r2-overflow + 33 round-3 new + 1 re-check); the
+    # ^-- the driver's 50-entry window exactly covers the 50 never-driver-tested
+    #     entries (16 r2-overflow + 34 round-3 new); re-checks of r1/r2
+    #     greens now ride entirely on LEDGER.json + the sf0.001 pytest
+    #     oracle corpus; the
     #     re-checks past the line are all r1/r2-green, their verdicts
     #     stand in LEDGER.json
 ]
