@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from laser_hadoop_spark.operators.similarity import brute_force_pairs_grid
 from laser_hadoop_spark.registry import register
-from laser_hadoop_spark.tables import table
+from laser_hadoop_spark.tables import register_views, table
 
 # Shared stopword/marker list for quality + langid (kept tiny and fixed
 # so the oracle can restate it inline).
@@ -1358,3 +1358,97 @@ def q_naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1_000_000
     ).cast("bigint")
     return grid.select("lang", "bucket", "n", loglik.alias("loglik_micro"))
+
+
+def _nb_pipeline_sql(explode_expr: str, bucket_expr: str) -> str:
+    """Shared NB train+score SQL, parameterized on the two dialect
+    deltas: token explosion (UNNEST/string_split vs explode/split) and
+    the 60-bit md5-prefix hex parse ('0x'-cast vs conv). Everything
+    else — integer scoring, argmax, confusion counts — is common SQL,
+    so both engines walk the identical micro-integer recurrence."""
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {explode_expr} AS token
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, lang, {bucket_expr} AS bucket
+        FROM toks
+    ),
+    class_tot AS (SELECT lang, COUNT(*) AS n_class FROM hashed GROUP BY lang),
+    feat AS (
+        SELECT lang, bucket, COUNT(*) AS n FROM hashed GROUP BY lang, bucket
+    ),
+    model AS (
+        SELECT c.lang, b.bucket,
+               CAST(ROUND(LOG10(CAST(COALESCE(f.n, 0) + 1 AS DOUBLE)
+                                / (c.n_class + 64)) * 1000000) AS BIGINT)
+                   AS loglik_micro
+        FROM class_tot c
+        CROSS JOIN (SELECT DISTINCT bucket FROM hashed) b
+        LEFT JOIN feat f ON f.lang = c.lang AND f.bucket = b.bucket
+    ),
+    doc_cls AS (SELECT doc_id, ANY_VALUE(lang) AS labeled_lang
+                FROM hashed GROUP BY doc_id),
+    n_docs AS (SELECT COUNT(*) AS total FROM doc_cls),
+    prior AS (
+        SELECT labeled_lang AS lang,
+               CAST(ROUND(LOG10(CAST(COUNT(*) AS DOUBLE) / total) * 1000000)
+                    AS BIGINT) AS prior_micro
+        FROM doc_cls CROSS JOIN n_docs GROUP BY labeled_lang, total
+    ),
+    doc_feat AS (
+        SELECT doc_id, bucket, COUNT(*) AS tf FROM hashed
+        GROUP BY doc_id, bucket
+    ),
+    scores AS (
+        SELECT d.doc_id, m.lang,
+               MIN(p.prior_micro) + SUM(d.tf * m.loglik_micro) AS score_micro
+        FROM doc_feat d
+        JOIN model m ON m.bucket = d.bucket
+        JOIN prior p ON p.lang = m.lang
+        GROUP BY d.doc_id, m.lang
+    ),
+    predicted AS (
+        SELECT doc_id, lang AS predicted_lang,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score_micro DESC, lang) AS rn
+        FROM scores
+    )
+    SELECT c.labeled_lang, p.predicted_lang, COUNT(*) AS n_docs
+    FROM doc_cls c
+    JOIN predicted p ON p.doc_id = c.doc_id AND p.rn = 1
+    GROUP BY c.labeled_lang, p.predicted_lang
+    """
+
+
+_NB_DUCK = _nb_pipeline_sql(
+    "UNNEST(string_split(text, ' '))",
+    "CAST(CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT) % 64 AS INT)",
+)
+_NB_SPARK = _nb_pipeline_sql(
+    "explode(split(text, ' '))",
+    "CAST(CAST(conv(substring(md5(token), 1, 15), 16, 10) AS BIGINT) % 64 AS INT)",
+)
+
+
+@register("q_naive_bayes_score", oracle=_NB_DUCK)
+def q_naive_bayes_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML-closure: end-to-end NB train -> score -> confusion matrix,
+    exactly verified.
+
+    Extends q_naive_bayes_train to the full pipeline: micro-integer
+    log-priors + per-document score = prior + Σ tf·loglik (PURE BIGINT
+    summation — no float enters the scoring path at all), argmax with a
+    deterministic (score, class) tiebreak, and the labeled-vs-predicted
+    confusion matrix as exact counts. The one float appearance (log10)
+    is per-model-cell and micro-rounded before any aggregation, so the
+    entire train+inference loop is hash-identical across engines — a
+    property no gradient-trained model has, and the reason counting
+    classifiers remain the verifiable baseline at 100 TB.
+
+    Plan: two training aggregates, one (doc, bucket) aggregate, a
+    broadcast of the 64 x n_class model, one per-doc argmax window.
+    """
+    register_views(spark, sf_dir, names=("documents",))
+    return spark.sql(_NB_SPARK)

@@ -117,6 +117,7 @@ _DRIVER_PRIORITY = [
     "q_best_split",
     "q_feature_hashing",
     "q_naive_bayes_train",
+    "q_naive_bayes_score",
     # -- 3. previously-green regression re-checks (r1 greens first:
     #    verified longest ago) ---------------------------------------
     "q_partial_final_agg",
