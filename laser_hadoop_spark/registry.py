@@ -148,10 +148,11 @@ _DRIVER_PRIORITY = [
     "q_histogram",
     "q_edit_distance_join",
     "q_recursive_cte",
-    # ^-- the driver's 50-entry window exactly covers the 50 never-driver-tested
-    #     entries (16 r2-overflow + 34 round-3 new); re-checks of r1/r2
-    #     greens now ride entirely on LEDGER.json + the sf0.001 pytest
-    #     oracle corpus; the
+    # ^-- the driver's 50-entry window covers 50 of the 51
+    #     never-driver-tested entries (16 r2-overflow + 35 round-3 new;
+    #     q_naive_bayes_score at position 51 is round-4 overflow, locally
+    #     oracle-green). Re-checks of r1/r2 greens ride on LEDGER.json +
+    #     the sf0.001 pytest oracle corpus; the
     #     re-checks past the line are all r1/r2-green, their verdicts
     #     stand in LEDGER.json
 ]
