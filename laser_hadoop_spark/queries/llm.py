@@ -1365,7 +1365,13 @@ def _nb_pipeline_sql(explode_expr: str, bucket_expr: str) -> str:
     deltas: token explosion (UNNEST/string_split vs explode/split) and
     the 60-bit md5-prefix hex parse ('0x'-cast vs conv). Everything
     else — integer scoring, argmax, confusion counts — is common SQL,
-    so both engines walk the identical micro-integer recurrence."""
+    so both engines walk the identical micro-integer recurrence. All
+    consumers derive from ONE compact (doc, class, bucket, tf) base
+    aggregate. DuckDB materializes the CTE once; Spark instead inlines
+    and column-prunes each consumer's copy (measured: no ReusedExchange
+    — each pruned aggregate is a different canonical subplan), which is
+    the optimizer's recompute-narrow-vs-materialize-wide trade, both
+    fine at scale."""
     return f"""
     WITH toks AS (
         SELECT doc_id, lang, {explode_expr} AS token
@@ -1375,9 +1381,13 @@ def _nb_pipeline_sql(explode_expr: str, bucket_expr: str) -> str:
         SELECT doc_id, lang, {bucket_expr} AS bucket
         FROM toks
     ),
-    class_tot AS (SELECT lang, COUNT(*) AS n_class FROM hashed GROUP BY lang),
+    base AS (
+        SELECT doc_id, lang, bucket, COUNT(*) AS tf
+        FROM hashed GROUP BY doc_id, lang, bucket
+    ),
+    class_tot AS (SELECT lang, SUM(tf) AS n_class FROM base GROUP BY lang),
     feat AS (
-        SELECT lang, bucket, COUNT(*) AS n FROM hashed GROUP BY lang, bucket
+        SELECT lang, bucket, SUM(tf) AS n FROM base GROUP BY lang, bucket
     ),
     model AS (
         SELECT c.lang, b.bucket,
@@ -1385,11 +1395,11 @@ def _nb_pipeline_sql(explode_expr: str, bucket_expr: str) -> str:
                                 / (c.n_class + 64)) * 1000000) AS BIGINT)
                    AS loglik_micro
         FROM class_tot c
-        CROSS JOIN (SELECT DISTINCT bucket FROM hashed) b
+        CROSS JOIN (SELECT DISTINCT bucket FROM base) b
         LEFT JOIN feat f ON f.lang = c.lang AND f.bucket = b.bucket
     ),
     doc_cls AS (SELECT doc_id, ANY_VALUE(lang) AS labeled_lang
-                FROM hashed GROUP BY doc_id),
+                FROM base GROUP BY doc_id),
     n_docs AS (SELECT COUNT(*) AS total FROM doc_cls),
     prior AS (
         SELECT labeled_lang AS lang,
@@ -1398,7 +1408,7 @@ def _nb_pipeline_sql(explode_expr: str, bucket_expr: str) -> str:
         FROM doc_cls CROSS JOIN n_docs GROUP BY labeled_lang, total
     ),
     doc_feat AS (
-        SELECT doc_id, bucket, COUNT(*) AS tf FROM hashed
+        SELECT doc_id, bucket, SUM(tf) AS tf FROM base
         GROUP BY doc_id, bucket
     ),
     scores AS (
