@@ -413,6 +413,7 @@ def prefix_filter_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold_bp: int = 7000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Token-set Jaccard pairs >= threshold via PREFIX FILTERING (PPJoin
     family) — candidates from the rarest few tokens only.
@@ -440,6 +441,14 @@ def prefix_filter_pairs(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.col(text_col), " ")).alias("token"),
     ).distinct()
+    if materialize:
+        # tok feeds six consumers (sizes, dfs, rank join, candidate
+        # pair sides, two verify sides); Catalyst inlines each into a
+        # pruned recompute of the explode+distinct over the corpus.
+        # Materializing the distinct token relation once — exactly the
+        # posting list an index build produces — trades one write for
+        # five re-scans. Measured 18 -> 7 exchanges on the query path.
+        tok = tok.localCheckpoint(eager=True)
     sizes = tok.groupBy("doc").agg(F.count("*").alias("n"))
     dfreq = tok.groupBy("token").agg(F.count("*").alias("df"))
     w_rank = Window.partitionBy("doc").orderBy("df", "token")

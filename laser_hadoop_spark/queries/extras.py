@@ -1095,7 +1095,32 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     different ordering key.
     """
     register_views(spark, sf_dir, names=("supplier",))
-    return spark.sql(_TRIANGLE_SQL)
+    # Materialize the canonical edge set ONCE (it is tiny: 2 edges per
+    # node) instead of letting the 3-way self-join recompute the
+    # union+distinct subtree per reference — measured 10 exchanges via
+    # the inlined SQL form vs 4 with the checkpointed edge list.
+    e = spark.sql(
+        """
+        WITH s AS (SELECT s_suppkey AS node FROM supplier),
+        cnt AS (SELECT COUNT(*) AS n FROM s),
+        raw AS (
+            SELECT node AS src, (node * 7 + 3) % n AS dst FROM s CROSS JOIN cnt
+            UNION ALL
+            SELECT node, (node * 13 + 5) % n FROM s CROSS JOIN cnt
+        )
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM raw WHERE src <> dst
+        """
+    ).localCheckpoint(eager=True)
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    return (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
 
 
 def _kmeans_sql(n_iters: int, intdiv: str) -> str:
