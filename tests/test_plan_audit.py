@@ -260,6 +260,18 @@ def test_round3_queries_stay_jvm_side_and_shuffle_bounded(spark, sf_dir):
         "q_market_basket": 6,         # one distinct feeds supports AND pairs
         "q_bloom_semi_join": 4,       # bitmap build + residual semi-join
         "q_resample_linear": 2,       # bounds agg + shared user_id windows
+        "q_attribution": 4,           # user window + two touch rollups
+        "q_triangle_count": 1,        # checkpointed edges, joins broadcast
+        "q_best_split": 4,            # histogram + cum window + rank
+        "q_feature_hashing": 1,
+        "q_naive_bayes_train": 3,
+        "q_ohlc_candles": 2,
+        "q_key_skew_profile": 3,
+        "q_inverted_index": 2,
+        "q_dq_checks": 4,
+        "q_hll_sketch": 6,
+        "q_kmeans_exact": 12,         # 3 unrolled iterations x (assign+update)
+        "q_prefix_filter_pairs": 8,   # materialized tok, see operator docstring
     }
     for name, budget in budgets.items():
         plan = _plan(registry.get(name).fn(spark, sf_dir))
