@@ -1301,3 +1301,88 @@ def q_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked WHERE rnk <= 5
         """
     )
+
+
+@register(
+    "q_point_in_time_join",
+    oracle="""
+    WITH dim AS (
+        SELECT user_id,
+               epoch_us(ts) AS valid_from_us,
+               COALESCE(epoch_us(LEAD(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)),
+                   9223372036854775807) AS valid_to_us,
+               CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS state_micro
+        FROM events WHERE event_type = 'signup'
+    ),
+    fact AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t_us,
+               CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS purchase_micro
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.user_id, f.event_id, f.purchase_micro,
+           d.valid_from_us AS state_from_us, d.state_micro
+    FROM fact f
+    JOIN dim d
+      ON d.user_id = f.user_id
+     AND f.t_us >= d.valid_from_us
+     AND f.t_us < d.valid_to_us
+    """,
+)
+def q_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data closure: point-in-time (PIT) join against SCD2.
+
+    Each purchase event joins the signup-state interval that was valid
+    AT ITS EVENT TIME — the feature-store join that makes training data
+    leakage-free (a plain latest-value join would leak future state
+    into past examples; this is the feature-lookup rule the as-of join
+    X3 approximates, stated on explicit [from, to) intervals from the
+    X39 SCD2 build). Inner join: purchases before the user's first
+    signup have no valid state and drop out.
+
+    Plan shape: both sides partition on user_id; the interval predicate
+    rides inside the equi-join condition, so the only shuffles are the
+    two user_id exchanges plus the dimension window — no range-join
+    blowup because the equi-key (user) bounds each comparison set.
+    """
+    e = table(spark, sf_dir, "events")
+    from laser_hadoop_spark.functions.scalar import micro_units
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        e.where(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("valid_from_us"),
+            F.lead(F.unix_micros("ts")).over(w).alias("valid_to_raw"),
+            micro_units(F.col("value")).alias("state_micro"),
+        )
+        .select(
+            "user_id",
+            "valid_from_us",
+            F.coalesce("valid_to_raw", F.lit(2**63 - 1)).alias("valid_to_us"),
+            "state_micro",
+        )
+    )
+    fact = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+        micro_units(F.col("value")).alias("purchase_micro"),
+    )
+    return (
+        fact.alias("f")
+        .join(
+            dim.alias("d"),
+            (F.col("f.user_id") == F.col("d.user_id"))
+            & (F.col("f.t_us") >= F.col("d.valid_from_us"))
+            & (F.col("f.t_us") < F.col("d.valid_to_us")),
+        )
+        .select(
+            F.col("f.user_id").alias("user_id"),
+            "event_id",
+            "purchase_micro",
+            F.col("d.valid_from_us").alias("state_from_us"),
+            "state_micro",
+        )
+    )
