@@ -489,3 +489,68 @@ def q_stat_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("l_quantity") > 49).alias("any_near_max"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "q_outlier_count",
+    oracle="""
+    WITH pts AS (
+        SELECT l_returnflag AS grp,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS xc
+        FROM lineitem
+    ),
+    stats AS (
+        SELECT grp, COUNT(*) AS n, SUM(xc) AS sx,
+               SUM(CAST(xc AS HUGEINT) * xc) AS sxx
+        FROM pts GROUP BY grp
+    )
+    SELECT p.grp,
+           CAST(s.n AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN CAST(p.xc * s.n - s.sx AS HUGEINT)
+                              * (p.xc * s.n - s.sx) * (s.n - 1)
+                            > 9 * CAST(s.n AS HUGEINT)
+                              * (s.n * s.sxx - CAST(s.sx AS HUGEINT) * s.sx)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(MAX(CASE WHEN CAST(p.xc * s.n - s.sx AS HUGEINT)
+                              * (p.xc * s.n - s.sx) * (s.n - 1)
+                            > 9 * CAST(s.n AS HUGEINT)
+                              * (s.n * s.sxx - CAST(s.sx AS HUGEINT) * s.sx)
+                         THEN p.xc END) AS BIGINT) AS max_outlier_centi
+    FROM pts p JOIN stats s ON s.grp = p.grp
+    GROUP BY p.grp, s.n
+    """,
+)
+def q_outlier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-closure: 3-sigma outlier detection, decided in pure integers.
+
+    |x - mean| > 3*sigma_samp restated with the common denominator
+    cleared: (xc*n - sx)^2 * (n-1) > 9 * n * (n*sxx - sx^2), all in
+    exact centi-unit integer sums — the outlier decision involves NO
+    floating point at all, so there is no boundary row that could flip
+    between engines (contrast the usual mean/stddev comparison, where a
+    point sitting exactly near 3 sigma is at the mercy of float
+    rounding). Two passes by construction (stats, then per-row test) —
+    the same shape any production z-score filter has; the stats side is
+    six longs per group, broadcast back.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    xc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    pts = li.select(F.col("l_returnflag").alias("grp"), xc.alias("xc"))
+    stats = pts.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("xc").alias("sx"),
+        F.sum(F.col("xc").cast("decimal(38,0)") * F.col("xc")).alias("sxx"),
+    )
+    j = pts.join(F.broadcast(stats), "grp")
+    dev = F.col("xc") * F.col("n") - F.col("sx")
+    lhs = dev.cast("decimal(38,0)") * dev * (F.col("n") - 1)
+    rhs = (
+        F.lit(9)
+        * F.col("n").cast("decimal(38,0)")
+        * (F.col("n") * F.col("sxx") - F.col("sx").cast("decimal(38,0)") * F.col("sx"))
+    )
+    is_out = lhs > rhs
+    return j.groupBy("grp", F.col("n").cast("bigint").alias("n")).agg(
+        F.sum(F.when(is_out, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+        F.max(F.when(is_out, F.col("xc"))).cast("bigint").alias("max_outlier_centi"),
+    ).select("grp", "n", "n_outliers", "max_outlier_centi")
