@@ -625,3 +625,206 @@ def q_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value_interp"),
         )
     )
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS next_type
+        FROM events
+    ),
+    trans AS (
+        SELECT event_type AS src, next_type AS dst, COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    out_tot AS (SELECT src, SUM(n) AS n_out FROM trans GROUP BY src)
+    SELECT t.src, t.dst, t.n,
+           CAST((t.n * 10000) // o.n_out AS BIGINT) AS prob_bp
+    FROM trans t JOIN out_tot o ON o.src = t.src
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-mining closure: first-order Markov transition matrix.
+
+    Per-user event streams -> (src, dst) transition counts and
+    basis-point transition probabilities — the empirical Markov chain
+    behind next-event prediction and session simulation. One lead
+    window on the user_id partitioning, one aggregate over the tiny
+    (|types|^2) transition space, exact integers throughout.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), F.col("event_id"))
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    trans = seq.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    out_tot = trans.groupBy("src").agg(F.sum("n").alias("n_out"))
+    return trans.join(F.broadcast(out_tot), "src").select(
+        "src",
+        "dst",
+        "n",
+        F.expr("CAST((n * 10000) DIV n_out AS BIGINT)").alias("prob_bp"),
+    )
+
+
+@register(
+    "q_ab_test",
+    oracle="""
+    WITH assign AS (
+        SELECT user_id, user_id % 2 AS arm,
+               CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) >= 15
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT arm, COUNT(*) AS n, SUM(converted) AS conv
+        FROM assign GROUP BY arm
+    ),
+    wide AS (
+        SELECT CAST(MAX(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n0,
+               CAST(MAX(CASE WHEN arm = 0 THEN conv END) AS BIGINT) AS c0,
+               CAST(MAX(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n1,
+               CAST(MAX(CASE WHEN arm = 1 THEN conv END) AS BIGINT) AS c1
+        FROM arms
+    )
+    SELECT n0, c0, n1, c1,
+           CAST((c0 * 10000) // n0 AS BIGINT) AS rate0_bp,
+           CAST((c1 * 10000) // n1 AS BIGINT) AS rate1_bp,
+           (CAST(c0 * n1 - c1 * n0 AS HUGEINT) * (c0 * n1 - c1 * n0)) * 2500
+               * (n0 + n1)
+             > 9604 * CAST(n0 AS HUGEINT) * n1 * (c0 + c1)
+               * ((n0 + n1) - (c0 + c1))
+               AS significant_95
+    FROM wide
+    """,
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-closure: two-proportion z-test decided in pure integers.
+
+    Users split into arms by user_id parity; conversion = a heavy
+    purchaser (>= 15 purchase events — 'any purchase' is degenerate on
+    this corpus, every user has one).
+    The pooled two-proportion z-test |z| > 1.96 is restated with every
+    denominator cleared: with z^2 = 1.96^2 = 9604/2500, significance is
+    (c0*n1 - c1*n0)^2 * 2500 * (n0+n1) > 9604 * n0 * n1 * c * (N - c)
+    — exact integer cross-multiplication, no sqrt, no float, so the
+    verdict cannot flip on rounding. The same clearing works for any
+    rational critical value. One per-user aggregate + one tiny pivot.
+    """
+    e = table(spark, sf_dir, "events")
+    assign = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_purch")
+        )
+        .select(
+            (F.col("user_id") % 2).alias("arm"),
+            F.when(F.col("n_purch") >= 15, 1).otherwise(0).alias("converted"),
+        )
+    )
+    arms = assign.groupBy("arm").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("conv"))).alias("c1"),
+    )
+    diff = F.col("c0") * F.col("n1") - F.col("c1") * F.col("n0")
+    c = F.col("c0") + F.col("c1")
+    n_tot = F.col("n0") + F.col("n1")
+    lhs = diff.cast("decimal(38,0)") * diff * 2500 * n_tot
+    rhs = (
+        F.lit(9604).cast("decimal(38,0)")
+        * F.col("n0")
+        * F.col("n1")
+        * c
+        * (n_tot - c)
+    )
+    return wide.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.expr("CAST((c0 * 10000) DIV n0 AS BIGINT)").alias("rate0_bp"),
+        F.expr("CAST((c1 * 10000) DIV n1 AS BIGINT)").alias("rate1_bp"),
+        (lhs > rhs).alias("significant_95"),
+    )
+
+
+@register(
+    "q_rfm_segments",
+    oracle="""
+    WITH corpus AS (SELECT MAX(epoch_us(ts)) AS now_us FROM events),
+    rfm AS (
+        SELECT user_id,
+               (SELECT now_us FROM corpus) - MAX(epoch_us(ts)) AS recency_us,
+               COUNT(*) AS frequency,
+               SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+                   AS monetary_micro
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    scored AS (
+        SELECT user_id,
+               NTILE(4) OVER (ORDER BY recency_us, user_id) AS r,
+               NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS f,
+               NTILE(4) OVER (ORDER BY monetary_micro DESC, user_id) AS m
+        FROM rfm
+    )
+    SELECT r, f, m, COUNT(*) AS n_users,
+           CAST(MIN(user_id) AS BIGINT) AS example_user
+    FROM scored GROUP BY r, f, m
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics-closure: RFM (recency/frequency/monetary) segmentation.
+
+    Per purchaser: recency vs the corpus max event time, purchase
+    count, and exact micro-unit spend — then quartile scores via ntile
+    with the unique user_id tiebreaker (ntile boundaries are otherwise
+    tie-nondeterministic), and the 4x4x4 segment census. Quartile 1 is
+    best on every axis (most recent / most frequent / highest spend).
+
+    Scale: one per-user aggregate (the only big shuffle); the three
+    ntile windows run over the user-level table — at extreme user
+    cardinality the scalable substitute is approx-quantile cut points
+    (q_approx_percentile) joined as literals, same downstream census.
+    """
+    e = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    from laser_hadoop_spark.functions.scalar import micro_units
+
+    rfm = e.groupBy("user_id").agg(
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.count("*").alias("frequency"),
+        F.sum(micro_units(F.col("value"))).alias("monetary_micro"),
+    )
+    now = rfm.agg(F.max("last_us").alias("now_us"))
+    scored = (
+        rfm.crossJoin(F.broadcast(now))
+        .withColumn("recency_us", F.col("now_us") - F.col("last_us"))
+        .select(
+            "user_id",
+            F.ntile(4).over(Window.orderBy("recency_us", "user_id")).alias("r"),
+            F.ntile(4)
+            .over(Window.orderBy(F.col("frequency").desc(), F.col("user_id")))
+            .alias("f"),
+            F.ntile(4)
+            .over(Window.orderBy(F.col("monetary_micro").desc(), F.col("user_id")))
+            .alias("m"),
+        )
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count("*").alias("n_users"),
+        F.min("user_id").cast("bigint").alias("example_user"),
+    )
