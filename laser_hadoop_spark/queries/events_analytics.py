@@ -828,3 +828,50 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_users"),
         F.min("user_id").cast("bigint").alias("example_user"),
     )
+
+
+@register(
+    "q_top_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    paths AS (
+        SELECT event_type || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+        FROM seq WHERE e3 IS NOT NULL
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT path, n, ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rnk
+        FROM paths
+    )
+    SELECT rnk, path, n FROM ranked WHERE rnk <= 15
+    """,
+)
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-mining closure: top-k 3-event paths (clickstream mining).
+
+    Sliding 3-grams over each user's event sequence (two leads on one
+    user_id window — the token-shingle trick applied to behavioral
+    sequences), counted and ranked with a deterministic (count, path)
+    tiebreak. The path space is |types|^3, so the aggregate output is
+    tiny regardless of input scale; TakeOrdered handles the top-k.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), F.col("event_id"))
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    paths = seq.select(
+        F.concat_ws(">", "e1", "e2", "e3").alias("path")
+    ).groupBy("path").agg(F.count("*").alias("n"))
+    top = paths.orderBy(F.col("n").desc(), F.col("path")).limit(15)
+    return top.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("path")))
+    ).select("rnk", "path", "n")

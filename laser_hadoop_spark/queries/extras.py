@@ -1386,3 +1386,72 @@ def q_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "state_micro",
         )
     )
+
+
+@register(
+    "q_hamming_neighbors",
+    oracle="""
+    SELECT a.c_custkey AS custkey,
+           COUNT(*) AS n_neighbors,
+           CAST(MIN(b.c_custkey) AS BIGINT) AS nearest_key
+    FROM customer a JOIN customer b
+      ON a.c_custkey <> b.c_custkey
+     AND levenshtein(a.c_name, b.c_name) <= 1
+    GROUP BY a.c_custkey
+    """,
+)
+def q_hamming_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X79: SymSpell deletion-neighborhood fuzzy join.
+
+    For every customer, the count of other customers whose name is
+    within edit distance 1. The Spark side generates candidates by the
+    deletion-neighborhood trick (SymSpell / spell-correction blocking):
+    each name emits one key per character position with that character
+    deleted (plus itself) — two equal-length names within substitution
+    distance 1 MUST share the deletion key at the differing position,
+    so an equi-join on (position, key) finds all candidates with ~|s|
+    keys per record instead of comparing all pairs. A levenshtein
+    verify removes the false positives.
+
+    The ORACLE is the quadratic all-pairs levenshtein join — the hash
+    match proves the deletion-neighborhood blocking lossless on this
+    corpus (the q_prefix_filter_pairs verification pattern). At 100 TB
+    the asymmetry is the point: |s| keys/record vs n² comparisons.
+    """
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    n_chars = F.length("c_name")
+    # deletion key at position i: prefix before i + suffix after i
+    keys = F.transform(
+        F.sequence(F.lit(1), n_chars),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat(
+                F.expr("c_name").substr(F.lit(1), i - 1),
+                F.expr("c_name").substr(i + 1, n_chars),
+            ).alias("key"),
+        ),
+    )
+    blocked = c.select(
+        "c_custkey", "c_name", F.explode(keys).alias("k")
+    ).select("c_custkey", "c_name", F.col("k.pos").alias("pos"), F.col("k.key").alias("key"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.c_custkey") != F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("custkey"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_custkey").alias("neighbor"),
+            F.col("b.c_name").alias("name_b"),
+        )
+        .distinct()
+    )
+    verified = cand.where(F.levenshtein("name_a", "name_b") <= 1)
+    return verified.groupBy("custkey").agg(
+        F.count("*").alias("n_neighbors"),
+        F.min("neighbor").cast("bigint").alias("nearest_key"),
+    )
