@@ -272,6 +272,13 @@ def test_round3_queries_stay_jvm_side_and_shuffle_bounded(spark, sf_dir):
         "q_hll_sketch": 6,
         "q_kmeans_exact": 12,         # 3 unrolled iterations x (assign+update)
         "q_prefix_filter_pairs": 8,   # materialized tok, see operator docstring
+        "q_point_in_time_join": 1,    # interval pred inside user equi-join
+        "q_outlier_count": 2,         # stats agg + broadcast-joined test
+        "q_event_transitions": 5,
+        "q_ab_test": 3,
+        "q_rfm_segments": 4,
+        "q_hamming_neighbors": 2,     # deletion-key self-join, one exchange pair
+        "q_top_paths": 2
     }
     for name, budget in budgets.items():
         plan = _plan(registry.get(name).fn(spark, sf_dir))
