@@ -875,3 +875,51 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "rnk", F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("path")))
     ).select("rnk", "path", "n")
+
+
+@register(
+    "q_max_drawdown",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS v_micro,
+               MAX(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS run_max_micro
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           CAST(MAX(run_max_micro - v_micro) AS BIGINT) AS max_drawdown_micro,
+           CAST(MAX(run_max_micro) AS BIGINT) AS peak_micro,
+           COUNT(*) AS n_points
+    FROM seq GROUP BY user_id
+    """,
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS-closure: maximum drawdown per user value series.
+
+    The classic risk metric: largest drop from a running peak —
+    max(running_max - value) over the event-time-ordered series, in
+    exact micro-units. One running-max window and one aggregate on the
+    same user_id partitioning.
+    """
+    from laser_hadoop_spark.functions.scalar import micro_units
+
+    e = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seq = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+        micro_units(F.col("value")).alias("v_micro"),
+    ).withColumn("run_max_micro", F.max("v_micro").over(w))
+    return seq.groupBy("user_id").agg(
+        F.max(F.col("run_max_micro") - F.col("v_micro")).alias("max_drawdown_micro"),
+        F.max("run_max_micro").alias("peak_micro"),
+        F.count("*").alias("n_points"),
+    )

@@ -8,7 +8,7 @@ sf0.1 wall-clock the driver benchmarks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from laser_hadoop_spark.functions.scalar import micro_units, money_sum, revenue_expr
@@ -1068,4 +1068,131 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
           )
         GROUP BY s_name
         """
+    )
+
+
+@register(
+    "q_pareto_customers",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS rev_centi
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT SUM(rev_centi) AS total_centi, COUNT(*) AS n_cust FROM rev),
+    ranked AS (
+        SELECT o_custkey, rev_centi,
+               SUM(rev_centi) OVER (ORDER BY rev_centi DESC, o_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_centi,
+               ROW_NUMBER() OVER (ORDER BY rev_centi DESC, o_custkey) AS rnk
+        FROM rev
+    )
+    SELECT CAST(MIN(r.rnk) AS BIGINT) AS n_top_customers,
+           CAST(t.n_cust AS BIGINT) AS n_customers,
+           CAST(MIN(r.rnk) * 10000 // t.n_cust AS BIGINT) AS top_share_bp
+    FROM ranked r CROSS JOIN tot t
+    WHERE r.cum_centi * 10 >= t.total_centi * 8
+    GROUP BY t.n_cust
+    """,
+)
+def q_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics-closure: Pareto concentration (how many customers make
+    80% of revenue).
+
+    Revenue in exact centi-units, customers ranked by revenue with the
+    unique custkey tiebreak, cumulative share compared as cum*10 >=
+    total*8 (no division), and the answer is the smallest rank crossing
+    the line plus its basis-point share of the customer base — the
+    80/20 dashboard number computed without a single float.
+
+    The ordered cumulative window is the one single-partition stage —
+    it runs over the per-customer aggregate (|customers| rows), not the
+    fact table, and at extreme cardinality the same answer falls out of
+    an approx-quantile cut on the revenue distribution.
+    """
+    o = table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")).alias(
+            "rev_centi"
+        )
+    )
+    tot = rev.agg(
+        F.sum("rev_centi").alias("total_centi"), F.count("*").alias("n_cust")
+    )
+    w = Window.orderBy(F.col("rev_centi").desc(), F.col("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = rev.select(
+        "o_custkey",
+        "rev_centi",
+        F.sum("rev_centi").over(w).alias("cum_centi"),
+        F.row_number()
+        .over(Window.orderBy(F.col("rev_centi").desc(), F.col("o_custkey")))
+        .alias("rnk"),
+    )
+    crossing = ranked.crossJoin(F.broadcast(tot)).where(
+        F.col("cum_centi") * 10 >= F.col("total_centi") * 8
+    )
+    return (
+        crossing.groupBy("n_cust")
+        .agg(
+            F.min("rnk").cast("bigint").alias("n_top_customers"),
+            F.expr("CAST(MIN(rnk) * 10000 DIV n_cust AS BIGINT)").alias(
+                "top_share_bp"
+            ),
+        )
+        .select(
+            "n_top_customers",
+            F.col("n_cust").cast("bigint").alias("n_customers"),
+            "top_share_bp",
+        )
+    )
+
+
+@register(
+    "q_ship_latency",
+    oracle="""
+    WITH lat AS (
+        SELECT o.o_orderpriority AS priority,
+               date_diff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE)) AS days
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT priority, COUNT(*) AS n_items,
+           ROUND(quantile_cont(days, 0.5), 4) AS p50_days,
+           ROUND(quantile_cont(days, 0.95), 4) AS p95_days,
+           CAST(MAX(days) AS BIGINT) AS max_days,
+           CAST(SUM(CASE WHEN days > 90 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sla_breach
+    FROM lat GROUP BY priority
+    """,
+)
+def q_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLA-closure: order-to-ship latency distribution per priority.
+
+    The operational-latency report: per priority, exact interpolated
+    p50/p95 of days-to-ship (integer day inputs — the percentile
+    interpolation midpoints are exact in double), the max, and the
+    count over a 90-day SLA. Fact-fact join on orderkey (bucketed
+    layout applies — q_bucketed_fact_join's warehouse removes this
+    exchange when pre-registered), then one aggregate.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days"),
+    )
+    return lat.groupBy("priority").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.percentile("days", F.lit(0.5)), 4).alias("p50_days"),
+        F.round(F.percentile("days", F.lit(0.95)), 4).alias("p95_days"),
+        F.max("days").cast("bigint").alias("max_days"),
+        F.sum(F.when(F.col("days") > 90, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sla_breach"),
     )

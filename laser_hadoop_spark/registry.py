@@ -125,6 +125,9 @@ _DRIVER_PRIORITY = [
     "q_rfm_segments",
     "q_hamming_neighbors",
     "q_top_paths",
+    "q_max_drawdown",
+    "q_pareto_customers",
+    "q_ship_latency",
     # -- 3. previously-green regression re-checks (r1 greens first:
     #    verified longest ago) ---------------------------------------
     "q_partial_final_agg",
@@ -157,10 +160,9 @@ _DRIVER_PRIORITY = [
     "q_recursive_cte",
     # ^-- the driver's 50-entry window covers 50 of the 51
     #     never-driver-tested entries (16 r2-overflow + 35 round-3 new;
-    #     positions 51-58 — q_naive_bayes_score, q_point_in_time_join,
-    #     q_outlier_count, q_event_transitions, q_ab_test, q_rfm_segments,
-    #     q_hamming_neighbors, q_top_paths — are round-4 overflow,
-    #     locally oracle-green, plain AND adversarial). Re-checks of r1/r2 greens ride on LEDGER.json +
+    #     positions 51-61 (q_naive_bayes_score through q_ship_latency)
+    #     are round-4 overflow, locally oracle-green, plain AND
+    #     adversarial). Re-checks of r1/r2 greens ride on LEDGER.json +
     #     the sf0.001 pytest oracle corpus; the
     #     re-checks past the line are all r1/r2-green, their verdicts
     #     stand in LEDGER.json
