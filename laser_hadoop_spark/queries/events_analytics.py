@@ -923,3 +923,92 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_max_micro").alias("peak_micro"),
         F.count("*").alias("n_points"),
     )
+
+
+@register(
+    "q_repeat_interval",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS gap_us
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, COUNT(*) AS n_gaps,
+           CAST(MIN(gap_us) // 1000000 AS BIGINT) AS min_gap_s,
+           CAST(MAX(gap_us) // 1000000 AS BIGINT) AS max_gap_s,
+           CAST((SUM(gap_us) // COUNT(*)) // 1000000 AS BIGINT)
+               AS mean_gap_s
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q_repeat_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics-closure: inter-purchase interval statistics per user.
+
+    Consecutive-purchase gaps via one lag window, then min/max/mean gap
+    in whole seconds — all integer arithmetic (the mean is an integer
+    division of exact micro sums, truncating identically on both
+    engines). The repeat-purchase-cadence input to churn models.
+    """
+    e = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), F.col("event_id"))
+    gaps = e.select(
+        "user_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.expr("CAST(MIN(gap_us) DIV 1000000 AS BIGINT)").alias("min_gap_s"),
+        F.expr("CAST(MAX(gap_us) DIV 1000000 AS BIGINT)").alias("max_gap_s"),
+        F.expr(
+            "CAST((SUM(gap_us) DIV COUNT(*)) DIV 1000000 AS BIGINT)"
+        ).alias("mean_gap_s"),
+    )
+
+
+@register(
+    "q_new_vs_returning",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    daily AS (
+        SELECT CAST(e.ts AS DATE) AS day,
+               CASE WHEN CAST(e.ts AS DATE) = f.first_day
+                    THEN 'new' ELSE 'returning' END AS cohort,
+               e.user_id
+        FROM events e JOIN firsts f ON f.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+    )
+    SELECT day, cohort,
+           COUNT(*) AS n_purchases,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM daily GROUP BY day, cohort
+    """,
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics-closure: daily new-vs-returning purchaser split.
+
+    First-seen attribution (one per-user aggregate) classifies every
+    purchase day as the user's first or a return visit; the daily
+    (cohort, purchases, distinct users) report follows. Both the firsts
+    aggregate and the classify join partition on user_id — one shuffle
+    feeds both — and only the tiny day-level aggregate re-partitions.
+    """
+    e = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    day = F.col("ts").cast("date")
+    firsts = e.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    daily = e.join(firsts, "user_id").select(
+        day.alias("day"),
+        F.when(day == F.col("first_day"), "new").otherwise("returning").alias(
+            "cohort"
+        ),
+        "user_id",
+    )
+    return daily.groupBy("day", "cohort").agg(
+        F.count("*").alias("n_purchases"),
+        F.count_distinct("user_id").alias("n_users"),
+    )

@@ -128,6 +128,8 @@ _DRIVER_PRIORITY = [
     "q_max_drawdown",
     "q_pareto_customers",
     "q_ship_latency",
+    "q_repeat_interval",
+    "q_new_vs_returning",
     # -- 3. previously-green regression re-checks (r1 greens first:
     #    verified longest ago) ---------------------------------------
     "q_partial_final_agg",
@@ -160,7 +162,7 @@ _DRIVER_PRIORITY = [
     "q_recursive_cte",
     # ^-- the driver's 50-entry window covers 50 of the 51
     #     never-driver-tested entries (16 r2-overflow + 35 round-3 new;
-    #     positions 51-61 (q_naive_bayes_score through q_ship_latency)
+    #     positions 51-63 (q_naive_bayes_score through q_new_vs_returning)
     #     are round-4 overflow, locally oracle-green, plain AND
     #     adversarial). Re-checks of r1/r2 greens ride on LEDGER.json +
     #     the sf0.001 pytest oracle corpus; the
