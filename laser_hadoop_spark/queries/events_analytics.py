@@ -1012,3 +1012,92 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_purchases"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "q_dow_seasonality",
+    oracle="""
+    WITH counts AS (
+        SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dow,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT event_type, SUM(n) AS n_tot FROM counts GROUP BY event_type)
+    SELECT c.event_type, CAST(c.dow AS INT) AS dow, c.n,
+           CAST((c.n * 70000) // t.n_tot AS BIGINT) AS share_x7_bp
+    FROM counts c JOIN tot t ON t.event_type = c.event_type
+    """,
+)
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics-closure: day-of-week seasonality profile.
+
+    Per event type, the weekday activity distribution scaled so a
+    uniform week reads 10000 bp per day (share x 7 in basis points —
+    values over 10000 mark hot days). Integer arithmetic only; weekday
+    numbering pinned to DuckDB's dayofweek (0=Sunday) via Spark's
+    dayofweek - 1.
+    """
+    e = table(spark, sf_dir, "events")
+    counts = e.groupBy(
+        "event_type", (F.dayofweek(F.col("ts").cast("date")) - 1).alias("dow")
+    ).agg(F.count("*").alias("n"))
+    tot = counts.groupBy("event_type").agg(F.sum("n").alias("n_tot"))
+    return counts.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        F.col("dow").cast("int").alias("dow"),
+        "n",
+        F.expr("CAST((n * 70000) DIV n_tot AS BIGINT)").alias("share_x7_bp"),
+    )
+
+
+@register(
+    "q_rolling_active_users",
+    oracle="""
+    WITH user_days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    contrib AS (
+        SELECT user_id, day + CAST(off AS INTEGER) AS window_day
+        FROM user_days,
+             (SELECT unnest(generate_series(0, 6)) AS off)
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM user_days)
+    SELECT window_day, COUNT(DISTINCT user_id) AS wau
+    FROM contrib CROSS JOIN bounds
+    WHERE window_day BETWEEN lo + CAST(6 AS INTEGER) AND hi
+    GROUP BY window_day
+    """,
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics-closure: exact rolling 7-day active users (WAU curve).
+
+    Sliding-window COUNT(DISTINCT) does not decompose, so the exact
+    algorithm explodes each distinct (user, day) into the 7 window-end
+    days it contributes to, then distinct-counts per window day — cost
+    is 7x the user-day table (already deduped), NOT 7x the event
+    stream, and every stage is an equi-shuffle. Full windows only
+    (first 6 days trimmed). The approximate sibling at extreme scale is
+    per-day HLL sketches unioned over the window (q_hll_sketch shows
+    the union machinery).
+    """
+    e = table(spark, sf_dir, "events")
+    user_days = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    contrib = user_days.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "day",
+    ).select("user_id", F.date_add(F.col("day"), F.col("off")).alias("window_day"))
+    bounds = user_days.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    return (
+        contrib.crossJoin(F.broadcast(bounds))
+        .where(
+            (F.col("window_day") >= F.date_add(F.col("lo"), 6))
+            & (F.col("window_day") <= F.col("hi"))
+        )
+        .groupBy("window_day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
