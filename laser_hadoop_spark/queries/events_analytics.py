@@ -1101,3 +1101,157 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_day")
         .agg(F.count_distinct("user_id").alias("wau"))
     )
+
+
+@register(
+    "q_funnel_windowed",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click'
+          AND epoch_us(e.ts) >= v.t_view
+          AND epoch_us(e.ts) < v.t_view + 604800000000
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_us(e.ts) >= c.t_click
+          AND epoch_us(e.ts) < c.t_click + 604800000000
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click_7d,
+           (SELECT COUNT(*) FROM p) AS n_purchase_7d,
+           CAST((SELECT COUNT(*) FROM p) * 10000
+                // (SELECT COUNT(*) FROM v) AS BIGINT) AS conv_bp
+    """,
+)
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel-closure: conversion-window funnel (7-day step deadlines).
+
+    q_funnel counts any-time progressions; real funnels expire — each
+    step must land within 7 days of the previous one. Same
+    stage-N-joins-stage-N-1 shape on one user_id partitioning, with the
+    deadline as an extra integer-microsecond predicate, plus the
+    end-to-end conversion in basis points.
+    """
+    e = table(spark, sf_dir, "events")
+    WEEK_US = 7 * 86_400 * 1_000_000
+    ts_us = F.unix_micros("ts")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(ts_us).alias("t_view"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where((ts_us >= F.col("t_view")) & (ts_us < F.col("t_view") + WEEK_US))
+        .groupBy("user_id")
+        .agg(F.min(ts_us).alias("t_click"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where((ts_us >= F.col("t_click")) & (ts_us < F.col("t_click") + WEEK_US))
+        .groupBy("user_id")
+        .agg(F.min(ts_us).alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_7d")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_7d")))
+        .select(
+            "n_view",
+            "n_click_7d",
+            "n_purchase_7d",
+            F.expr("CAST(n_purchase_7d * 10000 DIV n_view AS BIGINT)").alias(
+                "conv_bp"
+            ),
+        )
+    )
+
+
+@register(
+    "q_cart_abandonment",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t_click,
+               CAST(ts AS DATE) AS day
+        FROM events WHERE event_type = 'click'
+    ),
+    followed AS (
+        SELECT DISTINCT c.event_id
+        FROM clicks c JOIN events p
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase'
+         AND epoch_us(p.ts) > c.t_click
+         AND epoch_us(p.ts) <= c.t_click + 86400000000
+    )
+    SELECT c.day,
+           COUNT(*) AS n_clicks,
+           CAST(SUM(CASE WHEN f.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_abandoned,
+           CAST(SUM(CASE WHEN f.event_id IS NULL THEN 1 ELSE 0 END) * 10000
+                // COUNT(*) AS BIGINT) AS abandon_bp
+    FROM clicks c LEFT JOIN followed f ON f.event_id = c.event_id
+    GROUP BY c.day
+    """,
+)
+def q_cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel-closure: daily cart-abandonment rate.
+
+    A click is abandoned when no purchase by the same user lands within
+    24h after it. The followed-click set comes from a user-keyed
+    interval join (equi-key bounds the comparisons, the PIT-join shape)
+    deduped per click; a left anti-style null check then splits each
+    day's clicks into converted vs abandoned, with the rate in exact
+    basis points.
+    """
+    e = table(spark, sf_dir, "events")
+    DAY_US = 86_400 * 1_000_000
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t_click"),
+        F.col("ts").cast("date").alias("day"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.unix_micros("ts").alias("t_purchase")
+    )
+    followed = (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("t_purchase") > F.col("t_click"))
+            & (F.col("t_purchase") <= F.col("t_click") + DAY_US),
+        )
+        .select("event_id")
+        .distinct()
+        .withColumn("followed", F.lit(1))
+    )
+    return (
+        clicks.join(followed, "event_id", "left")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_clicks"),
+            F.sum(F.when(F.col("followed").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_abandoned"),
+        )
+        .select(
+            "day",
+            "n_clicks",
+            "n_abandoned",
+            F.expr("CAST(n_abandoned * 10000 DIV n_clicks AS BIGINT)").alias(
+                "abandon_bp"
+            ),
+        )
+    )

@@ -132,6 +132,8 @@ _DRIVER_PRIORITY = [
     "q_new_vs_returning",
     "q_dow_seasonality",
     "q_rolling_active_users",
+    "q_funnel_windowed",
+    "q_cart_abandonment",
     # -- 3. previously-green regression re-checks (r1 greens first:
     #    verified longest ago) ---------------------------------------
     "q_partial_final_agg",
@@ -164,7 +166,7 @@ _DRIVER_PRIORITY = [
     "q_recursive_cte",
     # ^-- the driver's 50-entry window covers 50 of the 51
     #     never-driver-tested entries (16 r2-overflow + 35 round-3 new;
-    #     positions 51-65 (q_naive_bayes_score through q_rolling_active_users)
+    #     positions 51-67 (q_naive_bayes_score through q_cart_abandonment)
     #     are round-4 overflow, locally oracle-green, plain AND
     #     adversarial). Re-checks of r1/r2 greens ride on LEDGER.json +
     #     the sf0.001 pytest oracle corpus; the
