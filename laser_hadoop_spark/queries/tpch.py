@@ -1196,3 +1196,109 @@ def q_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_sla_breach"),
     )
+
+
+@register(
+    "q_gini_revenue",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS r
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT r, ROW_NUMBER() OVER (ORDER BY r, o_custkey) AS i FROM rev
+    ),
+    sums AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(r AS HUGEINT)) AS s,
+               SUM(CAST(i AS HUGEINT) * r) AS si
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(s AS BIGINT) AS total_centi,
+           ROUND(CAST(2 * si AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+                 - CAST(n + 1 AS DOUBLE) / n, 4) AS gini
+    FROM sums
+    """,
+)
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics-closure: Gini coefficient of customer revenue.
+
+    Inequality of spend across customers via the rank formula
+    G = 2·Σ(i·x_(i)) / (n·Σx) − (n+1)/n over revenue sorted ascending
+    (custkey tiebreak). All sums are exact integers (centi-unit revenue
+    times bigint rank, accumulated in decimal(38)); doubles appear only
+    in the final two IEEE divisions, identical on both engines. Pairs
+    with q_pareto_customers: one number vs the 80% crossing point.
+
+    The global rank window runs over the per-customer aggregate — at
+    extreme cardinality the two-pass offset ranking of
+    operators/chunking.py replaces it, same downstream sums.
+    """
+    o = table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")).alias(
+            "r"
+        )
+    )
+    ranked = rev.select(
+        "r",
+        F.row_number().over(Window.orderBy("r", "o_custkey")).alias("i"),
+    )
+    sums = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("r").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("r")).alias("si"),
+    )
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("s").cast("bigint").alias("total_centi"),
+        F.round(
+            (F.lit(2) * F.col("si")).cast("double")
+            / (F.col("n").cast("double") * F.col("s").cast("double"))
+            - (F.col("n") + 1).cast("double") / F.col("n"),
+            4,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "q_value_deciles",
+    oracle="""
+    WITH v AS (
+        SELECT o_orderkey,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v_centi,
+               NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        FROM orders
+    )
+    SELECT decile, COUNT(*) AS n_orders,
+           CAST(MIN(v_centi) AS BIGINT) AS lo_centi,
+           CAST(MAX(v_centi) AS BIGINT) AS hi_centi,
+           CAST(SUM(v_centi) AS BIGINT) AS sum_centi
+    FROM v GROUP BY decile
+    """,
+)
+def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics-closure: order-value decile table.
+
+    Equi-depth distribution report: ntile(10) with the unique orderkey
+    tiebreak, then per-decile count / bounds / exact centi sums — the
+    where-the-money-sits table. Global ntile over orders; the
+    approx-quantile cut-point form replaces it at extreme scale.
+    """
+    o = table(spark, sf_dir, "orders")
+    v = o.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias(
+            "v_centi"
+        ),
+        F.ntile(10)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("decile"),
+    )
+    return v.groupBy("decile").agg(
+        F.count("*").alias("n_orders"),
+        F.min("v_centi").alias("lo_centi"),
+        F.max("v_centi").alias("hi_centi"),
+        F.sum("v_centi").alias("sum_centi"),
+    )
