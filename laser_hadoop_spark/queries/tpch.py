@@ -1302,3 +1302,152 @@ def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v_centi").alias("hi_centi"),
         F.sum("v_centi").alias("sum_centi"),
     )
+
+
+@register(
+    "q_duplicate_invoices",
+    oracle="""
+    SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+           CAST(FLOOR(a.o_totalprice * 100 + 0.5) AS BIGINT) AS amount_a_centi,
+           CAST(FLOOR(b.o_totalprice * 100 + 0.5) AS BIGINT) AS amount_b_centi,
+           CAST(a.o_custkey AS BIGINT) AS custkey
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND ABS(FLOOR(a.o_totalprice * 100 + 0.5)
+             - FLOOR(b.o_totalprice * 100 + 0.5)) <= 50000
+     AND a.o_orderkey < b.o_orderkey
+     AND ABS(date_diff('day', CAST(a.o_orderdate AS DATE),
+                       CAST(b.o_orderdate AS DATE))) <= 90
+    """,
+)
+def q_duplicate_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraud-closure: near-duplicate invoice detection.
+
+    Same customer, amounts within $500 (exact centi-unit band — float
+    tolerance would be a bug) and order dates within 90 days: the
+    double-payment / split-invoice audit. Self-join on the custkey
+    equi-key with the amount band and date window riding inside the
+    join condition — comparisons bounded per customer, pairs
+    canonicalized by a<b.
+    """
+    o = table(spark, sf_dir, "orders")
+    amt = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    side = o.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        amt.alias("amount_centi"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    )
+    a, b = side.alias("a"), side.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.custkey") == F.col("b.custkey"))
+            & (
+                F.abs(F.col("a.amount_centi") - F.col("b.amount_centi"))
+                <= 50000
+            )
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (
+                F.abs(F.datediff(F.col("a.day"), F.col("b.day"))) <= 90
+            ),
+        )
+        .select(
+            F.col("a.o_orderkey").alias("key_a"),
+            F.col("b.o_orderkey").alias("key_b"),
+            F.col("a.amount_centi").alias("amount_a_centi"),
+            F.col("b.amount_centi").alias("amount_b_centi"),
+            F.col("a.custkey").cast("bigint").alias("custkey"),
+        )
+    )
+
+
+@register(
+    "q_benford",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d
+        FROM orders WHERE o_totalprice > 0
+    ),
+    counts AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+    tot AS (SELECT SUM(n) AS n_tot FROM counts)
+    SELECT c.d AS first_digit, c.n,
+           CAST(c.n * 10000 // t.n_tot AS BIGINT) AS share_bp
+    FROM counts c CROSS JOIN tot t
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraud-closure: Benford first-digit profile of order amounts.
+
+    First significant digit of the exact centi amount (string head of
+    the integer — no log/pow float path), counts and basis-point
+    shares; audit tooling compares the shares against Benford's
+    log10(1+1/d) expectation. Exact integers throughout.
+    """
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    d = F.substring(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").cast("string"),
+        1,
+        1,
+    ).cast("int")
+    counts = o.select(d.alias("d")).groupBy("d").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("n_tot"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("first_digit"),
+        "n",
+        F.expr("CAST(n * 10000 DIV n_tot AS BIGINT)").alias("share_bp"),
+    )
+
+
+@register(
+    "q_monthly_growth",
+    oracle="""
+    WITH monthly AS (
+        SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS rev_centi
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(month AS DATE) AS month,
+           CAST(rev_centi AS BIGINT) AS rev_centi,
+           CAST(CASE WHEN LAG(rev_centi) OVER (ORDER BY month) IS NULL
+                     THEN NULL
+                     ELSE (rev_centi - LAG(rev_centi) OVER (ORDER BY month))
+                          * 10000 // LAG(rev_centi) OVER (ORDER BY month)
+                END AS BIGINT) AS mom_growth_bp
+    FROM monthly
+    """,
+)
+def q_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics-closure: monthly revenue + month-over-month growth.
+
+    Exact centi revenue per calendar month and the MoM growth in basis
+    points (integer division; truncation toward zero on both engines,
+    including negative growth). Month truncation on DATE values is
+    TZ-free. One aggregate + one lag over the tiny month table.
+    """
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("month")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("rev_centi")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev_centi").over(w)
+    return monthly.select(
+        "month",
+        "rev_centi",
+        F.when(prev.isNull(), F.lit(None).cast("bigint"))
+        .otherwise(
+            F.expr(
+                "CAST((rev_centi - LAG(rev_centi) OVER (ORDER BY month)) * 10000"
+                " DIV LAG(rev_centi) OVER (ORDER BY month) AS BIGINT)"
+            )
+        )
+        .alias("mom_growth_bp"),
+    )

@@ -136,6 +136,9 @@ _DRIVER_PRIORITY = [
     "q_cart_abandonment",
     "q_gini_revenue",
     "q_value_deciles",
+    "q_duplicate_invoices",
+    "q_benford",
+    "q_monthly_growth",
     # -- 3. previously-green regression re-checks (r1 greens first:
     #    verified longest ago) ---------------------------------------
     "q_partial_final_agg",
@@ -168,7 +171,7 @@ _DRIVER_PRIORITY = [
     "q_recursive_cte",
     # ^-- the driver's 50-entry window covers 50 of the 51
     #     never-driver-tested entries (16 r2-overflow + 35 round-3 new;
-    #     positions 51-69 (q_naive_bayes_score through q_value_deciles)
+    #     positions 51-72 (q_naive_bayes_score through q_monthly_growth)
     #     are round-4 overflow, locally oracle-green, plain AND
     #     adversarial). Re-checks of r1/r2 greens ride on LEDGER.json +
     #     the sf0.001 pytest oracle corpus; the
