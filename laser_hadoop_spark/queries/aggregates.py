@@ -554,3 +554,45 @@ def q_outlier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is_out, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
         F.max(F.when(is_out, F.col("xc"))).cast("bigint").alias("max_outlier_centi"),
     ).select("grp", "n", "n_outliers", "max_outlier_centi")
+
+
+@register(
+    "q_mad",
+    oracle="""
+    WITH med AS (
+        SELECT o_orderpriority, median(o_totalprice) AS m
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           ROUND(med.m, 4) AS median_price,
+           ROUND(median(ABS(o.o_totalprice - med.m)), 4) AS mad
+    FROM orders o JOIN med ON med.o_orderpriority = o.o_orderpriority
+    GROUP BY o.o_orderpriority, med.m
+    """,
+)
+def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-closure: median absolute deviation (robust dispersion).
+
+    MAD = median(|x - median(x)|) per group — the robust alternative to
+    stddev that q_profile_stats/q_regression_stats report. Two exact
+    interpolated medians (the proven cross-engine percentile
+    definition) with the group median joined back for the second pass.
+    Necessarily two passes — MAD has no single-pass algebraic form;
+    the approx path substitutes approx_percentile in both passes.
+    """
+    o = table(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(F.median("o_totalprice").alias("m"))
+    return (
+        o.join(F.broadcast(med), "o_orderpriority")
+        .groupBy("o_orderpriority", "m")
+        .agg(
+            F.round(F.median(F.abs(F.col("o_totalprice") - F.col("m"))), 4).alias(
+                "mad"
+            )
+        )
+        .select(
+            "o_orderpriority",
+            F.round("m", 4).alias("median_price"),
+            "mad",
+        )
+    )

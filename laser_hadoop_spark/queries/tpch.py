@@ -1451,3 +1451,65 @@ def q_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("mom_growth_bp"),
     )
+
+
+@register(
+    "q_abc_analysis",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS r
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(CAST(r AS HUGEINT)) AS total FROM rev),
+    ranked AS (
+        SELECT r,
+               SUM(CAST(r AS HUGEINT)) OVER (ORDER BY r DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM rev
+    ),
+    classed AS (
+        SELECT r, CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                       WHEN cum * 100 <= total * 95 THEN 'B'
+                       ELSE 'C' END AS cls
+        FROM ranked CROSS JOIN tot
+    )
+    SELECT cls, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(r AS HUGEINT)) AS BIGINT) AS rev_centi
+    FROM classed GROUP BY cls
+    """,
+)
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics-closure: ABC classification of parts by revenue.
+
+    Inventory-management staple: parts ranked by exact centi revenue;
+    A = parts inside the first 80% of cumulative revenue, B = next 15%,
+    C = tail. Class boundaries compared as cum*100 <= total*{80,95} —
+    integer cross-multiplication, no percentages in float. The
+    cumulative window runs over the per-part aggregate; same
+    single-partition note as q_pareto_customers.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("r")
+    )
+    tot = rev.agg(F.sum(F.col("r").cast("decimal(38,0)")).alias("total"))
+    w = Window.orderBy(F.col("r").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = rev.select(
+        "r", F.sum(F.col("r").cast("decimal(38,0)")).over(w).alias("cum")
+    )
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        "r",
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("cls"),
+    )
+    return classed.groupBy("cls").agg(
+        F.count("*").alias("n_parts"),
+        F.sum(F.col("r").cast("decimal(38,0)")).cast("bigint").alias("rev_centi"),
+    )

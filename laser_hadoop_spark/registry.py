@@ -139,6 +139,8 @@ _DRIVER_PRIORITY = [
     "q_duplicate_invoices",
     "q_benford",
     "q_monthly_growth",
+    "q_abc_analysis",
+    "q_mad",
     # -- 3. previously-green regression re-checks (r1 greens first:
     #    verified longest ago) ---------------------------------------
     "q_partial_final_agg",
@@ -171,7 +173,7 @@ _DRIVER_PRIORITY = [
     "q_recursive_cte",
     # ^-- the driver's 50-entry window covers 50 of the 51
     #     never-driver-tested entries (16 r2-overflow + 35 round-3 new;
-    #     positions 51-72 (q_naive_bayes_score through q_monthly_growth)
+    #     positions 51-74 (q_naive_bayes_score through q_mad)
     #     are round-4 overflow, locally oracle-green, plain AND
     #     adversarial). Re-checks of r1/r2 greens ride on LEDGER.json +
     #     the sf0.001 pytest oracle corpus; the
