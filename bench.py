@@ -83,12 +83,14 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
-    # streaming micro-bench: rate source -> watermarked window agg ->
+    # streaming micro-bench: PINNED deterministic file stream (1M rows,
+    # 5 batches, 100 keys — identical every round, so rows_per_sec in
+    # BENCH_r{N}.json is trendable) -> watermarked window agg ->
     # foreachBatch upsert; measured throughput + bounded state evidence
     try:
-        from laser_hadoop_spark.streaming.ops import rate_pipeline_bench
+        from laser_hadoop_spark.streaming.ops import pinned_stream_bench
 
-        streaming = rate_pipeline_bench(spark, seconds=6.0)
+        streaming = pinned_stream_bench(spark)
     except Exception as exc:  # noqa: BLE001
         streaming = {"error": f"{type(exc).__name__}: {exc}"}
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

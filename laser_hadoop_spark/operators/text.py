@@ -165,8 +165,16 @@ def token_chunks(
 # PII patterns kept to the regex subset Java (Spark) and RE2-ish engines
 # agree on: no lookaround, no backreferences. \b is ASCII word boundary
 # in both.
+# All quantifiers are BOUNDED (RFC 5321 limits: local-part <= 64,
+# domain <= 255, TLD label <= 63). An unbounded email pattern is
+# quadratic under java.util.regex on adversarial @-containing runs
+# (measured ~0.6 s/row at 40 KB — a redaction-pass DoS at corpus
+# scale); the bounds cap backtracking per start position so matching
+# stays linear, and no valid address is longer than the bounds anyway.
+# The patterns stay in the regex subset Java and RE2 (DuckDB oracle)
+# agree on: char classes, bounded repeats, \b.
 PII_PATTERNS: dict[str, str] = {
-    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "email": r"[a-zA-Z0-9._%+-]{1,64}@[a-zA-Z0-9.-]{1,255}\.[a-zA-Z]{2,63}",
     "phone": r"\b\d{3}-\d{3}-\d{4}\b",
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
 }

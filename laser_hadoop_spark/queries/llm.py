@@ -1002,7 +1002,7 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     SELECT doc_id,
            CAST(len(regexp_extract_all(text,
-               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT)
+               '[a-zA-Z0-9._%+-]{1,64}@[a-zA-Z0-9.-]{1,255}\.[a-zA-Z]{2,63}')) AS INT)
                AS n_email,
            CAST(len(regexp_extract_all(text,
                '\b\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phone,
@@ -1011,7 +1011,7 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            regexp_replace(
                regexp_replace(
                    regexp_replace(text,
-                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                       '[a-zA-Z0-9._%+-]{1,64}@[a-zA-Z0-9.-]{1,255}\.[a-zA-Z]{2,63}',
                        '<EMAIL>', 'g'),
                    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')

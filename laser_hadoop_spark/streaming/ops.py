@@ -263,6 +263,119 @@ def rate_pipeline_bench(
     }
 
 
+def pinned_stream_bench(
+    spark,
+    *,
+    n_rows: int = 1_000_000,
+    n_files: int = 5,
+    n_keys: int = 100,
+    rows_per_second: int = 200_000,
+    window_width: str = "1 second",
+    work_dir: str | None = None,
+) -> dict:
+    """Pinned-workload streaming micro-bench (round-3 verdict item 5).
+
+    ``rate_pipeline_bench`` measures whatever the rate source happened
+    to emit before min_batches filled — input volume varied 1.0M-1.8M
+    rows between rounds, so rows_per_sec was not trendable. This
+    variant drives the identical pipeline (watermarked tumbling agg ->
+    foreachBatch upsert_parquet) from a DETERMINISTIC file stream:
+
+    - exactly ``n_rows`` rows with synthetic event times (a fixed epoch
+      base + value/rows_per_second seconds — no wall clock anywhere);
+    - exactly ``n_files`` parquet files, consumed one per trigger
+      (maxFilesPerTrigger=1), so the batch structure is identical run
+      to run;
+    - Trigger.AvailableNow: the stream drains the fixed input and
+      stops itself.
+
+    rows_per_sec = n_rows / sum(triggerExecution) is therefore the same
+    workload every round and comparable across BENCH_r{N}.json.
+    """
+    import shutil
+    import tempfile
+    import time
+
+    from laser_hadoop_spark.sources.sinks import upsert_parquet
+
+    tmp = work_dir or tempfile.mkdtemp(prefix="lh_stream_bench_")
+    in_dir = f"{tmp}/input"
+    base_dir = f"{tmp}/upsert_base"
+    base_epoch = 1_700_000_000  # fixed — event time derives from row id only
+    rows = spark.range(n_rows).select(
+        (F.col("id") % n_keys).alias("key"),
+        F.timestamp_seconds(
+            F.lit(base_epoch) + F.col("id") / F.lit(float(rows_per_second))
+        ).alias("ts"),
+        (F.col("id") % 1000).cast("double").alias("value"),
+    )
+    rows.repartition(n_files).write.mode("overwrite").parquet(in_dir)
+
+    src = (
+        spark.readStream.schema("key bigint, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    agg = (
+        src.withWatermark("ts", "2 seconds")
+        .groupBy(F.window("ts", window_width), "key")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"), "key", "n_events", "sum_value"
+        )
+    )
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_parquet(spark, base_dir, batch_df, keys=["window_start", "key"])
+
+    t0 = time.perf_counter()
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    wall_s = time.perf_counter() - t0
+
+    input_rows = 0
+    busy_ms = 0
+    state_rows_max = 0
+    batches = 0
+    for p in q.recentProgress:
+        r = p.get("numInputRows", 0) or 0
+        if r == 0:
+            continue
+        input_rows += r
+        busy_ms += (p.get("durationMs") or {}).get("triggerExecution", 0) or 0
+        batches += 1
+        for so in p.get("stateOperators", []) or []:
+            state_rows_max = max(state_rows_max, so.get("numRowsTotal", 0) or 0)
+    import os
+
+    table_rows = (
+        spark.read.parquet(base_dir).count() if os.path.isdir(base_dir) else 0
+    )
+    if work_dir is None:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "rows_per_sec": round(input_rows / (busy_ms / 1000.0), 1) if busy_ms else 0.0,
+        "input_rows": input_rows,
+        "batches": batches,
+        "state_rows_max": state_rows_max,
+        "n_keys": n_keys,
+        "upsert_table_rows": table_rows,
+        "wall_sec": round(wall_s, 3),
+        "pinned": True,
+    }
+
+
 def start_upsert_sink(
     stream: DataFrame,
     spark,

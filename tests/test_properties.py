@@ -122,3 +122,49 @@ def test_money_sum_spark_equals_decimal_reference(spark, values):
         sum(values).quantize(Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP)
     )
     assert got == expected, (values, got, expected)
+
+
+@given(
+    st.lists(
+        st.sampled_from(
+            [
+                # adversarial near-matches: long @-runs with no TLD, dotted
+                # junk, digit runs — the shapes that blow up an unbounded
+                # email pattern quadratically under java.util.regex
+                "x" * 4000 + "@" + "a" * 4000,
+                "user@" + "a." * 2000 + "!",
+                "1.2.3." * 800 + "end",
+                "555-867-530" * 600,
+                "@" * 3000,
+                "a@b." * 1500,
+                # and real PII that must still redact
+                "reach me at jane.doe+x@mail.example.org today",
+                "server 192.168.0.1 phone 555-123-4567",
+            ]
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_redact_pii_linear_time_on_adversarial_input(spark, texts):
+    """PII regexes must stay linear-time: bounded quantifiers cap
+    backtracking per start position (round-3 verdict item 4). The
+    operator processes ~10 KB adversarial rows in well under a second
+    each; an unbounded email pattern measured ~0.6 s/row at 40 KB."""
+    import time
+
+    from laser_hadoop_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    t0 = time.perf_counter()
+    rows = redact_pii(df).select("n_email", "n_phone", "n_ipv4", "redacted").collect()
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 10.0, f"redact_pii took {elapsed:.1f}s on {len(texts)} rows"
+    for r in rows:
+        # real addresses still redact; '@'-junk never half-matches
+        assert "jane.doe" not in r.redacted
+        assert "192.168.0.1" not in r.redacted
+        assert "555-123-4567" not in r.redacted

@@ -248,3 +248,35 @@ def test_rate_pipeline_bench_bounded_state(spark, tmp_path):
     # so state is O(n_keys * open_windows) — far below input_rows
     assert 0 < m["state_rows_max"] <= 20 * 40
     assert 0 < m["upsert_table_rows"] <= 20 * 40
+
+
+def test_pinned_stream_bench_deterministic_workload(spark, tmp_path):
+    """bench.py's streaming block: the pinned variant must consume
+    exactly n_rows in exactly n_files batches (trendable across
+    rounds), keep state bounded by keys x open windows, and upsert a
+    key-bounded table."""
+    m = ops.pinned_stream_bench(
+        spark,
+        n_rows=50_000,
+        n_files=4,
+        n_keys=20,
+        rows_per_second=100_000,
+        work_dir=str(tmp_path / "bench"),
+    )
+    assert m["input_rows"] == 50_000
+    assert m["batches"] == 4
+    assert m["rows_per_sec"] > 0
+    # 50k rows at 100k rows/s of event time = 0.5s of event time ->
+    # exactly 1 open 1s window; upsert table holds n_keys rows
+    assert 0 < m["state_rows_max"] <= 20 * 40
+    assert m["upsert_table_rows"] == 20
+    # workload is pinned: a second run sees the identical input shape
+    m2 = ops.pinned_stream_bench(
+        spark,
+        n_rows=50_000,
+        n_files=4,
+        n_keys=20,
+        rows_per_second=100_000,
+        work_dir=str(tmp_path / "bench2"),
+    )
+    assert (m2["input_rows"], m2["batches"]) == (m["input_rows"], m["batches"])
