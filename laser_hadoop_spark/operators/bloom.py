@@ -39,7 +39,8 @@ def build_bloom(keys: DataFrame, key_col: str, *, n_bits: int = 1 << 20,
                 n_hashes: int = 5) -> DataFrame:
     """Aggregate a key column into a single-row Bloom bitmap.
 
-    Returns a 1-row DataFrame with one column ``bloom``: a DENSE
+    Returns a 1-row DataFrame with one column ``__bloom_bitmap``
+    (collision-proof name: the fact side may own ``bloom``): a DENSE
     ``array<bigint>`` of ``n_bits/64`` words, so each probe is one O(1)
     array index. Density matters: a ``map<int,bigint>`` bitmap probes
     via Spark's GetMapValue, which LINEARLY SCANS the map per lookup —
@@ -77,7 +78,7 @@ def build_bloom(keys: DataFrame, key_col: str, *, n_bits: int = 1 << 20,
             F.transform(
                 F.sort_array(F.collect_list(F.struct("id", "word"))),
                 lambda s: s["word"],
-            ).alias("bloom")
+            ).alias("__bloom_bitmap")
         )
     )
     return dense
@@ -111,15 +112,16 @@ def bloom_semi_join(facts: DataFrame, dim_keys: DataFrame, fact_col: str,
     "left_semi")`` — the bitmap only prunes the fact side before the
     exact residual semi-join. At scale the pruned fact side is what
     enters the join's exchange, so shuffle bytes drop by the filter's
-    selectivity while the broadcast cost is one sparse bitmap.
+    selectivity while the broadcast cost is one dense array<bigint> bitmap
+    (~n_bits/8 bytes).
     """
     bloom = build_bloom(dim_keys.select(dim_col), dim_col,
                         n_bits=n_bits, n_hashes=n_hashes)
     pruned = (
         facts.join(F.broadcast(bloom))
-        .where(might_contain(F.col(fact_col), F.col("bloom"),
+        .where(might_contain(F.col(fact_col), F.col("__bloom_bitmap"),
                              n_bits=n_bits, n_hashes=n_hashes))
-        .drop("bloom")
+        .drop("__bloom_bitmap")
     )
     return pruned.join(
         dim_keys.select(F.col(dim_col).alias("__bloom_dim_key")).distinct(),

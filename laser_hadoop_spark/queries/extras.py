@@ -1406,40 +1406,40 @@ def q_hamming_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     For every customer, the count of other customers whose name is
     within edit distance 1. The Spark side generates candidates by the
     deletion-neighborhood trick (SymSpell / spell-correction blocking):
-    each name emits one key per character position with that character
-    deleted (plus itself) — two equal-length names within substitution
-    distance 1 MUST share the deletion key at the differing position,
-    so an equi-join on (position, key) finds all candidates with ~|s|
-    keys per record instead of comparing all pairs. A levenshtein
-    verify removes the false positives.
+    each name emits ITSELF plus one key per character position with
+    that character deleted, and candidates equi-join on the key alone.
+    Every levenshtein<=1 pair then shares a key: equal-length
+    substitution pairs share the deletion key at the differing
+    position; insert/delete pairs (lengths differ by 1) share the
+    longer string's deletion key at the inserted position, which IS the
+    shorter string — the case a (pos,key) join on deletion keys alone
+    silently drops (round-3 ADVICE). A levenshtein verify removes the
+    false positives (e.g. transposition pairs that collide on a key).
 
     The ORACLE is the quadratic all-pairs levenshtein join — the hash
     match proves the deletion-neighborhood blocking lossless on this
     corpus (the q_prefix_filter_pairs verification pattern). At 100 TB
-    the asymmetry is the point: |s| keys/record vs n² comparisons.
+    the asymmetry is the point: |s|+1 keys/record vs n² comparisons.
     """
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     n_chars = F.length("c_name")
     # deletion key at position i: prefix before i + suffix after i
-    keys = F.transform(
+    del_keys = F.transform(
         F.sequence(F.lit(1), n_chars),
-        lambda i: F.struct(
-            i.alias("pos"),
-            F.concat(
-                F.expr("c_name").substr(F.lit(1), i - 1),
-                F.expr("c_name").substr(i + 1, n_chars),
-            ).alias("key"),
+        lambda i: F.concat(
+            F.expr("c_name").substr(F.lit(1), i - 1),
+            F.expr("c_name").substr(i + 1, n_chars),
         ),
     )
-    blocked = c.select(
-        "c_custkey", "c_name", F.explode(keys).alias("k")
-    ).select("c_custkey", "c_name", F.col("k.pos").alias("pos"), F.col("k.key").alias("key"))
+    # SymSpell proper: the undeleted string is a key too (array_union
+    # also dedups repeated deletion keys from runs of equal chars)
+    keys = F.array_union(F.array(F.col("c_name")), del_keys)
+    blocked = c.select("c_custkey", "c_name", F.explode(keys).alias("key"))
     a, b = blocked.alias("a"), blocked.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.pos") == F.col("b.pos"))
-            & (F.col("a.key") == F.col("b.key"))
+            (F.col("a.key") == F.col("b.key"))
             & (F.col("a.c_custkey") != F.col("b.c_custkey")),
         )
         .select(

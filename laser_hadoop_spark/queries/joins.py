@@ -367,8 +367,9 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-filtered by a broadcast single-row Bloom bitmap built from the
     dim keys in one aggregation, so only bitmap survivors enter the
     join exchange. At 100 TB the exchange carries ~selectivity x |fact|
-    rows instead of all of them; the bitmap is sparse
-    (map<word_idx, word>), deterministic (fixed xxhash64 seeds), and
+    rows instead of all of them; the bitmap is a dense array<bigint>
+    (n_bits/64 words, ~128 KiB at 2^20 bits — dense so each probe is
+    one O(1) array index), deterministic (fixed xxhash64 seeds), and
     the residual exact semi-join removes false positives, keeping the
     result value-identical to the un-pruned join.
     """

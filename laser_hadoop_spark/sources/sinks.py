@@ -225,17 +225,31 @@ def compact_parquet(
     Returns the number of output partitions chosen. The reference's
     chunked-gzip sink (TRACEWriter.java batching) is the row-count
     analogue; this is the byte-oriented engine-ops form.
+    Sizes come from Hadoop FileSystem statuses of the scan's own input
+    files, so the math holds on HDFS/S3/anything Spark reads — not
+    just the local filesystem (round-3 ADVICE: an os.walk sizing
+    returned 0 bytes off-local and collapsed the output into one
+    partition). A local os.walk remains only as the fallback for
+    JVM-less sessions (Spark Connect).
     """
     import math
     import os
 
-    total_bytes = 0
-    for root, _dirs, files in os.walk(src_path):
-        for f in files:
-            if f.endswith(".parquet"):
-                total_bytes += os.path.getsize(os.path.join(root, f))
-    n_parts = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
     df = spark.read.parquet(src_path)
+    try:
+        hpath_cls = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+        hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        total_bytes = 0
+        for f in df.inputFiles():
+            p = hpath_cls(f)
+            total_bytes += p.getFileSystem(hconf).getFileStatus(p).getLen()
+    except Exception:  # noqa: BLE001 - no JVM gateway (Spark Connect)
+        total_bytes = 0
+        for root, _dirs, files in os.walk(src_path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total_bytes += os.path.getsize(os.path.join(root, f))
+    n_parts = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
     if sort_within:
         df = df.repartitionByRange(n_parts, *sort_within).sortWithinPartitions(
             *sort_within

@@ -28,23 +28,21 @@ def ledger():
 
 
 def test_ledger_file_is_current(ledger):
-    """Self-healing: when a new CORRECTNESS_r{N}.json lands (each round
-    start), regenerate LEDGER.json instead of failing — the strict
-    gates are the regression/coverage tests below, not file freshness."""
+    """Assert-only freshness gate (round-3 ADVICE: a test that rewrote
+    the tracked file could mask a stale committed ledger). When a new
+    CORRECTNESS_r{N}.json lands, run ``python scripts/make_ledger.py``
+    and commit the result; set LH_REGEN_LEDGER=1 to let this test do
+    the regeneration explicitly."""
     path = os.path.join(ROOT, "LEDGER.json")
-    on_disk = None
-    if os.path.exists(path):
-        with open(path) as f:
-            on_disk = json.load(f)
-    if on_disk != ledger:
+    if os.environ.get("LH_REGEN_LEDGER") == "1":
         with open(path, "w") as f:
             json.dump(ledger, f, indent=1)
             f.write("\n")
-        import warnings
-
-        warnings.warn("LEDGER.json was stale; regenerated from CORRECTNESS files")
     with open(path) as f:
-        assert json.load(f) == ledger
+        assert json.load(f) == ledger, (
+            "LEDGER.json is stale — run `python scripts/make_ledger.py` "
+            "(or re-run pytest with LH_REGEN_LEDGER=1) and commit it"
+        )
 
 
 def test_no_driver_regressions(ledger):

@@ -1007,7 +1007,7 @@ def test_bloom_bitmap_prunes_before_the_join(spark, sf_dir):
     bloom = build_bloom(dim, "o_orderkey")
     pruned = (
         li.join(F.broadcast(bloom))
-        .where(might_contain(F.col("l_orderkey"), F.col("bloom")))
+        .where(might_contain(F.col("l_orderkey"), F.col("__bloom_bitmap")))
         .count()
     )
     exact = li.join(dim, li.l_orderkey == dim.o_orderkey, "left_semi").count()
@@ -1177,3 +1177,32 @@ def test_prefix_filter_generates_fewer_candidates(spark):
 
     got = prefix_filter_pairs(d, threshold_bp=9000).count()
     assert got == 900  # within-cluster Jaccard = 30/30 = 1.0 >= 0.9
+
+
+def test_hamming_neighbors_finds_insert_delete_pairs(spark, tmp_path):
+    """X79 regression (round-3 ADVICE): the SymSpell blocking must emit
+    the undeleted string as a key so levenshtein<=1 pairs whose lengths
+    differ by one (insert/delete edits) produce a shared candidate key.
+    TPC-H c_name is fixed-length, so the oracle corpus cannot catch
+    this — this fixture uses variable-length names."""
+    import glob
+    import shutil
+
+    from laser_hadoop_spark import registry
+
+    names = [(1, "cat"), (2, "cats"), (3, "bat"), (4, "ca"), (5, "dog")]
+    df = spark.createDataFrame(names, "c_custkey bigint, c_name string")
+    staged = tmp_path / "sf"
+    staged.mkdir()
+    df.coalesce(1).write.parquet(str(tmp_path / "p"))
+    shutil.copyfile(
+        glob.glob(str(tmp_path / "p" / "part-*.parquet"))[0],
+        str(staged / "customer.parquet"),
+    )
+    got = {
+        r.custkey: (r.n_neighbors, r.nearest_key)
+        for r in registry.get("q_hamming_neighbors").fn(spark, str(staged)).collect()
+    }
+    # all-pairs levenshtein<=1 truth: cat~{cats,bat,ca}, cats~{cat},
+    # bat~{cat}, ca~{cat}, dog~{} (absent)
+    assert got == {1: (3, 2), 2: (1, 1), 3: (1, 1), 4: (1, 1)}
