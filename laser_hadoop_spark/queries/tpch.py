@@ -1107,11 +1107,13 @@ def q_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the line plus its basis-point share of the customer base — the
     80/20 dashboard number computed without a single float.
 
-    The ordered cumulative window is the one single-partition stage —
-    it runs over the per-customer aggregate (|customers| rows), not the
-    fact table, and at extreme cardinality the same answer falls out of
-    an approx-quantile cut on the revenue distribution.
+    The cumulative ranking runs as operators/cumulative.ordered_cumsum
+    — the two-pass range-partitioned form, so there is NO
+    single-partition exchange even though the order is global; a 100x
+    dimension growth just adds parallel partitions.
     """
+    from laser_hadoop_spark.operators.cumulative import ordered_cumsum
+
     o = table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")).alias(
@@ -1121,16 +1123,11 @@ def q_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = rev.agg(
         F.sum("rev_centi").alias("total_centi"), F.count("*").alias("n_cust")
     )
-    w = Window.orderBy(F.col("rev_centi").desc(), F.col("o_custkey")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    ranked = rev.select(
-        "o_custkey",
-        "rev_centi",
-        F.sum("rev_centi").over(w).alias("cum_centi"),
-        F.row_number()
-        .over(Window.orderBy(F.col("rev_centi").desc(), F.col("o_custkey")))
-        .alias("rnk"),
+    ranked = ordered_cumsum(
+        rev,
+        order_by=[F.col("rev_centi").desc(), F.col("o_custkey")],
+        values={"rev_centi": "cum_centi"},
+        row_number_col="rnk",
     )
     crossing = ranked.crossJoin(F.broadcast(tot)).where(
         F.col("cum_centi") * 10 >= F.col("total_centi") * 8
@@ -1232,20 +1229,21 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the final two IEEE divisions, identical on both engines. Pairs
     with q_pareto_customers: one number vs the 80% crossing point.
 
-    The global rank window runs over the per-customer aggregate — at
-    extreme cardinality the two-pass offset ranking of
-    operators/chunking.py replaces it, same downstream sums.
+    The global ranking runs as operators/cumulative.ordered_cumsum's
+    two-pass offset row number — no single-partition exchange at any
+    customer cardinality.
     """
+    from laser_hadoop_spark.operators.cumulative import ordered_cumsum
+
     o = table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")).alias(
             "r"
         )
     )
-    ranked = rev.select(
-        "r",
-        F.row_number().over(Window.orderBy("r", "o_custkey")).alias("i"),
-    )
+    ranked = ordered_cumsum(
+        rev, order_by=[F.col("r"), F.col("o_custkey")], row_number_col="i"
+    ).select("r", "i")
     sums = ranked.agg(
         F.count("*").alias("n"),
         F.sum(F.col("r").cast("decimal(38,0)")).alias("s"),
@@ -1486,9 +1484,12 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     A = parts inside the first 80% of cumulative revenue, B = next 15%,
     C = tail. Class boundaries compared as cum*100 <= total*{80,95} —
     integer cross-multiplication, no percentages in float. The
-    cumulative window runs over the per-part aggregate; same
-    single-partition note as q_pareto_customers.
+    cumulative revenue runs as operators/cumulative.ordered_cumsum —
+    two-pass range-partitioned, no single-partition exchange at any
+    part cardinality.
     """
+    from laser_hadoop_spark.operators.cumulative import ordered_cumsum
+
     li = table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(
@@ -1496,12 +1497,11 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     )
     tot = rev.agg(F.sum(F.col("r").cast("decimal(38,0)")).alias("total"))
-    w = Window.orderBy(F.col("r").desc(), F.col("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    ranked = rev.select(
-        "r", F.sum(F.col("r").cast("decimal(38,0)")).over(w).alias("cum")
-    )
+    ranked = ordered_cumsum(
+        rev.select("l_partkey", "r", F.col("r").cast("decimal(38,0)").alias("rd")),
+        order_by=[F.col("r").desc(), F.col("l_partkey")],
+        values={"rd": "cum"},
+    ).select("r", "cum")
     classed = ranked.crossJoin(F.broadcast(tot)).select(
         "r",
         F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")

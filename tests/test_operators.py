@@ -1206,3 +1206,37 @@ def test_hamming_neighbors_finds_insert_delete_pairs(spark, tmp_path):
     # all-pairs levenshtein<=1 truth: cat~{cats,bat,ca}, cats~{cat},
     # bat~{cat}, ca~{cat}, dog~{} (absent)
     assert got == {1: (3, 2), 2: (1, 1), 3: (1, 1), 4: (1, 1)}
+
+
+def test_ordered_cumsum_matches_global_window(spark):
+    """operators/cumulative.ordered_cumsum == the single-partition
+    global-window form, for any partition-boundary placement (unique
+    tiebreaker => total order), including desc orderings and multiple
+    value columns."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    from laser_hadoop_spark.operators.cumulative import ordered_cumsum
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(0, 50), rng.randrange(-100, 100)) for i in range(997)]
+    df = spark.createDataFrame(rows, "k bigint, g bigint, v bigint")
+    order = [F.col("g").desc(), F.col("k")]
+    got = {
+        r.k: (r.cum_v, r.rn)
+        for r in ordered_cumsum(
+            df, order_by=order, values={"v": "cum_v"}, row_number_col="rn",
+            n_partitions=7,
+        ).collect()
+    }
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.k: (r.cum_v, r.rn)
+        for r in df.select(
+            "k",
+            F.sum("v").over(w).alias("cum_v"),
+            F.row_number().over(Window.orderBy(*order)).alias("rn"),
+        ).collect()
+    }
+    assert got == want

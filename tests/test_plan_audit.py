@@ -286,3 +286,20 @@ def test_round3_queries_stay_jvm_side_and_shuffle_bounded(spark, sf_dir):
         assert "ArrowEvalPython" not in plan, name
         got = _n_shuffles(plan)
         assert got <= budget, (name, got, budget)
+
+
+def test_ordered_cumsum_family_no_global_window(spark, sf_dir):
+    """Round-3 verdict item 8: the ordered-global-window family now
+    runs the two-pass ordered_cumsum — every window in the plan is
+    partitioned (by __pid), so no data-bearing single-partition window
+    funnel remains. (The one surviving Exchange SinglePartition is the
+    final scalar aggregate, which moves n_partitions partial rows, not
+    data.)"""
+    for name in ("q_pareto_customers", "q_gini_revenue", "q_abc_analysis"):
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        specs = [
+            s for s in plan.split("windowspecdefinition(")[1:]
+        ]
+        assert specs, f"{name}: expected partitioned windows in {plan}"
+        for s in specs:
+            assert s.startswith("__pid"), f"{name}: unpartitioned window: {s[:120]}"
