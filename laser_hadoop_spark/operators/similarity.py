@@ -278,6 +278,49 @@ def _kmeans_centroids(
     return centroids
 
 
+def tune_n_probe(
+    mat: np.ndarray,
+    centroids: np.ndarray,
+    *,
+    k: int,
+    recall_target: float,
+    max_probe: int | None = None,
+) -> int:
+    """Smallest n_probe whose ESTIMATED recall@k meets recall_target.
+
+    Estimation runs entirely on the driver over the (already collected)
+    k-means training sample: for each sample point, its true top-k
+    neighbors within the sample are computed by brute force, and a
+    neighbor counts as found when its home cell is among the query's
+    first p probe cells. The smallest p reaching the target wins —
+    replacing the fixed n_probe=2 default that PERF_NOTES measured at
+    recall 0.38 on isotropic data (clustered data saturates much
+    earlier; isotropic data needs more probes — exactly why a fixed
+    default is the wrong knob).
+
+    Cost: O(m² dim) on m <= train_rows driver rows — the same order as
+    the k-means training itself. Deterministic for a fixed sample.
+    """
+    n_cells = len(centroids)
+    max_probe = max_probe or n_cells
+    m = len(mat)
+    normed = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    probe_order = np.argsort(-(normed @ centroids.T), axis=1)  # (m, n_cells)
+    home = probe_order[:, 0]
+    sims = normed @ normed.T
+    np.fill_diagonal(sims, -np.inf)
+    kk = min(k, m - 1)
+    topk = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]  # (m, kk)
+    neighbor_home = home[topk]  # (m, kk): home cell of each true neighbor
+    for p in range(1, max_probe + 1):
+        probed = probe_order[:, :p]  # (m, p)
+        # neighbor found iff its home cell is probed by the query
+        found = (neighbor_home[:, :, None] == probed[:, None, :]).any(axis=2)
+        if found.mean() >= recall_target:
+            return p
+    return max_probe
+
+
 def ivf_topk(
     df: DataFrame,
     *,
@@ -285,7 +328,8 @@ def ivf_topk(
     vec_col: str,
     k: int = 5,
     n_cells: int = 16,
-    n_probe: int = 2,
+    n_probe: int | None = None,
+    recall_target: float | None = None,
     seed: int = 42,
     train_rows: int = 4096,
 ) -> DataFrame:
@@ -302,6 +346,12 @@ def ivf_topk(
     sized; the centroid matrix (n_cells x dim doubles) broadcasts to
     every task; assignment is one Arrow-batched BLAS matmul per batch
     (no per-row Python). Deterministic for a fixed seed.
+
+    Pass ``recall_target`` (0..1) to AUTO-TUNE n_probe from the
+    training sample (tune_n_probe): the probe count becomes the
+    smallest that reaches the target's estimated recall@k on the
+    sample, instead of a fixed guess. An explicit ``n_probe`` wins if
+    both are given.
     """
     import pandas as pd
 
@@ -320,6 +370,12 @@ def ivf_topk(
     )
     mat = np.array([r[1] for r in sample], dtype=np.float64)
     centroids = _kmeans_centroids(mat, n_cells, seed)
+    if n_probe is None:
+        n_probe = (
+            tune_n_probe(mat, centroids, k=k, recall_target=recall_target)
+            if recall_target is not None
+            else 2
+        )
     sc = df.sparkSession.sparkContext
     b_cent = sc.broadcast(centroids)
 
