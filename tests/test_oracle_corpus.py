@@ -51,3 +51,30 @@ def test_survey_inventory_in_sync_with_registry():
     undocumented = registered - declared
     assert not missing_impl, f"SURVEY declares unimplemented queries: {sorted(missing_impl)}"
     assert not undocumented, f"registered but absent from SURVEY: {sorted(undocumented)}"
+
+
+def test_local_oracle_artifact_covers_registry():
+    """Round-3 verdict item 6: ORACLE_LOCAL_r{N}.json is the committed
+    record distinguishing 'locally oracle-green' from 'never run' for
+    queries outside the driver's 50-entry window. The latest artifact
+    must cover every registered query and be all-green; adding a query
+    without regenerating it (scripts/check_oracles.py --json) fails
+    here."""
+    import glob
+    import json
+    import os
+
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    paths = sorted(glob.glob(os.path.join(root, "ORACLE_LOCAL_r*.json")))
+    assert paths, "no ORACLE_LOCAL_r{N}.json committed"
+    with open(paths[-1]) as f:
+        artifact = json.load(f)["queries"]
+    registered = set(registry.specs())
+    missing = sorted(registered - set(artifact))
+    assert not missing, (
+        f"queries missing from {os.path.basename(paths[-1])} — regenerate with "
+        f"`python scripts/check_oracles.py --json {os.path.basename(paths[-1])} "
+        f"/root/testdata/sf0.001`: {missing}"
+    )
+    bad = sorted(n for n, v in artifact.items() if not v["ok"])
+    assert not bad, f"locally failing queries recorded: {bad}"
