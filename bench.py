@@ -48,6 +48,11 @@ HEADLINE = [
     # round 3: winnowing fingerprint extraction — the hot document-
     # fingerprinting kernel (scan-local gram hashing + per-doc window)
     "q_winnow_fingerprints",
+    # round 4: full-fact two-pass cumulative sum (ordered_cumsum over
+    # all of lineitem) and the minhash signature kernel (shingles x 8
+    # seeds of md5 digests through one (doc, seed) aggregate)
+    "q_weighted_median",
+    "q_minhash_signatures",
 ]
 
 

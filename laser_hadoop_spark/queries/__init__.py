@@ -16,6 +16,7 @@ def load_all() -> None:
         extras,
         joins,
         llm,
+        round4,
         scalars,
         scans,
         setops,

@@ -92,7 +92,17 @@ _DRIVER_PRIORITY = [
     "q_monthly_growth",
     "q_abc_analysis",
     "q_mad",
-    # -- 2. new in round 4 -------------------------------------------
+    # -- 2. new in round 4 (X97-X106, queries/round4.py) --------------
+    "q_pivot_table",
+    "q_weighted_median",
+    "q_interval_union",
+    "q_skyline",
+    "q_bigram_pmi",
+    "q_minhash_signatures",
+    "q_run_length",
+    "q_nearest_event",
+    "q_zipf_fit",
+    "q_latest_state",
     # -- 3. previously-green regression re-checks, verified-longest-ago
     #    first (all r1-green, last checked in CORRECTNESS_r01) --------
     "q_partial_final_agg",

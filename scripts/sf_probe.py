@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""sf1 scale probe (round-3 verdict item 7).
+
+Builds a 10x-scaled dataset from the driver's sf0.1 parquet and times
+the most expensive headline queries at both scales, printing per-query
+wall times and the scaling exponent log10(t_sf1 / t_sf0.1) — 1.0 means
+perfectly linear work at fixed parallelism, < 1.0 sublinear (fixed
+overheads amortizing), > 1.0 superlinear (a scale-killer).
+
+Scaling construction (derived from the driver data, not synthesized
+from scratch):
+- lineitem / orders: 10 key-offset copies (orderkey += i * K) — join
+  structure and per-key group sizes scale exactly 10x, dimension FKs
+  stay valid.
+- documents: 10 copies with every token suffixed `_i` per copy —
+  disjoint vocabularies, so each copy keeps the ORIGINAL within-copy
+  near-duplicate structure (pair counts scale exactly 10x) instead of
+  manufacturing 10-cliques of exact duplicates that no real 10x corpus
+  would have.
+- dimensions (region nation customer supplier part events embeddings):
+  copied as-is.
+
+Usage: python scripts/sf_probe.py [--build-only] [--runs N]
+Writes the scaled data under /tmp/lh_sfprobe/sf1 (scratch, not
+committed).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from pyspark.sql import functions as F
+
+from laser_hadoop_spark import registry
+from laser_hadoop_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/lh_sfprobe/sf1"
+COPIES = 10
+PROBE_QUERIES = [
+    "q_winnow_fingerprints",
+    "q_curation_pipeline",
+    "q_dedup_ngram_jaccard",
+    "q_product_profit",
+    "q_waiting_suppliers",
+    "q_weighted_median",
+]
+AS_IS = ["region", "nation", "customer", "supplier", "part", "events", "embeddings"]
+
+
+def build(spark) -> None:
+    if os.path.exists(os.path.join(DST, "_DONE")):
+        print(f"{DST} already built")
+        return
+    os.makedirs(DST, exist_ok=True)
+    for t in AS_IS:
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{DST}/{t}.parquet"
+        )
+    copies = spark.range(COPIES).select(F.col("id").alias("copy"))
+
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    k_ord = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    orders.crossJoin(copies).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.col("copy") * F.lit(k_ord)
+    ).drop("copy").write.mode("overwrite").parquet(f"{DST}/orders.parquet")
+
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    li.crossJoin(copies).withColumn(
+        "l_orderkey", F.col("l_orderkey") + F.col("copy") * F.lit(k_ord)
+    ).drop("copy").write.mode("overwrite").parquet(f"{DST}/lineitem.parquet")
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    k_doc = docs.agg(F.max("doc_id")).first()[0] + 1
+    suffixed = F.array_join(
+        F.transform(
+            F.split("text", " "),
+            lambda w: F.concat(w, F.lit("_"), F.col("copy").cast("string")),
+        ),
+        " ",
+    )
+    docs.crossJoin(copies).withColumn(
+        "doc_id", F.col("doc_id") + F.col("copy") * F.lit(k_doc)
+    ).withColumn("text", suffixed).drop("copy").write.mode("overwrite").parquet(
+        f"{DST}/documents.parquet"
+    )
+    open(os.path.join(DST, "_DONE"), "w").write("ok\n")
+    print(f"built {DST}")
+
+
+def probe(spark, runs: int) -> None:
+    specs = registry.specs()
+    print(f"{'query':28s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>7s} {'exponent':>8s}")
+    for name in PROBE_QUERIES:
+        fn = specs[name].fn
+        times = {}
+        for label, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
+            best = float("inf")
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+            times[label] = best
+        ratio = times["sf1"] / times["sf0.1"]
+        import math
+
+        print(
+            f"{name:28s} {times['sf0.1']:8.3f} {times['sf1']:8.3f} "
+            f"{ratio:7.2f} {math.log10(ratio):8.2f}"
+        )
+
+
+def main() -> None:
+    runs = 3
+    if "--runs" in sys.argv:
+        runs = int(sys.argv[sys.argv.index("--runs") + 1])
+    spark = get_spark("sf_probe")
+    build(spark)
+    if "--build-only" in sys.argv:
+        return
+    # one untimed warmup pass (the bench.py discipline)
+    specs = registry.specs()
+    for name in PROBE_QUERIES:
+        specs[name].fn(spark, SRC).collect()
+    probe(spark, runs)
+
+
+if __name__ == "__main__":
+    main()
