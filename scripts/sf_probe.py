@@ -12,11 +12,14 @@ from scratch):
 - lineitem / orders: 10 key-offset copies (orderkey += i * K) — join
   structure and per-key group sizes scale exactly 10x, dimension FKs
   stay valid.
-- documents: 10 copies with every token suffixed `_i` per copy —
-  disjoint vocabularies, so each copy keeps the ORIGINAL within-copy
-  near-duplicate structure (pair counts scale exactly 10x) instead of
-  manufacturing 10-cliques of exact duplicates that no real 10x corpus
-  would have.
+- documents: 10 verbatim copies under offset doc_ids. This makes every
+  document a 10-clique of exact duplicates — deliberately: a corpus
+  with ~90% duplication is a realistic pretraining-data inlet, the
+  curation pipeline's dedup stage must collapse it (output stays ~1x
+  while input work is 10x), and the ngram-jaccard join gets its worst
+  realistic case (dense duplicate cliques). A token-perturbed variant
+  was tried first and rejected: synthetic tokens fail the quality
+  filters, zeroing the downstream stages and voiding the measurement.
 - dimensions (region nation customer supplier part events embeddings):
   copied as-is.
 
@@ -76,18 +79,9 @@ def build(spark) -> None:
 
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
     k_doc = docs.agg(F.max("doc_id")).first()[0] + 1
-    suffixed = F.array_join(
-        F.transform(
-            F.split("text", " "),
-            lambda w: F.concat(w, F.lit("_"), F.col("copy").cast("string")),
-        ),
-        " ",
-    )
     docs.crossJoin(copies).withColumn(
         "doc_id", F.col("doc_id") + F.col("copy") * F.lit(k_doc)
-    ).withColumn("text", suffixed).drop("copy").write.mode("overwrite").parquet(
-        f"{DST}/documents.parquet"
-    )
+    ).drop("copy").write.mode("overwrite").parquet(f"{DST}/documents.parquet")
     open(os.path.join(DST, "_DONE"), "w").write("ok\n")
     print(f"built {DST}")
 
