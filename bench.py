@@ -53,6 +53,11 @@ HEADLINE = [
     # seeds of md5 digests through one (doc, seed) aggregate)
     "q_weighted_median",
     "q_minhash_signatures",
+    # round 4b: the exact-SimHash bit-vote kernel (vocab x 32 explode
+    # through one (doc, bit) combine) and BM25 ranked search (corpus
+    # stats broadcast + postings equi-join + integer scoring)
+    "q_simhash_exact",
+    "q_bm25_search",
 ]
 
 

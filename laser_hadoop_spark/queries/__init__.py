@@ -17,6 +17,7 @@ def load_all() -> None:
         joins,
         llm,
         round4,
+        round4b,
         scalars,
         scans,
         setops,

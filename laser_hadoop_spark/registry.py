@@ -56,16 +56,17 @@ def _load_all() -> None:
 # The driver verifies a 50-entry PREFIX of queries() order (rounds 1-3:
 # CORRECTNESS_r0{1,2,3}.json are exactly the first 50 entries of the
 # round's ordering), so dict order is a verification budget. Priority
-# for round 4:
+# for round 4 — the window is exactly filled by never-driver-checked
+# queries, 24 + 10 + 16 = 50:
 #   1. the 24 round-3 queries (X73-X96, q_naive_bayes_score..q_mad)
 #      that overflowed round 3's window — oracle-green in the local
 #      sf0.001 pytest corpus but never driver-checked;
-#   2. queries newly added in round 4 — never tested by definition;
-#   3. previously-green regression re-checks, verified-longest-ago
-#      first (r1 greens whose last driver verdict is three rounds old).
-# Everything past position 50 is ever-green per LEDGER.json and stays
-# covered by the full local oracle corpus (tests/test_oracle_corpus.py
-# + ORACLE_LOCAL_r04.json).
+#   2. the first round-4 batch (X97-X106, queries/round4.py);
+#   3. the second round-4 batch (X107-X122, queries/round4b.py).
+# Regression re-checks (r1 greens last verified three rounds ago) are
+# listed after position 50 as next-in-line; everything past the window
+# is ever-green per LEDGER.json and stays covered by the full local
+# oracle corpus (tests/test_oracle_corpus.py + ORACLE_LOCAL_r04.json).
 _DRIVER_PRIORITY = [
     # -- 1. round-3 overflow: oracle-backed, never driver-tested ------
     "q_naive_bayes_score",
@@ -103,8 +104,25 @@ _DRIVER_PRIORITY = [
     "q_nearest_event",
     "q_zipf_fit",
     "q_latest_state",
-    # -- 3. previously-green regression re-checks, verified-longest-ago
-    #    first (all r1-green, last checked in CORRECTNESS_r01) --------
+    # -- 3. new in round 4, second batch (X107-X122, round4b.py) ------
+    "q_mode_per_group",
+    "q_entropy",
+    "q_chi_squared",
+    "q_heavy_hitters",
+    "q_table_diff",
+    "q_ewma",
+    "q_bfs_distances",
+    "q_simhash_exact",
+    "q_sample_hash_stratified",
+    "q_boxplot_stats",
+    "q_copurchase_degree",
+    "q_equidepth_histogram",
+    "q_partition_checksum",
+    "q_incremental_merge",
+    "q_audience_jaccard",
+    "q_bm25_search",
+    # -- past the 50-entry window: regression re-checks, verified-
+    #    longest-ago first (all r1-green, last checked in r01) --------
     "q_partial_final_agg",
     "q_count_distinct",
     "q_dedup_exact",

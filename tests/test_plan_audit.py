@@ -303,3 +303,39 @@ def test_ordered_cumsum_family_no_global_window(spark, sf_dir):
         assert specs, f"{name}: expected partitioned windows in {plan}"
         for s in specs:
             assert s.startswith("__pid"), f"{name}: unpartitioned window: {s[:120]}"
+
+
+def test_round4b_queries_stay_jvm_side_and_shuffle_bounded(spark, sf_dir):
+    """Round-4 second batch (X107-X122): no Python nodes outside the
+    one deliberate mapInPandas (Misra-Gries pass 1 in q_heavy_hitters),
+    and every shape stays within its declared exchange budget."""
+    budgets = {
+        "q_mode_per_group": 2,        # (seg, prio) agg + tiny window
+        "q_entropy": 2,               # cell agg + bucket rollup
+        "q_chi_squared": 8,           # contingency + three marginal aggs
+        "q_table_diff": 3,            # fingerprint FOJ + status count
+        "q_ewma": 1,                  # recency window + agg share user_id
+        "q_bfs_distances": 25,        # 3 frontier rounds x (join + min-agg)
+        "q_simhash_exact": 5,         # bit votes + signature + ntok join
+        "q_sample_hash_stratified": 1,  # one stratum-key window
+        "q_boxplot_stats": 2,         # rank window + outlier recount
+        "q_copurchase_degree": 4,     # edge dedup + degree + histogram
+        "q_equidepth_histogram": 1,   # ntile + bucket agg share the sort
+        "q_partition_checksum": 1,    # scan-local hash, one month agg
+        "q_incremental_merge": 2,     # partial states + merge
+        "q_audience_jaccard": 7,      # (user,type) dedup + self-join + sizes
+        "q_bm25_search": 9,           # corpus stats, df, tf, dl, final sum
+    }
+    for name, budget in budgets.items():
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        got = _n_shuffles(plan)
+        assert got <= budget, (name, got, budget)
+    # q_heavy_hitters: the MG candidate pass IS a Python node by design;
+    # assert the exact-recount side stays bounded and the only Python
+    # node is the mapInPandas summary.
+    plan = _plan(registry.get("q_heavy_hitters").fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan, "q_heavy_hitters: row-at-a-time UDF"
+    assert plan.count("MapInPandas") == 1, "q_heavy_hitters: expected one MG pass"
+    assert _n_shuffles(plan) <= 3, ("q_heavy_hitters", _n_shuffles(plan))
