@@ -226,43 +226,13 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     every distinct token. Oracle equality proves the sketch pass is
     lossless for the reported set.
     """
-    import pandas as pd
+    from laser_hadoop_spark.operators.sketches import heavy_hitters
 
     docs = table(spark, sf_dir, "documents").select("text")
     tok = docs.select(
         F.explode(F.split(F.col("text"), " ")).alias("token")
     ).where(F.col("token") != "")
-
-    capacity = 4096
-
-    def mg_partition(batches):
-        counters: dict[str, int] = {}
-        for pdf in batches:
-            for token in pdf["token"]:
-                if token in counters:
-                    counters[token] += 1
-                elif len(counters) < capacity:
-                    counters[token] = 1
-                else:
-                    dead = [k for k in counters if counters[k] == 1]
-                    for k in counters:
-                        counters[k] -= 1
-                    for k in dead:
-                        del counters[k]
-        yield pd.DataFrame({"token": list(counters.keys())})
-
-    candidates = (
-        tok.mapInPandas(mg_partition, schema="token string").distinct()
-    )
-    total = tok.agg(F.count("*").alias("n"))
-    return (
-        tok.join(F.broadcast(candidates), "token", "left_semi")
-        .groupBy("token")
-        .agg(F.count("*").alias("cnt"))
-        .crossJoin(F.broadcast(total))
-        .where(F.col("cnt") * 500 > F.col("n"))
-        .select("token", "cnt")
-    )
+    return heavy_hitters(tok, "token", threshold_denom=500, capacity=4096)
 
 
 def _snapshot_diff_sql(md5_expr: str) -> str:
