@@ -375,33 +375,52 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle)) over the doc's distinct 3-gram shingles, for 8 seeds.
     Same min-over-hashed-universe structure as any MinHash — the
     Jaccard estimator applies unchanged — but bit-for-bit verifiable.
-    One explode (shingles x 8 seeds of 16-byte digests), one
-    (doc_id, seed) aggregate; at 100 TB the shuffle moves signatures,
-    never text.
+
+    Shape (reworked after the r04 sf0.1 bench showed the naive
+    shingles x 8 seeds row explode at 5.7 s): each per-doc signature
+    slot is array_min over the shingle array's md5s, computed ENTIRELY
+    inside the scan projection — no explode, no join, no aggregate;
+    the only plan nodes after the scan are a Project and the
+    zero-shuffle stack unpivot (X18). MinHash is per-document math, so
+    at 100 TB this is embarrassingly parallel over file splits — the
+    textbook case for keeping work inside whole-stage codegen.
+    (Duplicate shingles can't change a minimum, so no array_distinct
+    pass is needed either.) The small-file repartition spreads the
+    hashing across cores when the input is one sub-split parquet file
+    (the bench case); on a real multi-split corpus it is a no-op-cost
+    rebalance of pointers, and AQE coalesces it.
     """
     d = table(spark, sf_dir, "documents")
     t = F.split("text", " ")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(t) - 3),
-            lambda i: F.concat_ws(
-                " ", F.element_at(t, i + 1), F.element_at(t, i + 2), F.element_at(t, i + 3)
-            ),
+    base = (
+        d.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .where(F.size(t) >= 3)
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - 3),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(t, i + 1), F.element_at(t, i + 2), F.element_at(t, i + 3)
+                ),
+            ).alias("sh_arr"),
         )
     )
-    sh = (
-        d.where(F.size(t) >= 3)
-        .select("doc_id", F.explode(shingles).alias("shingle"))
-    )
-    seeded = sh.select(
+
+    def _seed_hash(s: int):
+        prefix = F.lit(f"{s}|")
+        return lambda x: F.md5(F.concat(prefix, x))
+
+    mins = base.select(
         "doc_id",
-        "shingle",
-        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("seed"),
+        *[
+            F.array_min(F.transform("sh_arr", _seed_hash(s))).alias(f"s{s}")
+            for s in range(8)
+        ],
     )
-    sig = F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle")))
-    return (
-        seeded.groupBy("doc_id", F.col("seed").cast("bigint").alias("seed"))
-        .agg(F.min(sig).alias("min_hash"))
+    pairs = ", ".join(f"CAST({s} AS BIGINT), s{s}" for s in range(8))
+    return mins.select(
+        "doc_id", F.expr(f"stack(8, {pairs}) AS (seed, min_hash)")
     )
 
 

@@ -316,7 +316,7 @@ def test_round4b_queries_stay_jvm_side_and_shuffle_bounded(spark, sf_dir):
         "q_table_diff": 3,            # fingerprint FOJ + status count
         "q_ewma": 1,                  # recency window + agg share user_id
         "q_bfs_distances": 25,        # 3 frontier rounds x (join + min-agg)
-        "q_simhash_exact": 5,         # bit votes + signature + ntok join
+        "q_simhash_exact": 2,         # (doc,token) distinct + 32-col vote agg
         "q_sample_hash_stratified": 1,  # one stratum-key window
         "q_boxplot_stats": 2,         # rank window + outlier recount
         "q_copurchase_degree": 4,     # edge dedup + degree + histogram
