@@ -110,8 +110,13 @@ def ngram_jaccard_pairs(
     # shuffle exchange (ReusedExchange), so shingles are computed once;
     # a broadcast build would re-compute the subplan per side — and at
     # 100 TB the shingle table could never broadcast anyway.
+    # Raw rows are repartitioned BEFORE the shingle/hash projection: a
+    # single sub-split input file would otherwise serialize all the
+    # hashing into one scan task (PERF_NOTES round 4b).
     shingles = (
-        df.select(
+        df.select(id_col, text_col)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(
             F.col(id_col).alias("doc"), word_shingle_hashes(text_col, n).alias("sh")
         )
         .select("doc", F.size("sh").alias("n"), F.explode("sh").alias("shingle"))

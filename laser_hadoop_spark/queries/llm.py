@@ -1187,9 +1187,15 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-internal, but winnowing SELECTS BY hash ORDER, so the hash
     itself must agree. Plan: scan-local gram hashing (zip_with over
     slice views, no per-gram string explode until posexplode), one
-    window per doc_id partition, one distinct.
+    window per doc_id partition, one distinct. The raw rows are
+    repartitioned BEFORE the gram/hash projection: on the bench's
+    single sub-split parquet file the scan is one task, and without
+    the rebalance all the md5 work runs serially (PERF_NOTES round
+    4b); on a multi-split corpus AQE coalesces the no-op.
     """
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     t = F.split(F.col("text"), " ")
     m3 = F.greatest(F.size(t) - 2, F.lit(0))
     s0, s1, s2 = (F.slice(t, j + 1, m3) for j in range(3))
