@@ -568,11 +568,18 @@ def q_boxplot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     as rank arithmetic so both engines agree without trusting either's
     percentile function), IQR, and the Tukey outlier count at 1.5*IQR
     whiskers. The whisker comparison is doubled (2*p vs 2*q1 - 3*iqr)
-    so 1.5*IQR stays integral. Two passes over the fact relation: the
-    rank window and the outlier recount — both shuffles on the same
-    3-value flag key; at scale the rank pass becomes the two-pass
-    range-partitioned rank.
+    so 1.5*IQR stays integral.
+
+    Scale shape: l_returnflag has THREE values, so a per-flag rank
+    window is a 3-task funnel over the whole fact table. The per-group
+    rank instead derives from ONE two-pass global rank in (flag, p,
+    keys) order (operators/cumulative.ordered_cumsum — fully
+    range-parallel) minus the broadcast per-flag start offset; the
+    oracle keeps the plain window spelling and hash equality proves
+    the offset arithmetic.
     """
+    from laser_hadoop_spark.operators.cumulative import ordered_cumsum
+
     li = table(spark, sf_dir, "lineitem")
     p = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
     v = li.select(
@@ -581,13 +588,16 @@ def q_boxplot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
-    wo = Window.partitionBy("flag").orderBy("p", "l_orderkey", "l_linenumber")
-    wc = Window.partitionBy("flag")
-    v = v.select(
-        "flag",
-        "p",
-        F.row_number().over(wo).alias("rn"),
-        F.count("*").over(wc).alias("n"),
+    ranked = ordered_cumsum(
+        v,
+        order_by=["flag", "p", "l_orderkey", "l_linenumber"],
+        row_number_col="grn",
+    )
+    offs = ranked.groupBy("flag").agg(
+        F.min("grn").alias("off"), F.count("*").alias("n")
+    )
+    v = ranked.join(F.broadcast(offs), "flag").select(
+        "flag", "p", (F.col("grn") - F.col("off") + 1).alias("rn"), "n"
     )
     q = v.groupBy("flag").agg(
         F.max("n").alias("n"),
@@ -696,22 +706,38 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bucket boundaries that equalize row counts rather than value
     ranges — the statistics a cost-based optimizer or a range
     partitioner actually wants on skewed money columns (X24's
-    q_histogram is the equi-width sibling). ntile over a totally
-    ordered (value, unique key) spec is deterministic on both engines;
-    the aggregate per bucket is a 10-group combine. At 100 TB the
-    single-partition ntile window is replaced by the two-pass
-    range-partitioned rank (operators/cumulative) — same output, the
-    boundaries come from the partial-sum offsets.
+    q_histogram is the equi-width sibling). The oracle keeps DuckDB's
+    NTILE spelling; the Spark side computes the IDENTICAL bucket
+    assignment from a two-pass range-partitioned global rank
+    (operators/cumulative.ordered_cumsum — no single-partition window
+    anywhere, the 100 TB shape) and ntile's remainder arithmetic:
+    with q = n DIV 10, r = n % 10, the first r buckets take q+1 rows.
+    Hash equality proves the closed form matches the window function.
     """
+    from laser_hadoop_spark.operators.cumulative import ordered_cumsum
+
     o = table(spark, sf_dir, "orders")
     centi = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
-    v = o.select(centi.alias("centi"), "o_orderkey").withColumn(
-        "bucket", F.ntile(10).over(Window.orderBy("centi", "o_orderkey"))
+    v = o.select(centi.alias("centi"), "o_orderkey")
+    ranked = ordered_cumsum(
+        v, order_by=["centi", "o_orderkey"], row_number_col="rn"
     )
-    return v.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
-        F.count("*").alias("n_orders"),
-        F.min("centi").alias("lo_centi"),
-        F.max("centi").alias("hi_centi"),
+    n_row = v.agg(F.count("*").alias("n"))
+    bucket = F.expr(
+        "CASE WHEN rn <= (n % 10) * (n DIV 10 + 1) "
+        "THEN (rn - 1) DIV (n DIV 10 + 1) + 1 "
+        "ELSE n % 10 + (rn - (n % 10) * (n DIV 10 + 1) - 1) "
+        "DIV greatest(n DIV 10, 1) + 1 END"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n_row))
+        .select("centi", bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("centi").alias("lo_centi"),
+            F.max("centi").alias("hi_centi"),
+        )
     )
 
 

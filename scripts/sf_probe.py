@@ -51,6 +51,13 @@ PROBE_QUERIES = [
     "q_product_profit",
     "q_waiting_suppliers",
     "q_weighted_median",
+    # round 4b: the reworked signature kernels + MG heavy hitters +
+    # BM25 — all document-corpus paths, probed against the 10-copy
+    # (90%-duplicated) corpus worst case
+    "q_minhash_signatures",
+    "q_simhash_exact",
+    "q_heavy_hitters",
+    "q_bm25_search",
 ]
 AS_IS = ["region", "nation", "customer", "supplier", "part", "events", "embeddings"]
 

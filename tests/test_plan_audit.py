@@ -320,7 +320,9 @@ def test_round4b_queries_stay_jvm_side_and_shuffle_bounded(spark, sf_dir):
         "q_sample_hash_stratified": 1,  # one stratum-key window
         "q_boxplot_stats": 2,         # rank window + outlier recount
         "q_copurchase_degree": 4,     # edge dedup + degree + histogram
-        "q_equidepth_histogram": 1,   # ntile + bucket agg share the sort
+        "q_equidepth_histogram": 5,   # two-pass rank (range repart +
+                              # offsets) + scalar n + bucket agg —
+                              # no SinglePartition window (see below)
         "q_partition_checksum": 1,    # scan-local hash, one month agg
         "q_incremental_merge": 2,     # partial states + merge
         "q_audience_jaccard": 7,      # (user,type) dedup + self-join + sizes
@@ -337,5 +339,11 @@ def test_round4b_queries_stay_jvm_side_and_shuffle_bounded(spark, sf_dir):
     # node is the mapInPandas summary.
     plan = _plan(registry.get("q_heavy_hitters").fn(spark, sf_dir))
     assert "BatchEvalPython" not in plan, "q_heavy_hitters: row-at-a-time UDF"
+    # q_equidepth_histogram: every window is partitioned (__pid) — the
+    # global ntile funnel is gone (same invariant as the ordered-cumsum
+    # family).
+    eq_plan = _plan(registry.get("q_equidepth_histogram").fn(spark, sf_dir))
+    for spec in eq_plan.split("windowspecdefinition(")[1:]:
+        assert spec.startswith("__pid"), f"unpartitioned window: {spec[:120]}"
     assert plan.count("MapInPandas") == 1, "q_heavy_hitters: expected one MG pass"
     assert _n_shuffles(plan) <= 3, ("q_heavy_hitters", _n_shuffles(plan))
