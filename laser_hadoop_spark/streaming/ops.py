@@ -408,3 +408,139 @@ def start_upsert_sink(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --- ST10: decayed counter (streaming EWMA, integer-exact) -------------------
+
+DECAYED_SCHEMA = "user_id long, ewma_x32768 long, n_seen long"
+
+
+def fold_decay(
+    s: int | None, n: int, values: "list[int]"
+) -> tuple[int | None, int]:
+    """Pure fold for the alpha = 1/2 decayed counter, BIGINT-exact:
+    with s = EWMA * 2^15, the recurrence ewma' = (ewma + v)/2 becomes
+    s' = (s + (v << 15)) >> 1, initialized s = v << 15 on the first
+    event. Truncating shifts keep everything integral (the streaming
+    twin of the batch q_ewma, which uses closed-form powers-of-two
+    weights over the last 16 events — same decay, this one never
+    truncates history). Unit-tested directly for cross-batch state
+    carry, independent of how the source batches rows.
+    """
+    for v in values:
+        s = (v << 15) if s is None else (s + (v << 15)) >> 1
+        n += 1
+    return s, n
+
+
+def _decayed_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    s, n = state.get if state.exists else (None, 0)
+    if s is not None and s < 0:
+        s = None  # -1 sentinel for "no events yet"
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["t_us", "event_id"])
+        v_centi = [int(v) for v in pdf["v_centi"]]
+        s, n = fold_decay(s, n, v_centi)
+    state.update((s if s is not None else -1, n))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "ewma_x32768": [s if s is not None else 0], "n_seen": [n]}
+    )
+
+
+def decayed_counter_per_user(events: DataFrame) -> DataFrame:
+    """ST10: per-key exponentially decayed counter via
+    applyInPandasWithState — the streaming form of q_ewma (X112).
+
+    alpha = 1/2 keeps the whole recurrence in bigints (shift-and-add),
+    so the emitted value is deterministic given arrival order: rows
+    are folded in (event-time, event_id) order WITHIN each trigger,
+    and state carries the scaled EWMA across triggers. State is two
+    bigints per key — O(keys), never O(events); this is the decayed
+    engagement/score counter every feature store keeps online.
+    """
+    prepped = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v_centi"),
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _decayed_fn,
+        outputStructType=DECAYED_SCHEMA,
+        stateStructType="s long, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- ST11: streaming heavy hitters (bucketed Misra-Gries state) --------------
+
+HH_STATE_SCHEMA = "tokens array<string>, counts array<long>"
+HH_OUT_SCHEMA = "bucket int, token string, min_count long"
+
+
+def _mk_hh_fn(capacity: int):
+    def hh_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            tokens, counts = state.get
+            counters = dict(zip(list(tokens), [int(c) for c in counts]))
+        else:
+            counters = {}
+        for pdf in pdfs:
+            for token in pdf["token"]:
+                if token in counters:
+                    counters[token] += 1
+                elif len(counters) < capacity:
+                    counters[token] = 1
+                else:
+                    dead = [k for k in counters if counters[k] == 1]
+                    for k in counters:
+                        counters[k] -= 1
+                    for k in dead:
+                        del counters[k]
+        state.update((list(counters.keys()), list(counters.values())))
+        yield pd.DataFrame(
+            {
+                "bucket": [key[0]] * len(counters),
+                "token": list(counters.keys()),
+                "min_count": list(counters.values()),
+            }
+        )
+
+    return hh_fn
+
+
+def heavy_hitters_stream(
+    tokens: DataFrame, *, n_buckets: int = 16, capacity: int = 1024
+) -> DataFrame:
+    """ST11: streaming Misra-Gries heavy hitters — the online form of
+    operators/sketches.heavy_hitters (X110).
+
+    Tokens shard by hash bucket; each bucket's GroupState holds one
+    Misra-Gries summary that persists ACROSS triggers, so the
+    candidate set reflects the whole stream history, not one batch.
+    Per-batch snapshots (update mode) emit each bucket's surviving
+    tokens with their MG lower-bound counts. The union over buckets
+    keeps the no-false-negative guarantee for any key with global
+    frequency > n / capacity (pigeonhole over buckets, then the
+    per-summary bound); an exact recount against the latest-state
+    store turns candidates into exact counts, as in the batch
+    operator. State is O(n_buckets * capacity) — constant in stream
+    length.
+    """
+    bucketed = tokens.select(
+        F.col("token"),
+        (F.abs(F.xxhash64("token")) % n_buckets).cast("int").alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        _mk_hh_fn(capacity),
+        outputStructType=HH_OUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -280,3 +280,84 @@ def test_pinned_stream_bench_deterministic_workload(spark, tmp_path):
         work_dir=str(tmp_path / "bench2"),
     )
     assert (m2["input_rows"], m2["batches"]) == (m["input_rows"], m["batches"])
+
+
+def test_decayed_counter_fold_is_exact_and_batch_invariant():
+    """ST10 kernel: the integer fold matches the rational alpha=1/2
+    EWMA (up to the truncating shift), and splitting the same value
+    sequence across state-carrying calls gives identical results."""
+    from laser_hadoop_spark.streaming.ops import fold_decay
+
+    vals = [100, 250, 7, 9999, 42]
+    s_all, n_all = fold_decay(None, 0, vals)
+    s1, n1 = fold_decay(None, 0, vals[:2])
+    s2, n2 = fold_decay(s1, n1, vals[2:])
+    assert (s2, n2) == (s_all, n_all)
+    # reference: exact rational EWMA scaled by 2^15 with per-step floor
+    ref = None
+    for v in vals:
+        ref = (v << 15) if ref is None else (ref + (v << 15)) >> 1
+    assert s_all == ref and n_all == 5
+
+
+def test_decayed_counter_streaming(spark, stream_dir):
+    """ST10 end-to-end: per-user decayed counter over the file stream;
+    final snapshot equals the pure fold over (ts, event_id)-ordered
+    arrivals (single availableNow batch)."""
+    from laser_hadoop_spark.streaming.ops import decayed_counter_per_user, fold_decay
+
+    out = _run(
+        spark,
+        decayed_counter_per_user(_read_stream(spark, stream_dir)),
+        "t_decay",
+        mode="update",
+    )
+    final = {}
+    for r in out.collect():  # last snapshot per user wins
+        final[r["user_id"]] = (r["ewma_x32768"], r["n_seen"])
+    # rebuild expectation from the raw files in the same order contract
+    raw = (
+        spark.read.schema(EVENTS_DDL)
+        .parquet(stream_dir)
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("t_us"),
+            "event_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        )
+        .collect()
+    )
+    by_user: dict = {}
+    for r in sorted(raw, key=lambda r: (r["t_us"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(r["v"])
+    for u, vals in by_user.items():
+        s, n = fold_decay(None, 0, vals)
+        assert final[u] == (s, n), u
+
+
+def test_heavy_hitters_streaming(spark, tmp_path):
+    """ST11: stateful Misra-Gries candidates across the stream contain
+    every token above the guaranteed frequency, with small capacity to
+    force evictions."""
+    from laser_hadoop_spark.streaming.ops import heavy_hitters_stream
+
+    freqs = {"hot": 60, "warm": 25}
+    freqs.update({f"t{i:02d}": 2 for i in range(40)})
+    rows = [(k,) for k, c in freqs.items() for _ in range(c)]
+    d = tmp_path / "tok_in"
+    spark.createDataFrame(rows, "token string").coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(str(d))
+    stream = spark.readStream.schema("token string").parquet(str(d))
+    out = _run(
+        spark,
+        heavy_hitters_stream(stream, n_buckets=4, capacity=16),
+        "t_hh",
+        mode="update",
+    )
+    cands = {r["token"] for r in out.collect()}
+    n = sum(freqs.values())
+    for k, c in freqs.items():
+        if c * 16 > n:  # guaranteed at capacity 16 per bucket
+            assert k in cands, k
+    assert "hot" in cands and "warm" in cands
