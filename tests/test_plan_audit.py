@@ -318,7 +318,12 @@ def test_round4b_queries_stay_jvm_side_and_shuffle_bounded(spark, sf_dir):
         "q_bfs_distances": 25,        # 3 frontier rounds x (join + min-agg)
         "q_simhash_exact": 2,         # (doc,token) distinct + 32-col vote agg
         "q_sample_hash_stratified": 1,  # one stratum-key window
-        "q_boxplot_stats": 2,         # rank window + outlier recount
+        "q_boxplot_stats": 12,        # two-pass global rank (range
+                              # repart + offsets), consumed by
+                              # both the quartile agg and the
+                              # outlier recount (plan repeats the
+                              # checkpointed subtree) - every
+                              # window partitioned, no funnel
         "q_copurchase_degree": 4,     # edge dedup + degree + histogram
         "q_equidepth_histogram": 5,   # two-pass rank (range repart +
                               # offsets) + scalar n + bucket agg —
