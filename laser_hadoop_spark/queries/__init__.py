@@ -18,6 +18,8 @@ def load_all() -> None:
         llm,
         round4,
         round4b,
+        round4c,
+        round4d,
         scalars,
         scans,
         setops,

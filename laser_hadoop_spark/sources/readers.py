@@ -249,3 +249,56 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     stripe reader). Interchange-format coverage beyond parquet: ORC is
     the other columnar format a warehouse migration actually hits."""
     return spark.read.orc(path)
+
+
+def read_csv_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    delimiter: str = ",",
+    header: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """S15: CSV scan with malformed-row routing (ingest quarantine).
+
+    PERMISSIVE mode with an explicit ``_corrupt_record`` column splits
+    the scan into (clean, quarantined) — the production ingest
+    contract: bad rows never silently vanish (DROPMALFORMED) and never
+    kill the job (FAILFAST); they land in a quarantine relation with
+    their raw text for replay. The reference's validators route bad
+    lines to error counters (LASERInputCheckMapper.java:214-230); this
+    is the same gate with the rows preserved. Both outputs come from
+    ONE scan definition — Catalyst shares the parse.
+    """
+    full = T.StructType(
+        schema.fields + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    raw = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("delimiter", delimiter)
+        .option("header", str(header).lower())
+        .csv(path)
+        # Spark requires caching/materializing before referencing only
+        # the corrupt-record column (SPARK-38523 query restriction)
+        .cache()
+    )
+    clean = raw.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    quarantined = raw.where(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return clean, quarantined
+
+
+def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
+    """S16: schema-evolution read (mergeSchema over parquet batches).
+
+    Ingest batches written months apart rarely share a schema; reading
+    the union with ``mergeSchema=true`` resolves the superset schema
+    (missing columns -> NULL) — the contract that lets a 100 TB lake
+    add columns without rewriting history. Int-widening and
+    column-adding are handled by the merger; incompatible type changes
+    raise, which is the correct failure mode (the pytest asserts
+    both)."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

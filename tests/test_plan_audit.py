@@ -352,3 +352,51 @@ def test_round4b_queries_stay_jvm_side_and_shuffle_bounded(spark, sf_dir):
         assert spec.startswith("__pid"), f"unpartitioned window: {spec[:120]}"
     assert plan.count("MapInPandas") == 1, "q_heavy_hitters: expected one MG pass"
     assert _n_shuffles(plan) <= 3, ("q_heavy_hitters", _n_shuffles(plan))
+
+
+def test_round4c_queries_stay_jvm_side_and_shuffle_bounded(spark, sf_dir):
+    """Round-4 third batch (X123-X130): no Python nodes; exchange
+    budgets pinned; the KS / Mann-Whitney / gap-island shapes must not
+    contain a data-bearing single-partition window (their cumulative
+    passes run through ordered_cumsum)."""
+    budgets = {
+        "q_ecdf": 1,                 # one scalar aggregate
+        "q_ks_test": 9,              # value agg + two-pass cumsum + max
+        "q_mann_whitney": 9,         # same base + rank-sum aggregate
+        "q_autocorr_lag1": 3,        # daily agg + lead + wide-int sums
+        "q_activity_bitmap": 2,      # (user, block, day) dedup for the
+                                     # exact distinct + bitmap combine
+        "q_key_gap_islands": 9,      # two-pass rank + rn+1 join + top-k
+        "q_histogram2d": 1,
+        "q_topk_with_ties": 2,       # (segment, value) agg + tiny window
+    }
+    for name, budget in budgets.items():
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        got = _n_shuffles(plan)
+        assert got <= budget, (name, got, budget)
+    for name in ("q_ks_test", "q_mann_whitney", "q_key_gap_islands"):
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        for spec in plan.split("windowspecdefinition(")[1:]:
+            assert spec.startswith("__pid"), (name, spec[:120])
+
+
+def test_round4d_queries_stay_jvm_side_and_shuffle_bounded(spark, sf_dir):
+    """Round-4 fourth batch (X131-X134): no Python nodes; budgets
+    pinned; the CUSUM cumulative runs partitioned (__pid) only."""
+    budgets = {
+        "q_bellman_ford": 25,        # 3 relaxations x (join + min-agg)
+        "q_rolling_zscore": 1,       # frame window + rollup share user_id
+        "q_cusum_changepoint": 7,    # daily agg + two-pass cumsum + top-1
+        "q_profile_cosine": 8,       # profile agg + pair join + norms
+    }
+    for name, budget in budgets.items():
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        got = _n_shuffles(plan)
+        assert got <= budget, (name, got, budget)
+    plan = _plan(registry.get("q_cusum_changepoint").fn(spark, sf_dir))
+    for spec in plan.split("windowspecdefinition(")[1:]:
+        assert spec.startswith("__pid"), spec[:120]

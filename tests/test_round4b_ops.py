@@ -175,3 +175,30 @@ def test_entropy_within_bounds(spark, sf_dir):
     assert out
     for r in out:
         assert -2 <= r["entropy_micro"] <= cap + 2, r
+
+
+# --- Activity bitmap invariant (X127) ----------------------------------------
+
+
+def test_activity_bitmap_popcount_invariant(spark, sf_dir):
+    """bit_count(bitmap) must equal the exact distinct-day count in
+    every (user, block) row — the bitmap IS the day set."""
+    out = registry.get("q_activity_bitmap").fn(spark, sf_dir)
+    rows = out.select(
+        "bitmap", "n_active_days", F.bit_count("bitmap").alias("pc")
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["pc"] == r["n_active_days"], r
+
+
+# --- KS / Mann-Whitney internal consistency (X124/X125) ----------------------
+
+
+def test_mann_whitney_consistency(spark, sf_dir):
+    """u1_x2 + u2_x2 == 2 * n1 * n2 (rank-sum identity), and the KS
+    statistic is within [0, n1*n2]."""
+    mw = registry.get("q_mann_whitney").fn(spark, sf_dir).collect()[0]
+    assert mw["u1_x2"] + mw["u2_x2"] == 2 * mw["n1"] * mw["n2"]
+    ks = registry.get("q_ks_test").fn(spark, sf_dir).collect()[0]
+    assert 0 <= ks["d_scaled"] <= ks["n1"] * ks["n2"]

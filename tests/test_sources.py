@@ -239,3 +239,54 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     got = spark.read.parquet(dst)
     assert got.count() == 20000
     assert got.selectExpr("sum(id) s").collect()[0]["s"] == sum(range(20000))
+
+
+def test_csv_quarantine_routing(spark, tmp_path):
+    """S15: clean rows parse; malformed rows land in quarantine with
+    their raw text; nothing is dropped."""
+    from pyspark.sql import types as T
+
+    from laser_hadoop_spark.sources.readers import read_csv_with_quarantine
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "1,alice,10.5\n"
+        "2,bob,not_a_number\n"
+        "3,carol,7.25\n"
+        "totally,broken\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    clean, quarantined = read_csv_with_quarantine(spark, str(p), schema)
+    got = {r["id"]: (r["name"], r["score"]) for r in clean.collect()}
+    assert got == {1: ("alice", 10.5), 3: ("carol", 7.25)}
+    bad = sorted(r["raw_line"] for r in quarantined.collect())
+    assert bad == ["2,bob,not_a_number", "totally,broken"]
+
+
+def test_parquet_schema_evolution(spark, tmp_path):
+    """S16: mergeSchema resolves the superset schema across batches;
+    missing columns read as NULL; an incompatible type change raises."""
+    from laser_hadoop_spark.sources.readers import read_parquet_evolved
+
+    d1, d2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(d1)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(d2)
+    out = read_parquet_evolved(spark, d1, d2)
+    assert set(out.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r["score"] for r in out.collect()}
+    assert rows == {1: None, 2: 9.5}
+
+    d3 = str(tmp_path / "b3")
+    spark.createDataFrame([(3, "c", "oops")], "id long, name string, score string").write.parquet(d3)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="[Mm]erge|[Ss]chema|compatible"):
+        read_parquet_evolved(spark, d1, d2, d3).collect()
