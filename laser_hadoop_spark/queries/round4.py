@@ -390,6 +390,17 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the bench case); on a real multi-split corpus it is a no-op-cost
     rebalance of pointers, and AQE coalesces it.
     """
+    mins = minhash_mins(spark, sf_dir)
+    pairs = ", ".join(f"CAST({s} AS BIGINT), s{s}" for s in range(8))
+    return mins.select(
+        "doc_id", F.expr(f"stack(8, {pairs}) AS (seed, min_hash)")
+    )
+
+
+def minhash_mins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide form of the X102 signature matrix: (doc_id, s0..s7) with
+    s_k = MIN(md5(k || '|' || shingle)) — shared by q_minhash_signatures
+    and the X135 band join."""
     d = table(spark, sf_dir, "documents")
     t = F.split("text", " ")
     base = (
@@ -411,16 +422,12 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix = F.lit(f"{s}|")
         return lambda x: F.md5(F.concat(prefix, x))
 
-    mins = base.select(
+    return base.select(
         "doc_id",
         *[
             F.array_min(F.transform("sh_arr", _seed_hash(s))).alias(f"s{s}")
             for s in range(8)
         ],
-    )
-    pairs = ", ".join(f"CAST({s} AS BIGINT), s{s}" for s in range(8))
-    return mins.select(
-        "doc_id", F.expr(f"stack(8, {pairs}) AS (seed, min_hash)")
     )
 
 

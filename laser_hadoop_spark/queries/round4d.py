@@ -306,3 +306,182 @@ def q_profile_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN norms nb ON nb.segment = d.seg_b
     """
     )
+
+
+def _minhash_band_sql() -> str:
+    """Shared SQL skeleton for X135 (DuckDB side): signatures pivoted
+    wide, 4 bands of 2 seeds, candidate pairs from band equality,
+    estimated Jaccard from seed agreement."""
+    return """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(list_transform(generate_series(1, len(t) - 2),
+                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                   AS shingle
+        FROM toks WHERE len(t) >= 3
+    ),
+    seeds AS (SELECT UNNEST(generate_series(0, 7)) AS seed),
+    sigs AS (
+        SELECT doc_id, seed,
+               MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+        FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    wide AS (
+        SELECT doc_id,
+               MIN(CASE WHEN seed = 0 THEN mh END) AS s0,
+               MIN(CASE WHEN seed = 1 THEN mh END) AS s1,
+               MIN(CASE WHEN seed = 2 THEN mh END) AS s2,
+               MIN(CASE WHEN seed = 3 THEN mh END) AS s3,
+               MIN(CASE WHEN seed = 4 THEN mh END) AS s4,
+               MIN(CASE WHEN seed = 5 THEN mh END) AS s5,
+               MIN(CASE WHEN seed = 6 THEN mh END) AS s6,
+               MIN(CASE WHEN seed = 7 THEN mh END) AS s7
+        FROM sigs GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band, s0 || '|' || s1 AS bv FROM wide
+        UNION ALL SELECT doc_id, 1, s2 || '|' || s3 FROM wide
+        UNION ALL SELECT doc_id, 2, s4 || '|' || s5 FROM wide
+        UNION ALL SELECT doc_id, 3, s6 || '|' || s7 FROM wide
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST((CASE WHEN wa.s0 = wb.s0 THEN 1 ELSE 0 END
+               + CASE WHEN wa.s1 = wb.s1 THEN 1 ELSE 0 END
+               + CASE WHEN wa.s2 = wb.s2 THEN 1 ELSE 0 END
+               + CASE WHEN wa.s3 = wb.s3 THEN 1 ELSE 0 END
+               + CASE WHEN wa.s4 = wb.s4 THEN 1 ELSE 0 END
+               + CASE WHEN wa.s5 = wb.s5 THEN 1 ELSE 0 END
+               + CASE WHEN wa.s6 = wb.s6 THEN 1 ELSE 0 END
+               + CASE WHEN wa.s7 = wb.s7 THEN 1 ELSE 0 END)
+               * 10000 // 8 AS BIGINT) AS est_jaccard_bp
+    FROM cand c
+    JOIN wide wa ON wa.doc_id = c.doc_a
+    JOIN wide wb ON wb.doc_id = c.doc_b
+    """
+
+
+@register("q_minhash_band_pairs", oracle=_minhash_band_sql())
+def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X135: MinHash LSH banding, exactly verified end-to-end.
+
+    The full LSH candidate-generation pipeline on the ORACLE-BACKED
+    signature matrix (X102's md5 MinHash): 4 bands x 2 seeds, candidate
+    pairs from band-value equality, estimated Jaccard = seed-agreement
+    fraction in bp. Where L2's pyspark.ml MinHashLSH is rows-only
+    (library seeds), every stage here is bit-for-bit verifiable —
+    banding probability, collision behavior, and the estimator itself
+    become testable artifacts. Plan: the wide signature matrix computes
+    scan-local (minhash_mins), bands explode 4x per doc, candidates
+    come from a band-key equi-join (never all-pairs), and the pair
+    scoring joins the 9-column signature rows — at 100 TB the shuffle
+    carries 16-byte digests, never text.
+    """
+    from laser_hadoop_spark.queries.round4 import minhash_mins
+
+    wide = minhash_mins(spark, sf_dir).cache()
+    band_exprs = ", ".join(
+        f"{b}, concat(s{2*b}, '|', s{2*b+1})" for b in range(4)
+    )
+    bands = wide.select(
+        "doc_id", F.expr(f"stack(4, {band_exprs}) AS (band, bv)")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    wa = wide.alias("wa")
+    wb = wide.alias("wb")
+    agree = sum(
+        F.when(F.col(f"wa.s{k}") == F.col(f"wb.s{k}"), 1).otherwise(0)
+        for k in range(8)
+    )
+    return (
+        cand.join(wa, F.col("doc_a") == F.col("wa.doc_id"))
+        .join(wb, F.col("doc_b") == F.col("wb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree * 1250).cast("bigint").alias("est_jaccard_bp"),
+        )
+    )
+
+
+@register(
+    "q_mixture_weights",
+    oracle="""
+    WITH src AS (
+        SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT SUM(n_docs) AS total_docs, SUM(n_chars) AS total_chars
+        FROM src
+    )
+    SELECT s.source, CAST(s.n_docs AS BIGINT) AS n_docs,
+           CAST(s.n_chars AS BIGINT) AS n_chars,
+           CAST(LEAST(CAST(10000 AS BIGINT),
+                      CAST(s.n_chars AS BIGINT) * t.total_docs * 10000
+                      // (t.total_chars * s.n_docs)) AS BIGINT) AS keep_bp,
+           CAST(s.n_docs * LEAST(CAST(10000 AS BIGINT),
+                      CAST(s.n_chars AS BIGINT) * t.total_docs * 10000
+                      // (t.total_chars * s.n_docs)) // 10000 AS BIGINT)
+               AS expected_kept
+    FROM src s CROSS JOIN tot t
+    """,
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X136: corpus mixture re-weighting (data-mixing plan).
+
+    Per-source keep probability that re-weights the corpus from its
+    actual document-share toward a target share (here: proportional to
+    each source's total characters — the "sample long-form sources up"
+    policy): keep_bp = min(1, target_share / actual_share) in basis
+    points, all truncating integer arithmetic. This is the sampling
+    table a pretraining data-mixing stage feeds to X13's quota
+    sampler; expected_kept makes the plan auditable before any
+    sampling runs. One source-key aggregate + a broadcast scalar.
+    """
+    d = table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+    tot = src.agg(
+        F.sum("n_docs").alias("total_docs"), F.sum("n_chars").alias("total_chars")
+    )
+    keep = F.expr(
+        "LEAST(CAST(10000 AS BIGINT), "
+        "CAST(n_chars AS BIGINT) * total_docs * 10000 "
+        "DIV (total_chars * n_docs))"
+    )
+    return (
+        src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            keep.cast("bigint").alias("keep_bp"),
+            F.expr(
+                "CAST(n_docs * LEAST(CAST(10000 AS BIGINT), "
+                "CAST(n_chars AS BIGINT) * total_docs * 10000 "
+                "DIV (total_chars * n_docs)) DIV 10000 AS BIGINT)"
+            ).alias("expected_kept"),
+        )
+    )

@@ -390,6 +390,9 @@ def test_round4d_queries_stay_jvm_side_and_shuffle_bounded(spark, sf_dir):
         "q_rolling_zscore": 1,       # frame window + rollup share user_id
         "q_cusum_changepoint": 7,    # daily agg + two-pass cumsum + top-1
         "q_profile_cosine": 8,       # profile agg + pair join + norms
+        "q_minhash_band_pairs": 8,   # band self-join + pair scoring over
+                                     # the cached signature matrix
+        "q_mixture_weights": 3,      # source agg + scalar rollup + final
     }
     for name, budget in budgets.items():
         plan = _plan(registry.get(name).fn(spark, sf_dir))
