@@ -20,6 +20,7 @@ def load_all() -> None:
         round4b,
         round4c,
         round4d,
+        round4e,
         scalars,
         scans,
         setops,

@@ -250,6 +250,10 @@ def test_round3_queries_stay_jvm_side_and_shuffle_bounded(spark, sf_dir):
     """Round-3 additions: no Python nodes anywhere; single-pass
     aggregation families plan exactly one shuffle; the sweep-line and
     basket shapes stay within their declared exchange budget."""
+    # cached relations from earlier tests (oracle corpus runs the
+    # same queries) would swap InMemoryRelation subtrees into these
+    # plans and change the exchange counts - audit cold plans
+    spark.catalog.clearCache()
     budgets = {
         "q_regression_stats": 1,
         "q_zorder_stats": 1,
@@ -309,6 +313,10 @@ def test_round4b_queries_stay_jvm_side_and_shuffle_bounded(spark, sf_dir):
     """Round-4 second batch (X107-X122): no Python nodes outside the
     one deliberate mapInPandas (Misra-Gries pass 1 in q_heavy_hitters),
     and every shape stays within its declared exchange budget."""
+    # cached relations from earlier tests (oracle corpus runs the
+    # same queries) would swap InMemoryRelation subtrees into these
+    # plans and change the exchange counts - audit cold plans
+    spark.catalog.clearCache()
     budgets = {
         "q_mode_per_group": 2,        # (seg, prio) agg + tiny window
         "q_entropy": 2,               # cell agg + bucket rollup
@@ -359,6 +367,10 @@ def test_round4c_queries_stay_jvm_side_and_shuffle_bounded(spark, sf_dir):
     budgets pinned; the KS / Mann-Whitney / gap-island shapes must not
     contain a data-bearing single-partition window (their cumulative
     passes run through ordered_cumsum)."""
+    # cached relations from earlier tests (oracle corpus runs the
+    # same queries) would swap InMemoryRelation subtrees into these
+    # plans and change the exchange counts - audit cold plans
+    spark.catalog.clearCache()
     budgets = {
         "q_ecdf": 1,                 # one scalar aggregate
         "q_ks_test": 9,              # value agg + two-pass cumsum + max
@@ -385,6 +397,10 @@ def test_round4c_queries_stay_jvm_side_and_shuffle_bounded(spark, sf_dir):
 def test_round4d_queries_stay_jvm_side_and_shuffle_bounded(spark, sf_dir):
     """Round-4 fourth batch (X131-X134): no Python nodes; budgets
     pinned; the CUSUM cumulative runs partitioned (__pid) only."""
+    # cached relations from earlier tests (oracle corpus runs the
+    # same queries) would swap InMemoryRelation subtrees into these
+    # plans and change the exchange counts - audit cold plans
+    spark.catalog.clearCache()
     budgets = {
         "q_bellman_ford": 25,        # 3 relaxations x (join + min-agg)
         "q_rolling_zscore": 1,       # frame window + rollup share user_id
@@ -393,6 +409,9 @@ def test_round4d_queries_stay_jvm_side_and_shuffle_bounded(spark, sf_dir):
         "q_minhash_band_pairs": 8,   # band self-join + pair scoring over
                                      # the cached signature matrix
         "q_mixture_weights": 3,      # source agg + scalar rollup + final
+        "q_nelson_aalen": 14,        # two chained two-pass cumulatives
+        "q_negative_pairs": 10,      # two-pass rank + stride equi-join
+        "q_train_split": 1,          # scan-local hash + 3-group agg
     }
     for name, budget in budgets.items():
         plan = _plan(registry.get(name).fn(spark, sf_dir))

@@ -202,3 +202,24 @@ def test_mann_whitney_consistency(spark, sf_dir):
     assert mw["u1_x2"] + mw["u2_x2"] == 2 * mw["n1"] * mw["n2"]
     ks = registry.get("q_ks_test").fn(spark, sf_dir).collect()[0]
     assert 0 <= ks["d_scaled"] <= ks["n1"] * ks["n2"]
+
+
+# --- Compression ratio reference (X140) --------------------------------------
+
+
+def test_compress_ratio_matches_python_zlib(spark, sf_dir):
+    """rows-only query X140: ratio_bp equals a direct python zlib
+    level-6 computation for every document."""
+    import zlib
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    out = registry.get("q_compress_ratio").fn(spark, sf_dir).collect()
+    assert len(out) == len(docs)
+    for r in out:
+        raw = docs[r["doc_id"]].encode("utf-8")
+        comp = len(zlib.compress(raw, 6))
+        assert (r["raw_len"], r["compressed_len"]) == (len(raw), comp), r
+        assert r["ratio_bp"] == comp * 10000 // len(raw)
