@@ -1,4 +1,4 @@
-"""Round-4 widening queries, fifth batch (SURVEY.md §2.13, X137-X140).
+"""Round-4 widening queries, fifth batch (SURVEY.md §2.13, X137-X143).
 
 Survival analysis and ML-data-prep shapes: Nelson-Aalen cumulative
 hazard (additive, so it fixed-points exactly where Kaplan-Meier's
@@ -277,3 +277,231 @@ def q_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "compressed_len",
         F.expr("compressed_len * 10000 DIV raw_len").alias("ratio_bp"),
     )
+
+
+@register(
+    "q_quantile_normalize",
+    oracle="""
+    WITH v AS (
+        SELECT l_returnflag AS grp,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS p,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY CAST(FLOOR(l_extendedprice * 100
+                                                      + 0.5) AS BIGINT),
+                                           l_orderkey, l_linenumber) AS rn
+        FROM lineitem
+    ),
+    ref AS (
+        SELECT rn, CAST(SUM(p) AS BIGINT) AS sum_p,
+               COUNT(*) AS n_grps
+        FROM v GROUP BY rn
+    )
+    SELECT v.grp, v.rn AS rank_in_group, v.p AS orig_centi,
+           CAST(ref.sum_p // ref.n_grps AS BIGINT) AS normalized_centi
+    FROM v JOIN ref ON ref.rn = v.rn
+    WHERE v.rn <= 100
+    """,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X141: quantile normalization across groups.
+
+    The bioinformatics normalization the reference's domain lives on
+    (expression/genotype matrices): replace each group's k-th ranked
+    value with the MEAN of k-th ranked values across all groups, so
+    every group ends with an identical distribution. Ranks come from
+    ONE two-pass global rank in (group, value, keys) order minus
+    broadcast per-group offsets (the X116 shape — no 3-partition
+    funnel); the reference distribution is a rank-keyed aggregate;
+    truncating integer mean. Output limited to the first 100 ranks per
+    group to keep the verified relation small — the full-width form is
+    the same plan.
+    """
+    from laser_hadoop_spark.operators.cumulative import ordered_cumsum
+
+    li = table(spark, sf_dir, "lineitem")
+    p = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    v = li.select(
+        F.col("l_returnflag").alias("grp"),
+        p.alias("p"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = ordered_cumsum(
+        v,
+        order_by=["grp", "p", "l_orderkey", "l_linenumber"],
+        row_number_col="grn",
+    )
+    offs = ranked.groupBy("grp").agg(F.min("grn").alias("off"))
+    v = ranked.join(F.broadcast(offs), "grp").select(
+        "grp", "p", (F.col("grn") - F.col("off") + 1).alias("rn")
+    )
+    ref = v.groupBy("rn").agg(
+        F.sum("p").cast("bigint").alias("sum_p"), F.count("*").alias("n_grps")
+    )
+    return (
+        v.where(F.col("rn") <= 100)
+        .join(ref, "rn")
+        .select(
+            "grp",
+            F.col("rn").alias("rank_in_group"),
+            F.col("p").alias("orig_centi"),
+            F.expr("CAST(sum_p DIV n_grps AS BIGINT)").alias("normalized_centi"),
+        )
+    )
+
+
+@register(
+    "q_containment_pairs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(list_transform(generate_series(1, len(t) - 2),
+                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                   AS g
+        FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_g FROM grams GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        FROM grams a JOIN grams b
+          ON a.g = b.g AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT s.doc_a, s.doc_b,
+           CAST(s.n_shared AS BIGINT) AS n_shared,
+           CAST(sa.n_g AS BIGINT) AS n_grams_a,
+           CAST(s.n_shared * 10000 // sa.n_g AS BIGINT) AS containment_bp
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.doc_a
+    WHERE s.n_shared * 10 >= sa.n_g * 9
+    """,
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X142: asymmetric containment dedup (quote/subset detection).
+
+    Pairs where >= 90% of document A's distinct 3-gram shingles appear
+    in document B — the containment direction Jaccard misses entirely
+    (a short document quoted inside a long one scores near-zero
+    Jaccard but containment ~1; RefinedWeb-class pipelines need both).
+    Candidates come from the shingle equi-join (the X-series dedup
+    backbone: 8-byte-ish keys, never all-pairs); containment_bp is a
+    truncating integer ratio against the CONTAINED side's shingle
+    count. Asymmetric by construction: (a,b) and (b,a) are different
+    rows with different thresholds.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    t = F.split("text", " ")
+    grams = (
+        d.where(F.size(t) >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(t) - 3),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(t, i + 1),
+                            F.element_at(t, i + 2),
+                            F.element_at(t, i + 3),
+                        ),
+                    )
+                )
+            ).alias("g"),
+        )
+        .hint("shuffle_hash")
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_g"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_g").alias("n_grams_a")
+    )
+    return (
+        shared.join(sa, "doc_a")
+        .where(F.col("n_shared") * 10 >= F.col("n_grams_a") * 9)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.col("n_grams_a").cast("bigint").alias("n_grams_a"),
+            F.expr(
+                "CAST(n_shared * 10000 DIV n_grams_a AS BIGINT)"
+            ).alias("containment_bp"),
+        )
+    )
+
+
+@register(
+    "q_seasonal_residual",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(dayofweek(CAST(o_orderdate AS DATE)) AS INT) AS dow,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    dow_stats AS (
+        SELECT dow, COUNT(*) AS n_dow, SUM(rev) AS sum_dow
+        FROM daily GROUP BY dow
+    )
+    SELECT d.d AS day, CAST(d.rev AS BIGINT) AS rev_centi,
+           CAST(d.rev * s.n_dow - s.sum_dow AS BIGINT) AS residual_scaled,
+           CAST(s.n_dow AS BIGINT) AS n_dow
+    FROM daily d JOIN dow_stats s ON s.dow = d.dow
+    ORDER BY ABS(d.rev * s.n_dow - s.sum_dow) DESC, d.d
+    LIMIT 10
+    """,
+)
+def q_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X143: deseasonalized residual anomalies (top-10 days).
+
+    The days whose revenue deviates most from their own day-of-week
+    mean — seasonality-aware anomaly detection (a Saturday is compared
+    with Saturdays, X86's profile applied as a filter). The residual
+    cross-multiplies into exact integers: rev*n_dow - sum_dow is the
+    deviation scaled by the day count, so no mean division ever runs.
+    Deterministic top-10 via (|residual|, date); TakeOrderedAndProject,
+    two small aggregates, one broadcast join.
+    """
+    o = table(spark, sf_dir, "orders")
+    centi = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    daily = (
+        o.select(
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.dayofweek(F.col("o_orderdate").cast("date")).cast("int").alias("dow"),
+            centi.alias("rev"),
+        )
+        .groupBy("d", "dow")
+        .agg(F.sum("rev").alias("rev"))
+    )
+    dow_stats = daily.groupBy("dow").agg(
+        F.count("*").alias("n_dow"), F.sum("rev").alias("sum_dow")
+    )
+    joined = daily.join(F.broadcast(dow_stats), "dow").select(
+        F.col("d").alias("day"),
+        F.col("rev").alias("rev_centi"),
+        (F.col("rev") * F.col("n_dow") - F.col("sum_dow"))
+        .cast("bigint")
+        .alias("residual_scaled"),
+        F.col("n_dow").cast("bigint").alias("n_dow"),
+    )
+    return joined.orderBy(
+        F.abs(F.col("residual_scaled")).desc(), F.asc("day")
+    ).limit(10)

@@ -412,6 +412,11 @@ def test_round4d_queries_stay_jvm_side_and_shuffle_bounded(spark, sf_dir):
         "q_nelson_aalen": 14,        # two chained two-pass cumulatives
         "q_negative_pairs": 10,      # two-pass rank + stride equi-join
         "q_train_split": 1,          # scan-local hash + 3-group agg
+        "q_quantile_normalize": 16,  # two-pass rank consumed by offsets,
+                                     # ref aggregate, and the output join
+                                     # (plan repeats checkpointed subtrees)
+        "q_containment_pairs": 6,    # shingle self-join + sizes join
+        "q_seasonal_residual": 3,    # daily agg + dow stats + top-10
     }
     for name, budget in budgets.items():
         plan = _plan(registry.get(name).fn(spark, sf_dir))
