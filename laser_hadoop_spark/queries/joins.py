@@ -368,10 +368,13 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim keys in one aggregation, so only bitmap survivors enter the
     join exchange. At 100 TB the exchange carries ~selectivity x |fact|
     rows instead of all of them; the bitmap is a dense array<bigint>
-    (n_bits/64 words, ~128 KiB at 2^20 bits — dense so each probe is
-    one O(1) array index), deterministic (fixed xxhash64 seeds), and
-    the residual exact semi-join removes false positives, keeping the
-    result value-identical to the un-pruned join.
+    (n_bits/64 words — dense so each probe is one O(1) array index),
+    deterministic (fixed xxhash64 seeds), and the residual exact
+    semi-join removes false positives, keeping the result
+    value-identical to the un-pruned join. The bitmap is AUTO-SIZED
+    (n_bits=None): an approx_count_distinct of the urgent keys picks
+    n_bits/n_hashes for a 1% false-positive target, so the same call
+    is right at sf0.001 and at 100 TB.
     """
     from laser_hadoop_spark.functions.scalar import money_sum
     from laser_hadoop_spark.operators.bloom import bloom_semi_join
@@ -382,7 +385,8 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_orderpriority") == "1-URGENT")
         .select("o_orderkey")
     )
-    kept = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    kept = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey",
+                           n_bits=None)
     return kept.groupBy("l_returnflag").agg(
         F.count("*").alias("n_items"),
         money_sum(F.col("l_extendedprice"), scale=2).alias("sum_price"),

@@ -1037,6 +1037,46 @@ def test_bloom_semi_join_plan_stays_jvm_side(spark, sf_dir):
     assert "ArrowEvalPython" not in plan
 
 
+def test_auto_bloom_params_hit_standard_optima():
+    """auto_bloom_params matches the textbook m/k formulas, rounds to
+    whole 64-bit words, and clamps k to the probe-cost ceiling."""
+    import math
+
+    from laser_hadoop_spark.operators.bloom import auto_bloom_params
+
+    n_bits, k = auto_bloom_params(100_000, 0.01)
+    want_m = -100_000 * math.log(0.01) / math.log(2) ** 2
+    assert n_bits % 64 == 0 and want_m <= n_bits < want_m + 64
+    assert k == round(n_bits / 100_000 * math.log(2)) == 7
+    # tiny dims floor at the minimum bitmap, k capped at 8
+    n_bits, k = auto_bloom_params(3, 0.01)
+    assert n_bits == 1 << 10 and k == 8
+    # huge dims ceil at 16 MiB: k degrades (honest fpp loss) not m
+    n_bits, k = auto_bloom_params(1 << 30, 0.01)
+    assert n_bits == 1 << 27 and k == 1
+    with pytest.raises(ValueError):
+        auto_bloom_params(10, 0.0)
+
+
+def test_bloom_semi_join_auto_sized_equals_plain_semi_join(spark, sf_dir):
+    """n_bits=None sizes the bitmap from an approx_count_distinct of the
+    dim keys; results stay value-identical to the exact semi-join."""
+    from laser_hadoop_spark.operators.bloom import bloom_semi_join
+    from laser_hadoop_spark.tables import table
+
+    li = table(spark, sf_dir, "lineitem")
+    dim = (
+        table(spark, sf_dir, "orders")
+        .where("o_orderpriority = '2-HIGH'")
+        .select("o_orderkey")
+    )
+    got = bloom_semi_join(li, dim, "l_orderkey", "o_orderkey", n_bits=None)
+    want = li.join(dim, li.l_orderkey == dim.o_orderkey, "left_semi")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 def test_zorder_write_prunes_both_dimensions(spark, sf_dir, tmp_path):
     """Files written by zorder_write have tight min/max ranges on BOTH
     interleaved dimensions: a point predicate on either column overlaps
