@@ -476,6 +476,99 @@ def decayed_counter_per_user(events: DataFrame) -> DataFrame:
     )
 
 
+DECAYED_TTL_SCHEMA = "user_id long, ewma_x32768 long, n_seen long, expired boolean"
+
+
+def _mk_decayed_ttl_fn(ttl_ms: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            s, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "ewma_x32768": [s if s >= 0 else 0],
+                    "n_seen": [n],
+                    "expired": [True],
+                }
+            )
+            return
+        s, n = state.get if state.exists else (None, 0)
+        if s is not None and s < 0:
+            s = None
+        last_ms = 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["t_us", "event_id"])
+            s, n = fold_decay(s, n, [int(v) for v in pdf["v_centi"]])
+            last_ms = int(pdf["t_us"].max()) // 1000
+        state.update((s if s is not None else -1, n))
+        # Spark rejects a timeout at-or-before the current watermark, so a
+        # key fed only late data expires at the next watermark advance.
+        state.setTimeoutTimestamp(
+            max(last_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "ewma_x32768": [s if s is not None else 0],
+                "n_seen": [n],
+                "expired": [False],
+            }
+        )
+
+    return fn
+
+
+def decayed_counter_per_user_ttl(
+    events: DataFrame, *, ttl: str = "1 hour", watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """ST12: ST10 with per-key state TTL via EVENT-TIME timeout.
+
+    At 100 TB/day the per-user key space churns: most keys go cold and
+    never come back, and NoTimeout state grows without bound. This
+    variant expires a key once the watermark passes its last event by
+    ``ttl``: the timeout invocation emits one final snapshot row with
+    ``expired = true`` (so downstream sinks can flush/tombstone the
+    feature) and removes the state, bounding the store to ACTIVE keys.
+    Event-time (not processing-time) timeout keeps the operator
+    deterministic — replaying the same files through the same
+    watermarks expires the same keys at the same batches, where a
+    wall-clock TTL would depend on scheduler timing. Cites the
+    reference's cache-eviction-free HashMap lookup
+    (LASERInputCheckMapper.java:53-72) as the unbounded-state design
+    this replaces.
+    """
+    ttl_ms = _duration_to_ms(ttl)
+    prepped = events.select(
+        "user_id",
+        F.col("ts"),
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v_centi"),
+    ).withWatermark("ts", watermark)
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _mk_decayed_ttl_fn(ttl_ms),
+        outputStructType=DECAYED_TTL_SCHEMA,
+        stateStructType="s long, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _duration_to_ms(dur: str) -> int:
+    """Parse the small interval grammar the streaming API uses
+    ("90 seconds", "15 minutes", "1 hour") into milliseconds."""
+    n, unit = dur.strip().split()
+    unit = unit.rstrip("s")
+    scale = {"millisecond": 1, "second": 1000, "minute": 60_000, "hour": 3_600_000}
+    if unit not in scale:
+        raise ValueError(f"unsupported TTL unit: {dur!r}")
+    return int(n) * scale[unit]
+
+
 # --- ST11: streaming heavy hitters (bucketed Misra-Gries state) --------------
 
 HH_STATE_SCHEMA = "tokens array<string>, counts array<long>"

@@ -361,3 +361,58 @@ def test_heavy_hitters_streaming(spark, tmp_path):
         if c * 16 > n:  # guaranteed at capacity 16 per bucket
             assert k in cands, k
     assert "hot" in cands and "warm" in cands
+
+
+def test_decayed_counter_ttl_expires_cold_keys(spark, tmp_path):
+    """ST12: event-time TTL. User 1 goes cold after batch 0; once the
+    watermark (10 min delay) passes user 1's last event + 1 h TTL, the
+    timeout invocation emits a final expired=true snapshot with the
+    exact folded state, and the still-active user 2 never expires."""
+    import os
+    import time
+
+    from laser_hadoop_spark.streaming.ops import decayed_counter_per_user_ttl
+
+    d = tmp_path / "in"
+    d.mkdir()
+    batches = [
+        # batch 0: both users. user 1 folds 1.00 then 2.00 -> s=4915200
+        [
+            (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+            (2, "2024-01-01 10:05:00", 1, "click", 2.0),
+            (3, "2024-01-01 10:00:00", 2, "view", 3.0),
+        ],
+        # batch 1: watermark 09:50 < 11:00 -> user 1 still live
+        [(4, "2024-01-01 12:30:00", 2, "click", 5.0)],
+        # batch 2: watermark 12:20 > 11:00 -> user 1 times out here
+        [(5, "2024-01-01 15:00:00", 2, "click", 7.0)],
+    ]
+    seen: set[str] = set()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df.coalesce(1).write.mode("append").parquet(str(d))
+        t = time.time() - 100 + i * 10  # distinct mtimes: batch order
+        for f in os.listdir(d):
+            p = os.path.join(str(d), f)
+            if f.endswith(".parquet") and p not in seen:
+                seen.add(p)
+                os.utime(p, (t, t))
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = _run(
+        spark,
+        decayed_counter_per_user_ttl(stream, ttl="1 hour"),
+        "st12_ttl",
+        mode="update",
+    ).collect()
+    expired = [r for r in out if r["expired"]]
+    assert [(r["user_id"], r["ewma_x32768"], r["n_seen"]) for r in expired] == [
+        (1, 4915200, 2)
+    ]
+    live_u2 = [r for r in out if r["user_id"] == 2 and not r["expired"]]
+    assert max(r["n_seen"] for r in live_u2) == 3
