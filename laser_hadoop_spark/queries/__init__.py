@@ -21,6 +21,7 @@ def load_all() -> None:
         round4c,
         round4d,
         round4e,
+        round4f,
         scalars,
         scans,
         setops,

@@ -1,0 +1,75 @@
+"""Unit/property tests for round-4f operators (X144-X151): the HLL
+rolling-WAU accuracy gate and an adversarial pure-Python check of the
+clamped-balance Lindley closed form (the oracle proves it on the
+driver's events; this proves it on reset-heavy synthetic walks)."""
+
+from __future__ import annotations
+
+from laser_hadoop_spark.registry import get
+from laser_hadoop_spark.testing import duckdb_connect  # noqa: F401  (parity with sibling test modules)
+
+
+def test_wau_hll_within_5pct_of_exact(spark, sf_dir):
+    """X151's contract: per-day HLL estimate within 5% of X87's exact
+    sliding COUNT(DISTINCT), for every full window day."""
+    exact = {
+        r["window_day"]: r["wau"]
+        for r in get("q_rolling_active_users").fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r["window_day"]: r["wau_approx"]
+        for r in get("q_wau_hll").fn(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx), "window-day axes must agree"
+    assert exact, "fixture must produce at least one full window"
+    for day, n in exact.items():
+        err = abs(approx[day] - n) / n
+        assert err <= 0.05, f"{day}: exact={n} approx={approx[day]} err={err:.3f}"
+
+
+def _lindley_reference(deltas: list[int]) -> list[int]:
+    """The definitional fold: b_t = max(0, b_{t-1} + d_t)."""
+    b, out = 0, []
+    for d in deltas:
+        b = max(0, b + d)
+        out.append(b)
+    return out
+
+
+def test_clamped_balance_closed_form_on_adversarial_walks(spark):
+    """The two-window closed form b_t = cum_t - min(0, min_prefix(cum))
+    must equal the sequential fold on walks engineered to clamp often:
+    deep dives below zero, exact touches of zero, long recoveries,
+    and an all-negative walk that pins the balance at 0 throughout."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    walks = {
+        1: [-5, -7, 3, 10, -100, 4, 4, -8, 50, -50, -1, 2],
+        2: [10, -10, -10, 10, 0, -1, 1, -1, 1],
+        3: [-1] * 20,
+        4: [1000, -1, -999, -1, 7, -3, -4, 9],
+    }
+    rows = [
+        (uid, i, d) for uid, ds in walks.items() for i, d in enumerate(ds)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "rn", "delta"]).repartition(5)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("delta").over(w)
+    got_df = df.select(
+        "user_id",
+        "rn",
+        (cum - F.least(F.lit(0), F.min(cum).over(w))).alias("b"),
+    ).toPandas()
+    got = {
+        uid: list(g.sort_values("rn")["b"])
+        for uid, g in got_df.groupby("user_id")
+    }
+    for uid, ds in walks.items():
+        assert got[uid] == _lindley_reference(ds), f"walk {uid} diverges"
+    assert isinstance(got_df, pd.DataFrame)
