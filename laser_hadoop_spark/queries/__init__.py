@@ -22,6 +22,7 @@ def load_all() -> None:
         round4d,
         round4e,
         round4f,
+        round4g,
         scalars,
         scans,
         setops,
