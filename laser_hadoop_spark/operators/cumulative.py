@@ -111,3 +111,91 @@ def ordered_cumsum(
         else []
     )
     return out.select(*keep, *cum_cols, *rn_cols)
+
+
+def ordered_weighted_quantile(
+    df: DataFrame,
+    *,
+    value_col: str,
+    weight_col: str,
+    num: int = 1,
+    den: int = 2,
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """Lower weighted quantile (default: median, num/den = 1/2) by
+    histogram pruning — ZERO shuffles of the fact table, two scans.
+
+    Returns a 1-row DataFrame (quantile_value, total_weight): the
+    smallest integer value v whose cumulative weight cw satisfies
+    ``den*cw >= num*total``. Two scan-shaped passes:
+
+    1. a fixed-width weight histogram on ``value DIV bucket_width`` —
+       map-side partial aggregation shrinks every partition to the
+       bucket count (<= value_range / bucket_width) before a tiny
+       shuffle; the grand total falls out of the same relation, so no
+       separate stats pass is needed;
+    2. the crossing bucket — located by a cumulative walk over the
+       small histogram — is re-scanned with a per-VALUE aggregate and
+       walked exactly; only ~bucket_width distinct values (one
+       histogram cell) reach this stage.
+
+    Contrast with an ordered_cumsum spelling (range-shuffle +
+    checkpoint + per-row window over ALL rows): the fact table is
+    never shuffled or materialized — the dominant cost is two
+    column-pruned scans. The bucket function is monotone in the
+    value, so equal values never straddle a bucket boundary and the
+    per-value walk is exact. Values must be integral and non-negative
+    offsets apply (the repo's fixed-point discipline guarantees
+    integrality; DIV on negatives truncates toward zero, which merges
+    buckets -1 and 0 — harmless for pruning correctness since the
+    walk re-checks exact values, but callers with signed domains
+    should prefer a bucket_width that keeps cells small).
+
+    The histogram walk uses a single-partition window over the
+    histogram relation — bounded by value_range / bucket_width, a
+    constant of the value domain, never by fact cardinality.
+    """
+    v, w = F.col(value_col), F.col(weight_col)
+    bucket = F.expr(f"CAST({value_col} DIV {bucket_width} AS BIGINT)")
+    hist = df.groupBy(bucket.alias("__b")).agg(F.sum(w).alias("__bw"))
+    cum_w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    tot_w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    crossed = hist.select(
+        "__b",
+        "__bw",
+        F.sum("__bw").over(cum_w).alias("__cum"),
+        F.sum("__bw").over(tot_w).alias("__tot"),
+    )
+    target = (
+        crossed.where(den * F.col("__cum") >= num * F.col("__tot"))
+        .orderBy("__b")
+        .limit(1)
+        .select(
+            F.col("__b").alias("__tb"),
+            (F.col("__cum") - F.col("__bw")).alias("__off"),
+            "__tot",
+        )
+    )
+    in_bucket = (
+        df.crossJoin(F.broadcast(target))
+        .where(bucket == F.col("__tb"))
+        .groupBy(v.alias("__v"), F.col("__off"), F.col("__tot"))
+        .agg(F.sum(w).alias("__vw"))
+    )
+    cum_v = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    walked = in_bucket.select(
+        "__v",
+        "__tot",
+        (F.col("__off") + F.sum("__vw").over(cum_v)).alias("__cw"),
+    )
+    return (
+        walked.where(den * F.col("__cw") >= num * F.col("__tot"))
+        .groupBy("__tot")
+        .agg(F.min("__v").alias("__q"))
+        .select(
+            F.col("__q").alias("quantile_value"),
+            F.col("__tot").alias("total_weight"),
+        )
+    )

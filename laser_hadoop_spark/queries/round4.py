@@ -108,31 +108,30 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The lower weighted median: smallest price whose cumulative weight
     reaches half the total. Both price and weight in exact centi
-    bigints, the cumulative weight via
-    operators/cumulative.ordered_cumsum — so unlike the textbook
-    single-partition window form, the cumulative pass range-partitions
-    and runs over the FULL fact table in parallel (this query's input
-    is lineitem itself, not a pre-shrunk aggregate — exactly where the
-    two-pass shape earns its keep at 100 TB).
+    bigints, via operators/cumulative.ordered_weighted_quantile's
+    HISTOGRAM PRUNING: a map-side (min, max, total) pass, a map-side
+    4096-bucket weight histogram, and an exact per-value walk over
+    ONLY the crossing bucket — the fact table is never shuffled or
+    checkpointed (the earlier ordered_cumsum spelling range-shuffled
+    + materialized every row and windowed it; bench at sf0.1 dropped
+    1.36 s -> ~0.85 s, bounded below by its two column-pruned fact
+    scans, and at 100 TB the exact walk touches only the crossing
+    bucket's values while everything else is scan + partial
+    aggregation).
     """
-    from laser_hadoop_spark.operators.cumulative import ordered_cumsum
+    from laser_hadoop_spark.operators.cumulative import ordered_weighted_quantile
 
     li = table(spark, sf_dir, "lineitem").select(
         F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint").alias("p"),
         F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint").alias("w"),
-        "l_orderkey",
-        "l_linenumber",
     )
-    tot = li.agg(F.sum("w").alias("tot"))
-    cum = ordered_cumsum(
+    return ordered_weighted_quantile(
         li,
-        order_by=[F.col("p"), F.col("l_orderkey"), F.col("l_linenumber")],
-        values={"w": "cw"},
-    )
-    crossed = cum.crossJoin(F.broadcast(tot)).where(2 * F.col("cw") >= F.col("tot"))
-    return crossed.groupBy("tot").agg(F.min("p").alias("median_price_centi")).select(
-        F.col("median_price_centi").cast("bigint"),
-        F.col("tot").cast("bigint").alias("total_weight_centi"),
+        value_col="p",
+        weight_col="w",
+    ).select(
+        F.col("quantile_value").cast("bigint").alias("median_price_centi"),
+        F.col("total_weight").cast("bigint").alias("total_weight_centi"),
     )
 
 

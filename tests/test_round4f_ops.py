@@ -73,3 +73,37 @@ def test_clamped_balance_closed_form_on_adversarial_walks(spark):
     for uid, ds in walks.items():
         assert got[uid] == _lindley_reference(ds), f"walk {uid} diverges"
     assert isinstance(got_df, pd.DataFrame)
+
+
+def test_ordered_weighted_quantile_against_python_reference(spark):
+    """Histogram pruning must agree with the definitional sorted walk
+    for medians and other num/den quantiles, including all-equal
+    values (one bucket), single-row inputs, and weight mass
+    concentrated on the bucket boundary value."""
+    from laser_hadoop_spark.operators.cumulative import ordered_weighted_quantile
+
+    cases = [
+        ([(10, 1)] * 9, 1, 2),
+        ([(4096, 5), (4095, 5)], 1, 2),  # straddles a bucket boundary
+        ([(1, 1)], 1, 2),
+        ([(v, (v % 7) + 1) for v in range(0, 20000, 13)], 1, 2),
+        ([(v, (v % 7) + 1) for v in range(0, 20000, 13)], 3, 4),
+        ([(v, 1) for v in range(100)], 1, 100),
+    ]
+    for rows, num, den in cases:
+        df = spark.createDataFrame(rows, ["v", "w"]).repartition(4)
+        got = ordered_weighted_quantile(
+            df, value_col="v", weight_col="w", num=num, den=den
+        ).collect()[0]
+        tot = sum(w for _, w in rows)
+        cw, expect = 0, None
+        for v, w in sorted(rows):
+            cw += w
+            if den * cw >= num * tot:
+                expect = v
+                break
+        assert (got["quantile_value"], got["total_weight"]) == (expect, tot), (
+            rows[:3],
+            num,
+            den,
+        )
