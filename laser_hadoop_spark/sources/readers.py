@@ -302,3 +302,47 @@ def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
     raise, which is the correct failure mode (the pytest asserts
     both)."""
     return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    colspecs: list[tuple[str, int, int, str]],
+    *,
+    skip_header_lines: int = 0,
+) -> DataFrame:
+    """S17: fixed-width (mainframe/COBOL-layout) text source.
+
+    ``colspecs`` is [(name, start_1based, length, spark_type)] — the
+    copybook-derived layout. Each field is sliced with ``substring``
+    (pure codegen, one pass over the line buffer), right/left-trimmed,
+    and cast; empty slices become NULL via the cast. The whole parse is
+    a single Project over ``spark.read.text`` — per-file splittable,
+    no Python in the path, so at 100 TB it scans exactly like the
+    gzip-TSV source (S1). Header skipping uses a per-file line index
+    from a window keyed by ``input_file_name`` (headers repeat per
+    file in fixed-width drops), not a global order.
+
+    Reference analogue: the positional-projection parse discipline of
+    LASERInputCheckMapper.java:68,243-245 (fields addressed by
+    position, not name), generalized to byte offsets.
+    """
+    from pyspark.sql.window import Window
+
+    lines = spark.read.text(path)
+    if skip_header_lines:
+        w = Window.partitionBy(F.input_file_name()).orderBy(
+            F.monotonically_increasing_id()
+        )
+        lines = (
+            lines.withColumn("__ln", F.row_number().over(w))
+            .where(F.col("__ln") > skip_header_lines)
+            .drop("__ln")
+        )
+    fields = [
+        F.nullif(F.trim(F.substring("value", start, length)), F.lit(""))
+        .cast(dtype)
+        .alias(name)
+        for name, start, length, dtype in colspecs
+    ]
+    return lines.select(*fields)

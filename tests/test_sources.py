@@ -290,3 +290,37 @@ def test_parquet_schema_evolution(spark, tmp_path):
 
     with _pytest.raises(Exception, match="[Mm]erge|[Ss]chema|compatible"):
         read_parquet_evolved(spark, d1, d2, d3).collect()
+
+
+def test_read_fixed_width_layout_and_nulls(spark, tmp_path):
+    """S17: copybook-style slicing — numeric casts, right-padded
+    strings trimmed, blank fields NULL, header lines skipped per file."""
+    from laser_hadoop_spark.sources.readers import read_fixed_width
+
+    lines = [
+        "ID   NAME      QTY  PRICE   ",   # header to skip
+        "001  WIDGET      10   19.99",
+        "002  GADGET     250    5.25",
+        "003  SPROCKET         12.00",    # blank qty -> NULL
+    ]
+    p = tmp_path / "fw.txt"
+    p.write_text("\n".join(lines) + "\n")
+    df = read_fixed_width(
+        spark,
+        str(p),
+        [
+            ("id", 1, 5, "int"),
+            ("name", 6, 10, "string"),
+            ("qty", 16, 5, "long"),
+            ("price", 21, 8, "double"),
+        ],
+        skip_header_lines=1,
+    )
+    got = {r["id"]: r for r in df.collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["name"] == "WIDGET" and got[1]["qty"] == 10
+    assert got[2]["price"] == 5.25 and got[2]["qty"] == 250
+    assert got[3]["qty"] is None and got[3]["price"] == 12.0
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "int", "string", "bigint", "double",
+    ]

@@ -416,3 +416,28 @@ def test_decayed_counter_ttl_expires_cold_keys(spark, tmp_path):
     ]
     live_u2 = [r for r in out if r["user_id"] == 2 and not r["expired"]]
     assert max(r["n_seen"] for r in live_u2) == 3
+
+
+def test_stream_stream_left_outer_join_null_padding(spark, stream_dir):
+    """ST13: left-outer stream-stream join. Matched rows emit
+    immediately; unmatched LEFT rows emit null-padded only once the
+    right watermark proves no match can still arrive (left_ts <
+    watermark); left rows the watermark has not passed stay buffered
+    and never emit prematurely."""
+    clicks = _read_stream(spark, stream_dir).where(F.col("event_type") == "click")
+    views = _read_stream(spark, stream_dir).where(F.col("event_type") == "view")
+    joined = ops.stream_stream_join(
+        clicks, views, on="user_id", within="2 hours",
+        delay="10 minutes", how="left_outer",
+    )
+    rows = _run(spark, joined, "t_ss_left").collect()
+    matched = [r for r in rows if r["event_id_r"] is not None]
+    nulls = {r["event_id"] for r in rows if r["event_id_r"] is None}
+    # inner part: user 2's click (id 5, 12:05) matches the 11:10 view
+    assert {(r["event_id"], r["event_id_r"]) for r in matched} == {(5, 3)}
+    # null padding: user 1's clicks at 10:05/10:20 are provably
+    # unmatchable once the final watermark (11:55) passes them
+    assert {1, 2} <= nulls
+    # the 12:00 click (id 4) is NOT yet expired (watermark 11:55 <
+    # 12:00) -> must still be buffered, not null-emitted
+    assert 4 not in nulls
