@@ -23,6 +23,7 @@ def load_all() -> None:
         round4e,
         round4f,
         round4g,
+        round4h,
         scalars,
         scans,
         setops,
