@@ -24,6 +24,7 @@ def load_all() -> None:
         round4f,
         round4g,
         round4h,
+        round4i,
         scalars,
         scans,
         setops,

@@ -1,0 +1,43 @@
+"""ANSI-SQL entry surface over the star schema.
+
+The engine's queries are DataFrame-declared, but a user migrating from
+any SQL warehouse expects to point a SQL string at the tables. This
+module registers every star-schema table (tables.TABLE_NAMES, loaded
+through tables.table so the events timestamp canonicalization applies)
+as a temp view and hands back ``spark.sql`` — the full Catalyst SQL
+surface (CTEs, window functions, GROUPING SETS, QUALIFY-less rank
+filters, LATERAL, recursive CTEs on Spark 4) with zero engine code in
+the loop.
+
+Views are temp views in the session catalog: no Hive metastore
+dependency, safe to re-register (CREATE OR REPLACE), and each view is
+a lazy parquet scan — registering all ten costs nothing until a query
+touches one. On a real cluster the same function would register
+catalog tables (saveAsTable / external locations) instead; the query
+surface is identical.
+
+Reference analogue: the reference has NO query language — every
+"query" is a hard-coded workflow step (SURVEY.md §3). This surface is
+the capability-closure the north star asks for: the reference's fixed
+pipelines become one-liners (see tests/test_sqlapi.py for the
+shared-loci count spelled in SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from laser_hadoop_spark.tables import TABLE_NAMES, table
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register every star-schema table as a temp view; returns names."""
+    for name in TABLE_NAMES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return list(TABLE_NAMES)
+
+
+def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """One-shot SQL entry point: register views, run the query lazily."""
+    register_views(spark, sf_dir)
+    return spark.sql(sql)
