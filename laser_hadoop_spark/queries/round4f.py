@@ -298,25 +298,35 @@ def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     t = F.split("text", " ")
+    # Per-doc shingle dedup happens SCAN-LOCALLY (array_distinct on the
+    # shingle array) — the naive explode-then-DISTINCT spelling
+    # shuffles every (doc, 32-byte digest) pair just to dedup within
+    # documents; array_distinct removes that whole exchange (only the
+    # first-seen aggregate and the join-back shuffle remain). The raw
+    # repartition is the PERF_NOTES small-file lesson: spread the
+    # hashing across cores when the input is one sub-split file.
     sh = (
-        d.where(F.size(t) >= 3)
+        d.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .where(F.size(t) >= 3)
         .select(
             "doc_id",
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(t) - 3),
-                    lambda i: F.md5(
-                        F.concat_ws(
-                            " ",
-                            F.element_at(t, i + 1),
-                            F.element_at(t, i + 2),
-                            F.element_at(t, i + 3),
-                        )
-                    ),
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(t) - 3),
+                        lambda i: F.md5(
+                            F.concat_ws(
+                                " ",
+                                F.element_at(t, i + 1),
+                                F.element_at(t, i + 2),
+                                F.element_at(t, i + 3),
+                            )
+                        ),
+                    )
                 )
             ).alias("h"),
         )
-        .distinct()
     )
     fs = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
     return (

@@ -58,6 +58,13 @@ PROBE_QUERIES = [
     "q_simhash_exact",
     "q_heavy_hitters",
     "q_bm25_search",
+    # round 4f-4i: the corpus-wide shingle join (novelty), the
+    # two-pass AUC over events, DSIR token scoring, and 5-NN
+    # broadcast classification — the heaviest of the new batches
+    "q_shingle_novelty",
+    "q_auc_exact",
+    "q_dsir_weights",
+    "q_knn_classify",
 ]
 AS_IS = ["region", "nation", "customer", "supplier", "part", "events", "embeddings"]
 
