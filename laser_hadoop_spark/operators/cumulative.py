@@ -199,3 +199,98 @@ def ordered_weighted_quantile(
             F.col("__tot").alias("total_weight"),
         )
     )
+
+
+def ordered_quantiles(
+    df: DataFrame,
+    *,
+    value_col: str,
+    quantiles: Sequence[tuple[int, int]],
+    weight_col: str | None = None,
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """Several lower (weighted) quantiles in ONE histogram pass + ONE
+    pruned scan — the multi-point generalization of
+    ordered_weighted_quantile.
+
+    ``quantiles`` is a list of (num, den) fractions; for each, the
+    smallest value v with den*cum_weight(v) >= num*total is returned
+    as a row (q_num, q_den, quantile_value, total_weight). All
+    fractions share the same two scans: pass 2 filters the fact table
+    to the UNION of crossing buckets (an isin over at most
+    len(quantiles) bucket ids, broadcast), and each fraction walks
+    only its own bucket's per-value aggregate. Unweighted quantiles
+    (percentile_disc) are the weight_col=None special case (weight 1).
+
+    Scale shape: identical to the single-quantile operator — no fact
+    shuffle, the histogram window bounded by value_range/bucket_width
+    — but k quantiles cost 2 scans instead of 2k.
+    """
+    v = F.col(value_col)
+    w = F.lit(1).cast("bigint") if weight_col is None else F.col(weight_col)
+    bucket = F.expr(f"CAST({value_col} DIV {bucket_width} AS BIGINT)")
+    hist = df.groupBy(bucket.alias("__b")).agg(F.sum(w).alias("__bw"))
+    cum_w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    tot_w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    crossed = hist.select(
+        "__b",
+        "__bw",
+        F.sum("__bw").over(cum_w).alias("__cum"),
+        F.sum("__bw").over(tot_w).alias("__tot"),
+    ).localCheckpoint(eager=False)
+    fracs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(num).cast("bigint").alias("q_num"),
+                    F.lit(den).cast("bigint").alias("q_den"),
+                )
+                for num, den in quantiles
+            ]
+        )
+    ).alias("q")
+    targets = (
+        crossed.select("*", fracs)
+        .select("__b", "__bw", "__cum", "__tot", "q.q_num", "q.q_den")
+        .where(F.col("q_den") * F.col("__cum") >= F.col("q_num") * F.col("__tot"))
+        .groupBy("q_num", "q_den", "__tot")
+        .agg(F.min("__b").alias("__tb"))
+        .join(
+            crossed.select(
+                F.col("__b").alias("__tb"),
+                (F.col("__cum") - F.col("__bw")).alias("__off"),
+            ),
+            "__tb",
+        )
+    )
+    in_buckets = (
+        df.join(
+            F.broadcast(targets.select("__tb").distinct()),
+            bucket == F.col("__tb"),
+        )
+        .groupBy(bucket.alias("__vb"), v.alias("__v"))
+        .agg(F.sum(w).alias("__vw"))
+    )
+    cum_v = Window.partitionBy("__vb").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    walked = in_buckets.select(
+        "__vb", "__v", F.sum("__vw").over(cum_v).alias("__lcw")
+    )
+    return (
+        walked.join(F.broadcast(targets), walked["__vb"] == targets["__tb"])
+        .where(
+            F.col("q_den") * (F.col("__off") + F.col("__lcw"))
+            >= F.col("q_num") * F.col("__tot")
+        )
+        .groupBy("q_num", "q_den", "__tot")
+        .agg(F.min("__v").alias("__q"))
+        .select(
+            F.col("q_num").cast("bigint"),
+            F.col("q_den").cast("bigint"),
+            F.col("__q").alias("quantile_value"),
+            F.col("__tot").alias("total_weight"),
+        )
+    )

@@ -25,6 +25,7 @@ def load_all() -> None:
         round4g,
         round4h,
         round4i,
+        round4j,
         scalars,
         scans,
         setops,

@@ -107,3 +107,34 @@ def test_ordered_weighted_quantile_against_python_reference(spark):
             num,
             den,
         )
+
+
+def test_ordered_quantiles_multi_point_reference(spark):
+    """Multi-quantile pruning must agree with the definitional sorted
+    walk at every fraction, weighted and unweighted, including
+    fractions whose crossing points share one bucket and fractions in
+    distinct buckets."""
+    from laser_hadoop_spark.operators.cumulative import ordered_quantiles
+
+    rows = [(v, (v % 5) + 1) for v in range(0, 30000, 7)]
+    fracs = [(1, 100), (1, 4), (1, 2), (3, 4), (99, 100)]
+    for weighted in (True, False):
+        df = spark.createDataFrame(rows, ["v", "w"]).repartition(6)
+        got = {
+            (r["q_num"], r["q_den"]): (r["quantile_value"], r["total_weight"])
+            for r in ordered_quantiles(
+                df,
+                value_col="v",
+                quantiles=fracs,
+                weight_col="w" if weighted else None,
+            ).collect()
+        }
+        tot = sum((w if weighted else 1) for _, w in rows)
+        for num, den in fracs:
+            cw, expect = 0, None
+            for v, w in sorted(rows):
+                cw += w if weighted else 1
+                if den * cw >= num * tot:
+                    expect = v
+                    break
+            assert got[(num, den)] == (expect, tot), (num, den, weighted)
