@@ -26,6 +26,7 @@ def load_all() -> None:
         round4h,
         round4i,
         round4j,
+        round4k,
         scalars,
         scans,
         setops,
