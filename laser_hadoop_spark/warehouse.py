@@ -52,6 +52,28 @@ def bucketed_name(table_name: str, sf_dir: str, n_buckets: int) -> str:
     return f"lh_{table_name}_{tag:08x}_{fp}_b{n_buckets}"
 
 
+def _process_scope(spark: SparkSession) -> str:
+    """Process-unique name suffix for in-memory catalogs.
+
+    With spark.sql.catalogImplementation=in-memory the catalog forgets
+    tables between processes, so every new process rebuilds its
+    bucketed tables REGARDLESS — cross-process on-disk reuse never
+    happens. Two concurrent processes sharing one on-disk location do
+    race, though: the second's orphan-clearing rmtree deletes files
+    the first is actively scanning (observed as FAILED_READ_FILE when
+    pytest and check_oracles overlap). A pid suffix makes locations
+    process-private — zero lost reuse, race gone; the private
+    locations are rmtree'd at interpreter exit. A persistent
+    metastore (the cluster case) returns the empty scope and keeps
+    real cross-run reuse.
+    """
+    import os
+
+    if spark.conf.get("spark.sql.catalogImplementation", "in-memory") == "hive":
+        return ""
+    return f"_p{os.getpid()}"
+
+
 def ensure_bucketed_facts(
     spark: SparkSession,
     sf_dir: str,
@@ -68,9 +90,10 @@ def ensure_bucketed_facts(
     import shutil
 
     out: dict[str, str] = {}
+    scope = _process_scope(spark)
     for fact in facts:
         keys, sort_by = FACT_LAYOUT[fact]
-        name = bucketed_name(fact, sf_dir, n_buckets)
+        name = bucketed_name(fact, sf_dir, n_buckets) + scope
         if not spark.catalog.tableExists(name):
             # In-memory catalogs forget tables between sessions while the
             # managed location survives on disk; clear the orphan or
@@ -90,5 +113,21 @@ def ensure_bucketed_facts(
                 n_buckets=n_buckets,
                 sort_by=sort_by,
             )
+            if scope:
+                _cleanup_at_exit(loc)
         out[fact] = name
     return out
+
+
+_CLEANUP_REGISTERED: set[str] = set()
+
+
+def _cleanup_at_exit(loc: str) -> None:
+    """rmtree this process's private bucketed locations on exit."""
+    import atexit
+    import shutil
+
+    if loc in _CLEANUP_REGISTERED:
+        return
+    _CLEANUP_REGISTERED.add(loc)
+    atexit.register(shutil.rmtree, loc, True)
