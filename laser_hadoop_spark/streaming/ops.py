@@ -637,3 +637,101 @@ def heavy_hitters_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HH_TTL_OUT_SCHEMA = "bucket int, token string, min_count long, expired boolean"
+HH_TTL_STATE_SCHEMA = "tokens array<string>, counts array<long>"
+
+
+def _mk_hh_ttl_fn(capacity: int, ttl_ms: int):
+    def hh_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            tokens, counts = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "bucket": [key[0]] * len(tokens),
+                    "token": list(tokens),
+                    "min_count": [int(c) for c in counts],
+                    "expired": [True] * len(tokens),
+                }
+            )
+            return
+        if state.exists:
+            tokens, counts = state.get
+            counters = dict(zip(list(tokens), [int(c) for c in counts]))
+        else:
+            counters = {}
+        last_ms = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            last_ms = max(last_ms, int(pdf["t_us"].max()) // 1000)
+            for token in pdf["token"]:
+                if token in counters:
+                    counters[token] += 1
+                elif len(counters) < capacity:
+                    counters[token] = 1
+                else:
+                    dead = [k for k in counters if counters[k] == 1]
+                    for k in counters:
+                        counters[k] -= 1
+                    for k in dead:
+                        del counters[k]
+        state.update((list(counters.keys()), list(counters.values())))
+        # same late-data guard as ST12: a timeout at-or-before the
+        # current watermark is rejected by Spark
+        state.setTimeoutTimestamp(
+            max(last_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        yield pd.DataFrame(
+            {
+                "bucket": [key[0]] * len(counters),
+                "token": list(counters.keys()),
+                "min_count": list(counters.values()),
+                "expired": [False] * len(counters),
+            }
+        )
+
+    return hh_fn
+
+
+def heavy_hitters_stream_ttl(
+    events: DataFrame,
+    *,
+    token_col: str = "event_type",
+    n_buckets: int = 16,
+    capacity: int = 1024,
+    ttl: str = "1 hour",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """ST14: ST11's streaming Misra-Gries with event-time state TTL.
+
+    A topic/token distribution drifts at 100 TB/day: buckets whose
+    token population goes cold should not pin their MG summaries
+    forever (ST11's NoTimeout state is constant-size per bucket but
+    the CONTENT goes stale — an all-time summary, when the consumer
+    usually wants "heavy over the active horizon"). This variant
+    expires a bucket once the watermark passes its last token by
+    ``ttl``: the timeout emits each surviving candidate with
+    ``expired = true`` (the downstream exact-recount can flush the
+    horizon's candidates before they vanish) and removes the summary,
+    so a re-warming bucket starts a fresh horizon. Event-time timeout
+    keeps replay deterministic, exactly as ST12 argues for ST10.
+    """
+    ttl_ms = _duration_to_ms(ttl)
+    bucketed = events.select(
+        F.col("ts"),
+        F.unix_micros("ts").alias("t_us"),
+        F.col(token_col).alias("token"),
+        (F.abs(F.xxhash64(token_col)) % n_buckets).cast("int").alias("bucket"),
+    ).withWatermark("ts", watermark)
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        _mk_hh_ttl_fn(capacity, ttl_ms),
+        outputStructType=HH_TTL_OUT_SCHEMA,
+        stateStructType=HH_TTL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -441,3 +441,69 @@ def test_stream_stream_left_outer_join_null_padding(spark, stream_dir):
     # the 12:00 click (id 4) is NOT yet expired (watermark 11:55 <
     # 12:00) -> must still be buffered, not null-emitted
     assert 4 not in nulls
+
+
+def test_heavy_hitters_stream_ttl_expires_cold_buckets(spark, tmp_path):
+    """ST14: a bucket whose tokens stop arriving expires once the
+    watermark passes its last event + TTL, emitting its surviving MG
+    candidates with expired=true; the still-active bucket never
+    expires. Both token streams flow through ONE operator instance —
+    bucket separation comes solely from the xxhash64 shard key
+    (asserted as a fixture precondition below)."""
+    import os
+    import time
+
+    from laser_hadoop_spark.streaming.ops import heavy_hitters_stream_ttl
+
+    d = tmp_path / "in"
+    d.mkdir()
+    batches = [
+        # batch 0: 'click' x2 and 'view' x1 (different buckets under
+        # xxhash64 % 16 — verified below)
+        [
+            (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+            (2, "2024-01-01 10:05:00", 1, "click", 1.0),
+            (3, "2024-01-01 10:00:00", 2, "view", 1.0),
+        ],
+        # batch 1: watermark still behind click's TTL deadline
+        [(4, "2024-01-01 12:30:00", 2, "view", 1.0)],
+        # batch 2: watermark (15:00 - 10min) passes 10:05 + 1h ->
+        # click's bucket times out
+        [(5, "2024-01-01 15:00:00", 2, "view", 1.0)],
+    ]
+    seen: set[str] = set()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df.coalesce(1).write.mode("append").parquet(str(d))
+        t = time.time() - 100 + i * 10
+        for f in os.listdir(d):
+            p = os.path.join(str(d), f)
+            if f.endswith(".parquet") and p not in seen:
+                seen.add(p)
+                os.utime(p, (t, t))
+    # precondition: the two tokens shard to different buckets
+    from pyspark.sql import functions as SF
+    b = {
+        r["t"]: r["b"]
+        for r in spark.createDataFrame([("click",), ("view",)], ["t"])
+        .select("t", (SF.abs(SF.xxhash64("t")) % 16).cast("int").alias("b"))
+        .collect()
+    }
+    assert b["click"] != b["view"], "fixture tokens must shard apart"
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = _run(
+        spark,
+        heavy_hitters_stream_ttl(stream, ttl="1 hour"),
+        "st14_ttl",
+        mode="update",
+    ).collect()
+    expired = [(r["token"], r["min_count"]) for r in out if r["expired"]]
+    assert expired == [("click", 2)]
+    live_view = [r for r in out if r["token"] == "view" and not r["expired"]]
+    assert max(r["min_count"] for r in live_view) == 3
