@@ -68,8 +68,9 @@ def _two_avg_ranks(vals: DataFrame, value_col: str, out_col: str) -> DataFrame:
     ),
     s AS (
         SELECT COUNT(*) AS n, SUM(rx2) AS sx, SUM(ry2) AS sy,
-               SUM(rx2 * rx2) AS sxx, SUM(ry2 * ry2) AS syy,
-               SUM(rx2 * ry2) AS sxy
+               SUM(CAST(rx2 AS HUGEINT) * rx2) AS sxx,
+               SUM(CAST(ry2 AS HUGEINT) * ry2) AS syy,
+               SUM(CAST(rx2 AS HUGEINT) * ry2) AS sxy
         FROM r
     )
     SELECT CAST(n AS BIGINT) AS n,
@@ -87,8 +88,9 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend. Pearson-on-average-ranks IS the tie-corrected Spearman rho,
     so the X125 doubled-rank trick makes the whole statistic exact
     until one final IEEE division: every rank is an integer (2*avg),
-    all five power sums are exact (products routed through
-    DECIMAL(38,0) — bigint would overflow n*Sxy around sf1), and the
+    all five power sums are exact (rank PRODUCTS and the final
+    combinations both route through DECIMAL(38,0) — a bigint product
+    wraps silently around a million distinct values), and the
     hash-checked `num` column pins the numerator bit-for-bit. Ranks
     come from grouped value counts + the two-pass cumulative, so the
     plan has one small-aggregate shuffle per variable and no
@@ -101,13 +103,18 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     rx = _two_avg_ranks(cust.select("x"), "x", "rx2")
     ry = _two_avg_ranks(cust.select("y"), "y", "ry2")
     ranked = cust.join(rx, "x").join(ry, "y")
+    dec_prod = lambda a, b: F.sum(  # noqa: E731  (sums exact at any sf:
+        F.col(a).cast("decimal(38,0)") * F.col(b)
+    )  # a bigint rx2*ry2 product wraps silently around n ~ 1.3e6 with
+    # ANSI off while DuckDB promotes — route the PRODUCT through
+    # decimal, not just the final n*Sxy combination)
     s = ranked.agg(
         F.count("*").alias("n"),
         F.sum("rx2").alias("sx"),
         F.sum("ry2").alias("sy"),
-        F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
-        F.sum(F.col("ry2") * F.col("ry2")).alias("syy"),
-        F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
+        dec_prod("rx2", "rx2").alias("sxx"),
+        dec_prod("ry2", "ry2").alias("syy"),
+        dec_prod("rx2", "ry2").alias("sxy"),
     )
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     num = dec("n") * dec("sxy") - dec("sx") * dec("sy")
@@ -430,8 +437,9 @@ def q_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
         SELECT COUNT(*) AS m, SUM(dx) AS sx, SUM(dy) AS sy,
-               SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy,
-               SUM(dx * dy) AS sxy
+               SUM(CAST(dx AS HUGEINT) * dx) AS sxx,
+               SUM(CAST(dy AS HUGEINT) * dy) AS syy,
+               SUM(CAST(dx AS HUGEINT) * dy) AS sxy
         FROM ed
     )
     SELECT CAST(m AS BIGINT) AS m_edges,
@@ -475,13 +483,16 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("dy")), "dst")
         .select("dx", "dy")
     )
+    dec_prod = lambda a, b: F.sum(  # noqa: E731  (X144's overflow
+        F.col(a).cast("decimal(38,0)") * F.col(b)
+    )  # discipline: degree products wrap bigint on dense graphs)
     s = ed.agg(
         F.count("*").alias("m"),
         F.sum("dx").alias("sx"),
         F.sum("dy").alias("sy"),
-        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
-        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
-        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        dec_prod("dx", "dx").alias("sxx"),
+        dec_prod("dy", "dy").alias("syy"),
+        dec_prod("dx", "dy").alias("sxy"),
     )
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     num = dec("m") * dec("sxy") - dec("sx") * dec("sy")
@@ -553,7 +564,7 @@ def q_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     two_r1 = cum.agg(
         F.sum(
-            F.col("c1")
+            F.col("c1").cast("decimal(38,0)")
             * (
                 2 * (F.col("cum1") + F.col("cum2") - F.col("c1") - F.col("c2") + 1)
                 + F.col("c1")
@@ -561,22 +572,25 @@ def q_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - 1
             )
         ).alias("two_r1")
-    )
+    )  # decimal: 2*R1 ~ 2*n1*N is quadratic in event count
     tot = v.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
-    u1_x2 = F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)
+    u1_x2 = F.col("two_r1") - F.col("n1").cast("decimal(38,0)") * (
+        F.col("n1") + 1
+    )
     return (
         two_r1.crossJoin(F.broadcast(tot))
         .select(
             F.col("n1").cast("bigint").alias("n_pos"),
             F.col("n2").cast("bigint").alias("n_neg"),
-            (10000 * u1_x2).cast("bigint").alias("__num"),
+            (10000 * u1_x2).alias("__num"),
         )
         .select(
             "n_pos",
             "n_neg",
-            F.expr("CAST(__num DIV (2 * n_pos * n_neg) AS BIGINT)").alias(
-                "auc_bp"
-            ),
+            F.expr(
+                "CAST(__num div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)"
+                " AS BIGINT)"
+            ).alias("auc_bp"),
         )
     )
 

@@ -179,7 +179,9 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
         SELECT lag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
-               SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(y AS HUGEINT) * y) AS syy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy
         FROM joined GROUP BY lag
     )
     SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_days,
@@ -226,13 +228,16 @@ def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("lag", F.col("rev").alias("x"), "y")
     )
+    dec_prod = lambda a, b: F.sum(  # noqa: E731  (X144 overflow
+        F.col(a).cast("decimal(38,0)") * F.col(b)
+    )  # discipline: daily-revenue products wrap bigint around sf10)
     s = joined.groupBy("lag").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        dec_prod("x", "x").alias("sxx"),
+        dec_prod("y", "y").alias("syy"),
+        dec_prod("x", "y").alias("sxy"),
     )
     dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
     num = dec("n") * dec("sxy") - dec("sx") * dec("sy")
@@ -326,7 +331,8 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM e
     ),
     s AS (
-        SELECT dim, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
+        SELECT dim, COUNT(*) AS n, SUM(x) AS sx,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx
         FROM cells GROUP BY dim
     )
     SELECT CAST(dim AS INT) AS dim, CAST(n AS BIGINT) AS n,
@@ -360,7 +366,9 @@ def q_dims_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = cells.groupBy("dim").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        # product through decimal: micro^2 cells wrap bigint sums at
+        # ~100x the driver vector count
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
     )
     return s.select(
         F.col("dim").cast("int").alias("dim"),

@@ -22,13 +22,13 @@ from pyspark.sql.window import Window
 from laser_hadoop_spark.registry import register
 from laser_hadoop_spark.tables import table
 
-# Mirror of queries/llm.py _STOPWORDS (kept in sync by the shared
-# import on the Spark side; spelled inline in the oracle SQL).
-from laser_hadoop_spark.queries.llm import _STOPWORDS
+# Shared stopword list + its SQL spelling (queries/llm.py owns both;
+# one source keeps the X162/X163 oracles in lockstep with L3/L4).
+from laser_hadoop_spark.queries.llm import _STOP_SQL, _STOPWORDS
 
 
 def _stop_sql_list() -> str:
-    return ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return _STOP_SQL
 
 
 @register(
@@ -188,13 +188,15 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X164: cohort LTV curve (cumulative revenue per cohort age).
 
     The unit-economics view on top of X37's retention matrix: users
-    cohorted by first-activity month; purchase revenue bucketed by
-    integer month age ((y*12+m) arithmetic — no float months_between,
-    identical on both engines); cumulative revenue and per-user LTV
-    in exact centi per (cohort, age). The cumulative window partitions
-    by cohort over the month-granular aggregate (calendar-bounded);
-    the only fact-table shuffles are the two user_id/month aggregates
-    sharing one partitioning.
+    cohorted by first-activity DAY (the driver corpus spans one
+    month, so month cohorts would collapse to a single row); purchase
+    revenue bucketed by integer day age (datediff — identical on both
+    engines); cumulative revenue and per-user LTV in exact centi per
+    (cohort_day, age_days). The cumulative window partitions by
+    cohort over the day-granular aggregate (|days|^2-bounded by the
+    calendar span, not by fact cardinality); the only fact-table
+    shuffles are the two user_id/day aggregates sharing one
+    partitioning.
     """
     e = table(spark, sf_dir, "events")
     day = F.col("ts").cast("date")

@@ -86,26 +86,28 @@ def q_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The engagement ratio product dashboards lead with: daily actives
     over trailing-28-day actives, in exact basis points, full windows
-    only. The trailing-28 distinct count rides on the deduped user-day
-    relation via a day-range join (28x the user-day table, the X87
-    exact-WAU cost model — the HLL sibling X151 applies identically
-    when user cardinality explodes). DAU is one aggregate; the join
-    and both aggregates share the day axis.
+    only. The trailing-28 distinct count uses X87's offset-explode
+    shape: each deduped (user, day) row fans out to the 28 window-end
+    days it contributes to, then distinct-counts per window day — an
+    EQUI-shuffle costing 28x the user-day table (a pure range
+    predicate would plan as a nested-loop join evaluating
+    |days| x |user-days| pairs). The inner join back to dau restricts
+    window days to actual activity days; the HLL sibling X151 applies
+    identically when user cardinality explodes.
     """
     e = table(spark, sf_dir, "events")
     ud = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
     dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
     bounds = ud.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
-    u2 = ud.select(F.col("user_id"), F.col("day").alias("uday"))
-    mau = (
-        dau.select("day")
-        .join(
-            u2,
-            (F.col("uday") > F.date_sub(F.col("day"), 28))
-            & (F.col("uday") <= F.col("day")),
-        )
-        .groupBy("day")
-        .agg(F.count_distinct("user_id").alias("mau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(27))).alias("off"),
+        "day",
+    ).select(
+        "user_id", F.date_add(F.col("day"), F.col("off")).alias("day")
+    )
+    mau = contrib.groupBy("day").agg(
+        F.count_distinct("user_id").alias("mau")
     )
     return (
         dau.join(mau, "day")
@@ -197,13 +199,18 @@ def q_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = daily.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("c").alias("sx"),
-        F.sum(F.col("c") * F.col("c")).alias("sxx"),
+        # power sum through DECIMAL(38,0): with ANSI off a bigint
+        # product would silently wrap at scale while DuckDB's SUM
+        # promotes to HUGEINT — the q_dims_variance discipline
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("sxx"),
     )
     return s.select(
         "event_type",
         F.col("n").cast("bigint").alias("n_days"),
         F.col("sx").cast("bigint").alias("n_events"),
         F.expr(
-            "CAST(((n * sxx - sx * sx) * 1000000) DIV (n * sx) AS BIGINT)"
+            "CAST(((CAST(n AS DECIMAL(38,0)) * sxx"
+            "       - CAST(sx AS DECIMAL(38,0)) * sx) * 1000000)"
+            "     div (CAST(n AS DECIMAL(38,0)) * sx) AS BIGINT)"
         ).alias("fano_micro"),
     )

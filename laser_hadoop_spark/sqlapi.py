@@ -27,17 +27,29 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from laser_hadoop_spark.tables import TABLE_NAMES, table
+from laser_hadoop_spark import tables
+from laser_hadoop_spark.tables import TABLE_NAMES
+
+# (session id, sf_dir) pairs whose views are already registered — each
+# registration is ~1s of parquet listing/footer overhead (see
+# tables.register_views), so run_sql memoizes it per session+dir.
+_REGISTERED: set[tuple[int, str]] = set()
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
-    """Register every star-schema table as a temp view; returns names."""
-    for name in TABLE_NAMES:
-        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    """Register every star-schema table as a temp view; returns names.
+
+    Delegates to tables.register_views (single implementation of the
+    view wiring, events canonicalization included).
+    """
+    tables.register_views(spark, sf_dir)
+    _REGISTERED.add((id(spark), sf_dir))
     return list(TABLE_NAMES)
 
 
 def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
-    """One-shot SQL entry point: register views, run the query lazily."""
-    register_views(spark, sf_dir)
+    """One-shot SQL entry point: register views (once per session+dir),
+    run the query lazily."""
+    if (id(spark), sf_dir) not in _REGISTERED:
+        register_views(spark, sf_dir)
     return spark.sql(sql)

@@ -484,7 +484,7 @@ def _mk_decayed_ttl_fn(ttl_ms: int):
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
-            s, n = state.get
+            s, n, _last = state.get
             state.remove()
             yield pd.DataFrame(
                 {
@@ -495,16 +495,19 @@ def _mk_decayed_ttl_fn(ttl_ms: int):
                 }
             )
             return
-        s, n = state.get if state.exists else (None, 0)
+        s, n, last_ms = state.get if state.exists else (None, 0, 0)
         if s is not None and s < 0:
             s = None
-        last_ms = 0
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
             pdf = pd.concat(chunks).sort_values(["t_us", "event_id"])
             s, n = fold_decay(s, n, [int(v) for v in pdf["v_centi"]])
-            last_ms = int(pdf["t_us"].max()) // 1000
-        state.update((s if s is not None else -1, n))
+            # max EVER seen, not the batch max: a later batch carrying
+            # older (but above-watermark) events must never move the
+            # TTL deadline EARLIER — the deadline contract is
+            # "watermark passes the key's newest event + ttl"
+            last_ms = max(last_ms, int(pdf["t_us"].max()) // 1000)
+        state.update((s if s is not None else -1, n, last_ms))
         # Spark rejects a timeout at-or-before the current watermark, so a
         # key fed only late data expires at the next watermark advance.
         state.setTimeoutTimestamp(
@@ -552,7 +555,7 @@ def decayed_counter_per_user_ttl(
     return prepped.groupBy("user_id").applyInPandasWithState(
         _mk_decayed_ttl_fn(ttl_ms),
         outputStructType=DECAYED_TTL_SCHEMA,
-        stateStructType="s long, n long",
+        stateStructType="s long, n long, last_ms long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
@@ -640,7 +643,7 @@ def heavy_hitters_stream(
 
 
 HH_TTL_OUT_SCHEMA = "bucket int, token string, min_count long, expired boolean"
-HH_TTL_STATE_SCHEMA = "tokens array<string>, counts array<long>"
+HH_TTL_STATE_SCHEMA = "tokens array<string>, counts array<long>, last_ms long"
 
 
 def _mk_hh_ttl_fn(capacity: int, ttl_ms: int):
@@ -648,7 +651,7 @@ def _mk_hh_ttl_fn(capacity: int, ttl_ms: int):
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
-            tokens, counts = state.get
+            tokens, counts, _last = state.get
             state.remove()
             yield pd.DataFrame(
                 {
@@ -660,11 +663,13 @@ def _mk_hh_ttl_fn(capacity: int, ttl_ms: int):
             )
             return
         if state.exists:
-            tokens, counts = state.get
+            tokens, counts, last_ms = state.get
             counters = dict(zip(list(tokens), [int(c) for c in counts]))
+            last_ms = int(last_ms)
         else:
             counters = {}
-        last_ms = 0
+            last_ms = 0
+        # max EVER seen (persisted), not the batch max — see ST12
         for pdf in pdfs:
             if not len(pdf):
                 continue
@@ -680,7 +685,7 @@ def _mk_hh_ttl_fn(capacity: int, ttl_ms: int):
                         counters[k] -= 1
                     for k in dead:
                         del counters[k]
-        state.update((list(counters.keys()), list(counters.values())))
+        state.update((list(counters.keys()), list(counters.values()), last_ms))
         # same late-data guard as ST12: a timeout at-or-before the
         # current watermark is rejected by Spark
         state.setTimeoutTimestamp(

@@ -91,6 +91,8 @@ def ensure_bucketed_facts(
 
     out: dict[str, str] = {}
     scope = _process_scope(spark)
+    if scope:
+        _reap_stale_process_dirs(spark)
     for fact in facts:
         keys, sort_by = FACT_LAYOUT[fact]
         name = bucketed_name(fact, sf_dir, n_buckets) + scope
@@ -117,6 +119,38 @@ def ensure_bucketed_facts(
                 _cleanup_at_exit(loc)
         out[fact] = name
     return out
+
+
+def _reap_stale_process_dirs(spark: SparkSession) -> None:
+    """Remove lh_*_p<pid> locations whose owning process is dead.
+
+    The atexit cleanup misses processes that die without unwinding
+    (SIGKILL, OOM); their private bucketed dirs would otherwise leak
+    forever since no later process ever computes that pid-suffixed
+    name. A live process's dir is never touched (its pid exists), so
+    this sweep cannot reintroduce the concurrency race it exists to
+    complement.
+    """
+    import os
+    import re
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    root = wh.removeprefix("file:")
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    for entry in entries:
+        m = re.fullmatch(r"lh_.*_p(\d+)", entry)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+        except OSError:
+            continue  # pid exists but not ours — leave it
 
 
 _CLEANUP_REGISTERED: set[str] = set()
