@@ -27,6 +27,7 @@ def load_all() -> None:
         round4i,
         round4j,
         round4k,
+        round4l,
         scalars,
         scans,
         setops,
