@@ -28,6 +28,7 @@ def load_all() -> None:
         round4j,
         round4k,
         round4l,
+        round4m,
         scalars,
         scans,
         setops,
