@@ -212,3 +212,64 @@ def test_curation_dedup_strategies_agree(spark, sf_dir):
     b = curation_plan(d, dedup_strategy="semi_join").select("doc_id")
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_incremental_ingest_dedup_and_idempotence(spark, tmp_path):
+    """plans/incremental.py: batch 2 dedups against batch 1's digest
+    store (never the corpus itself), within-batch dups collapse to the
+    first doc, quality rejects never reach the corpus, and re-running
+    a batch is a no-op (idempotent retries — the engine's answer to
+    the reference's max.attempts=1)."""
+    from laser_hadoop_spark.plans.incremental import ingest_batch
+
+    corpus = str(tmp_path / "corpus")
+    digests = str(tmp_path / "digests")
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs on to the"
+        " hills where it is seen by many of the people walking there"
+    )
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    b1 = mk(
+        [
+            (1, good, "en", "s0", len(good)),
+            (2, good + " again and again", "en", "s0", 10),
+            (3, "short", "en", "s0", 5),  # quality reject (too short)
+        ]
+    )
+    c1 = ingest_batch(
+        spark, b1, batch_id="b1", corpus_dir=corpus, digest_dir=digests
+    )
+    assert c1 == {
+        "n_input": 3,
+        "n_quality_rejected": 1,
+        "n_dup_history": 0,
+        "n_ingested": 2,
+    }
+    b2 = mk(
+        [
+            (10, good, "en", "s1", len(good)),  # dup of history (doc 1)
+            (11, good + " but genuinely new material appears here in the"
+                 " second half of this new document text", "en", "s1", 10),
+            (12, good + " but genuinely new material appears here in the"
+                 " second half of this new document text", "en", "s1", 10),
+            # ^ within-batch dup of 11 -> curation keeps min id
+        ]
+    )
+    c2 = ingest_batch(
+        spark, b2, batch_id="b2", corpus_dir=corpus, digest_dir=digests
+    )
+    assert c2["n_dup_history"] == 1 and c2["n_ingested"] == 1
+    got = spark.read.parquet(corpus)
+    assert got.count() == 3  # docs 1, 2, 11
+    assert {r["doc_id"] for r in got.collect()} == {1, 2, 11}
+    # idempotent re-run of batch 2: everything dedups against the
+    # digests the first run wrote; corpus and store unchanged
+    c2b = ingest_batch(
+        spark, mk([(10, good, "en", "s1", len(good))]),
+        batch_id="b2", corpus_dir=corpus, digest_dir=digests,
+    )
+    assert c2b["n_ingested"] == 0
+    assert spark.read.parquet(corpus).count() == 3
+    assert spark.read.parquet(digests).count() == 3
