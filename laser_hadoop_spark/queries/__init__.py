@@ -29,6 +29,7 @@ def load_all() -> None:
         round4k,
         round4l,
         round4m,
+        round4n,
         scalars,
         scans,
         setops,
