@@ -65,6 +65,8 @@ def curation_plan(
       — shuffles full document bodies once. Measured faster at bench
       scale (1.41s vs 1.56s at sf0.1): a single scan beats the join
       form's double scan when IO dominates.
+    - "none": skip stage 1 entirely (the caller dedups; see
+      plans/incremental.py's split counters).
     - "semi_join": groupBy(fp).min(id) + left-semi join — scans twice
       but shuffles only 16-byte (fp, id) pairs for the aggregate, with
       AQE broadcasting the keeper set when it fits. The right choice
@@ -84,6 +86,13 @@ def curation_plan(
         deduped = (
             withfp.withColumn("__keep", keep).where("__keep").drop("__fp", "__keep")
         )
+    elif dedup_strategy == "none":
+        # caller handles dedup itself (e.g. plans/incremental.py, which
+        # needs separate in-batch-dup vs quality-reject counters);
+        # quality verdicts are text-deterministic, so gating before an
+        # external min-id dedup yields the same survivors as the fused
+        # dedup-first order
+        deduped = withfp.drop("__fp")
     else:
         raise ValueError(f"unknown dedup_strategy {dedup_strategy!r}")
     # 2-3. quality + language filters: scan-local column predicates.

@@ -5,35 +5,45 @@ their result from the full corpus; at 100 TB the DAILY path must not.
 This plan ingests one new document batch against a persistent corpus:
 
 1. quality-gate the batch (the curation stages, scan-local);
-2. dedup it against HISTORY via the digest store — a parquet table of
+2. dedup WITHIN the batch (first doc_id wins — X147's first-seen rule);
+3. dedup against HISTORY via the digest store — a parquet table of
    16-byte md5 fingerprints, joined digest-to-digest (the X175 shape:
    the 100 TB corpus is never rescanned, only its digest sidecar);
-3. dedup WITHIN the batch (first doc_id wins — X147's first-seen rule);
-4. append survivors to the corpus (immutable batch partitions);
-5. upsert the new digests into the store (sinks.upsert_parquet).
+4. overwrite the batch's OWN corpus partition (dynamic partition
+   overwrite — not append, see below);
+5. upsert the new digests into the store (sinks.upsert_parquet —
+   atomic tmp+rename swap).
 
-Re-running the same batch is idempotent: every document deduplicates
-against the digests step 5 wrote, so the corpus and store are
-unchanged (the reference's no-retry mapper writes —
-LASERInputValidator.java:125 — solved with idempotence instead of
-retry suppression). Counter-style results return as a dict, the
-MR-counter analogue (LASERInputValidator.java:142-145).
+Crash-idempotence (the engine's answer to the reference's retry
+suppression, ``mapred.map.max.attempts=1`` at
+``LASERInputValidator.java:125``): the corpus write lands FIRST as a
+dynamic overwrite of the ``ingest_batch=<id>`` partition, the digest
+upsert SECOND as an atomic swap. A retry after a crash at any
+boundary converges: before the corpus commit, the retry rewrites the
+partition from scratch; between the two writes, the retry overwrites
+the partition with identical content (no duplicates — overwrite, not
+append) and then lands the digests; after both, every document
+deduplicates against the store and the empty survivor set touches
+neither table. Counter-style results return as a dict, the MR-counter
+analogue (``LASERInputValidator.java:142-145``).
+
+Scale note: sinks.upsert_parquet rewrites the whole digest store per
+batch — the atomic-swap merge primitive, right for the modest store
+sizes this engine tests and WRONG at corpus-cardinality; production
+would partition the store by fingerprint prefix and merge only the
+touched partitions (upsert_parquet's own docstring makes the same
+point for fact-scale mutation). The plan's join/gate structure is
+unchanged by that swap.
 """
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from laser_hadoop_spark.operators.dedup import normalized_fingerprint
 from laser_hadoop_spark.plans.curation import curation_plan
-from laser_hadoop_spark.sources.sinks import upsert_parquet
-
-
-def _fingerprint(text_col: str = "text"):
-    norm = F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " ")))
-    return F.md5(norm)
+from laser_hadoop_spark.sources.sinks import has_parquet_files, upsert_parquet
 
 
 def ingest_batch(
@@ -49,39 +59,49 @@ def ingest_batch(
 ) -> dict:
     """Ingest one batch; returns counter dict (see module docstring).
 
-    Counters: n_input, n_quality_rejected, n_dup_history,
-    n_dup_in_batch, n_ingested.
+    Counters: n_input, n_quality_rejected, n_dup_in_batch,
+    n_dup_history, n_ingested.
     """
     n_input = new_docs.count()
+    # quality only — dedup is handled explicitly below so the
+    # in-batch-duplicate and quality-reject counters stay separate
     gated = curation_plan(
         new_docs,
         id_col=id_col,
         text_col=text_col,
         allowed_langs=allowed_langs,
-    ).withColumn("__fp", _fingerprint(text_col))
-    # the batch's own exact-dup stage already kept first-per-fp within
-    # the gated frame; pin it so counters and writes see one pass
+        dedup_strategy="none",
+    ).withColumn("__fp", normalized_fingerprint(text_col))
     gated = gated.localCheckpoint(eager=True)
     n_gated = gated.count()
 
-    if os.path.isdir(digest_dir) and any(
-        f.endswith(".parquet")
-        for _r, _d, fs in os.walk(digest_dir)
-        for f in fs
-    ):
+    first = gated.groupBy("__fp").agg(F.min(id_col).alias("__first_id"))
+    in_batch = (
+        gated.join(first, "__fp")
+        .where(F.col(id_col) == F.col("__first_id"))
+        .drop("__first_id")
+    )
+    in_batch = in_batch.localCheckpoint(eager=True)
+    n_unique = in_batch.count()
+
+    if has_parquet_files(digest_dir):
         digests = spark.read.parquet(digest_dir).select("fp")
-        fresh = gated.join(
-            digests, gated["__fp"] == digests["fp"], "left_anti"
+        fresh = in_batch.join(
+            digests, in_batch["__fp"] == digests["fp"], "left_anti"
         )
     else:
-        fresh = gated
+        fresh = in_batch
     fresh = fresh.localCheckpoint(eager=True)
     n_fresh = fresh.count()
 
     survivors = fresh.withColumn("ingest_batch", F.lit(batch_id))
+    # dynamic overwrite of THIS batch's partition: a retry replaces its
+    # own partition instead of appending duplicates (idempotence
+    # contract above); other batches' partitions are untouched
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
         survivors.drop("__fp")
-        .write.mode("append")
+        .write.mode("overwrite")
         .partitionBy("ingest_batch")
         .parquet(corpus_dir)
     )
@@ -98,8 +118,7 @@ def ingest_batch(
     return {
         "n_input": n_input,
         "n_quality_rejected": n_input - n_gated,
-        # curation_plan's dedup stage folds batch-internal dups into
-        # the quality stage's frame; history dups are the anti-join gap
-        "n_dup_history": n_gated - n_fresh,
+        "n_dup_in_batch": n_gated - n_unique,
+        "n_dup_history": n_unique - n_fresh,
         "n_ingested": n_fresh,
     }

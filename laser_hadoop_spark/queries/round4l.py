@@ -388,91 +388,111 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(FLOOR(o_totalprice) AS BIGINT) AS x
         FROM orders
     ),
-    s AS (
-        SELECT priority, COUNT(*) AS n, SUM(x) AS s1,
-               SUM(CAST(x AS HUGEINT) * x) AS s2,
-               SUM(CAST(x AS HUGEINT) * x * x) AS s3,
-               SUM(CAST(x AS HUGEINT) * x * x * x) AS s4
-        FROM v GROUP BY priority
+    mu AS (
+        SELECT priority, SUM(x) // COUNT(*) AS mu0 FROM v GROUP BY priority
     ),
-    m AS (
-        SELECT priority, n,
-               n * s2 - s1 * s1 AS m2n2,
-               n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS m3n3,
-               n * n * n * s4 - 4 * n * n * s1 * s3
-                   + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS m4n4
+    d AS (
+        SELECT v.priority, v.x - m.mu0 AS dx
+        FROM v JOIN mu m ON m.priority = v.priority
+    ),
+    s AS (
+        SELECT priority, COUNT(*) AS n, SUM(dx) AS d1,
+               SUM(CAST(dx AS HUGEINT) * dx) AS d2,
+               SUM(CAST(dx AS HUGEINT) * dx * dx) AS d3,
+               SUM(CAST(dx AS HUGEINT) * dx * dx * dx) AS d4
+        FROM d GROUP BY priority
+    ),
+    f AS (
+        SELECT priority, n, d1, d2, d3, d4,
+               CAST(n AS DOUBLE) AS nd, CAST(d1 AS DOUBLE) AS dd1,
+               CAST(d2 AS DOUBLE) AS dd2, CAST(d3 AS DOUBLE) AS dd3,
+               CAST(d4 AS DOUBLE) AS dd4
         FROM s
     )
     SELECT priority, CAST(n AS BIGINT) AS n,
-           CAST(m2n2 AS VARCHAR) AS m2n2,
-           CAST(m3n3 AS VARCHAR) AS m3n3,
-           ROUND(CAST(m3n3 AS DOUBLE)
-                 / POW(CAST(m2n2 AS DOUBLE), 1.5), 6) AS skewness,
-           ROUND(CAST(m4n4 AS DOUBLE)
-                 / (CAST(m2n2 AS DOUBLE) * CAST(m2n2 AS DOUBLE)) - 3, 6)
+           CAST(d1 AS BIGINT) AS d1,
+           CAST(d2 AS VARCHAR) AS d2, CAST(d3 AS VARCHAR) AS d3,
+           CAST(d4 AS VARCHAR) AS d4,
+           ROUND((nd * dd3 * nd - 3 * nd * dd1 * dd2
+                  + 2 * dd1 * dd1 * dd1)
+                 / POW(nd * dd2 - dd1 * dd1, 1.5), 6) AS skewness,
+           ROUND((nd * nd * nd * dd4 - 4 * nd * nd * dd1 * dd3
+                  + 6 * nd * dd1 * dd1 * dd2 - 3 * dd1 * dd1 * dd1 * dd1)
+                 / ((nd * dd2 - dd1 * dd1) * (nd * dd2 - dd1 * dd1)) - 3, 6)
                AS excess_kurtosis
-    FROM m
+    FROM f
     """,
 )
 def q_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X174: exact skewness / kurtosis numerators per group.
+    """X174: exact higher-moment sums per group + skewness/kurtosis.
 
-    Distribution shape beyond X52's variance: the 3rd and 4th central
-    moments with every denominator cleared — m2*n^2, m3*n^3, m4*n^4
-    are pure integer combinations of the power sums (binomial
-    expansion), computed in DECIMAL(38)/HUGEINT and hash-pinned AS
-    STRINGS (m4n4 can exceed int64 by design; the string survives the
-    driver's value hash where a wrapped bigint would lie). Skewness
-    g1 = m3n3/m2n2^1.5 and excess kurtosis g2 = m4n4/m2n2^2 - 3
-    (numpy-verified algebra; the n powers cancel exactly)
-    take ONE float step each at the very end, rounded — identical
-    IEEE inputs on both engines because the integer numerators agree
-    bit-for-bit. Whole-dollar units keep s1^4-scale terms inside
-    DECIMAL(38) through sf100 (documented bound; centi units would
-    overflow at sf1). One scan + one 5-row stats pass.
+    Distribution shape beyond X52's variance, with the overflow done
+    RIGHT: raw power sums explode (n^3 * sum(x^4) passes DECIMAL(38)
+    around bench scale), so values are first SHIFTED by the per-group
+    integer mean mu0 = s1 DIV n — central moments are shift-invariant,
+    and the centered power sums d1..d4 are orders of magnitude
+    smaller (d4 ~ n * spread^4, exact in DECIMAL(38)/HUGEINT through
+    ~sf100). Those four sums are the hash-pinned exact artifacts
+    (d2..d4 as strings — beyond int64 by design). The huge binomial
+    combinations m3n3 = n^2 d3 - 3n d1 d2 + 2 d1^3 and m4n4 = n^3 d4
+    - ... are NOT materialized as integers; skewness = m3n3/m2n2^1.5
+    and excess kurtosis = m4n4/m2n2^2 - 3 (numpy-verified algebra)
+    evaluate in DOUBLE with the identical left-associated expression
+    text on both engines — same IEEE ops over bit-identical integer
+    inputs, rounded to 6. Two passes (mean, then moments), both
+    map-side aggregates; the mean join is a 5-row broadcast.
     """
     o = table(spark, sf_dir, "orders")
     x = F.floor(F.col("o_totalprice")).cast("bigint")
     v = o.select(F.col("o_orderpriority").alias("priority"), x.alias("x"))
-    dx = F.col("x").cast("decimal(38,0)")
-    s = v.groupBy("priority").agg(
+    mu = v.groupBy("priority").agg(
+        F.expr("SUM(x) DIV COUNT(*)").alias("mu0")
+    )
+    d = v.join(F.broadcast(mu), "priority").select(
+        "priority", (F.col("x") - F.col("mu0")).alias("dx")
+    )
+    ddx = F.col("dx").cast("decimal(38,0)")
+    s = d.groupBy("priority").agg(
         F.count("*").alias("n"),
-        F.sum("x").alias("s1"),
-        F.sum(dx * F.col("x")).alias("s2"),
-        F.sum(dx * F.col("x") * F.col("x")).alias("s3"),
-        F.sum(dx * F.col("x") * F.col("x") * F.col("x")).alias("s4"),
+        F.sum("dx").alias("d1"),
+        F.sum(ddx * F.col("dx")).alias("d2"),
+        F.sum(ddx * F.col("dx") * F.col("dx")).alias("d3"),
+        F.sum(ddx * F.col("dx") * F.col("dx") * F.col("dx")).alias("d4"),
     )
-    dn = F.col("n").cast("decimal(38,0)")
-    d1 = F.col("s1").cast("decimal(38,0)")
-    m2n2 = dn * F.col("s2") - d1 * d1
-    m3n3 = dn * dn * F.col("s3") - 3 * dn * d1 * F.col("s2") + 2 * d1 * d1 * d1
-    m4n4 = (
-        dn * dn * dn * F.col("s4")
-        - 4 * dn * dn * d1 * F.col("s3")
-        + 6 * dn * d1 * d1 * F.col("s2")
-        - 3 * d1 * d1 * d1 * d1
-    )
-    m = s.select(
-        "priority",
-        F.col("n").cast("bigint").alias("n"),
-        m2n2.alias("m2n2d"),
-        m3n3.alias("m3n3d"),
-        m4n4.alias("m4n4d"),
-    )
-    return m.select(
+    f = s.select(
         "priority",
         "n",
-        F.col("m2n2d").cast("string").alias("m2n2"),
-        F.col("m3n3d").cast("string").alias("m3n3"),
+        "d1",
+        "d2",
+        "d3",
+        "d4",
+        F.col("n").cast("double").alias("nd"),
+        F.col("d1").cast("double").alias("dd1"),
+        F.col("d2").cast("double").alias("dd2"),
+        F.col("d3").cast("double").alias("dd3"),
+        F.col("d4").cast("double").alias("dd4"),
+    )
+    return f.select(
+        "priority",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("d1").cast("bigint").alias("d1"),
+        F.col("d2").cast("string").alias("d2"),
+        F.col("d3").cast("string").alias("d3"),
+        F.col("d4").cast("string").alias("d4"),
         F.round(
-            F.col("m3n3d").cast("double")
-            / F.pow(F.col("m2n2d").cast("double"), F.lit(1.5)),
+            F.expr(
+                "(nd * dd3 * nd - 3 * nd * dd1 * dd2"
+                " + 2 * dd1 * dd1 * dd1)"
+                " / POW(nd * dd2 - dd1 * dd1, 1.5)"
+            ),
             6,
         ).alias("skewness"),
         F.round(
-            F.col("m4n4d").cast("double")
-            / (F.col("m2n2d").cast("double") * F.col("m2n2d").cast("double"))
-            - 3,
+            F.expr(
+                "(nd * nd * nd * dd4 - 4 * nd * nd * dd1 * dd3"
+                " + 6 * nd * dd1 * dd1 * dd2 - 3 * dd1 * dd1 * dd1 * dd1)"
+                " / ((nd * dd2 - dd1 * dd1) * (nd * dd2 - dd1 * dd1)) - 3"
+            ),
             6,
         ).alias("excess_kurtosis"),
     )

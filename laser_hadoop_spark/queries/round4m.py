@@ -65,13 +65,10 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = clean on both axes; the within-batch check is one
     MIN(doc_id) aggregate + join, not the oracle's quadratic EXISTS.
     """
+    from laser_hadoop_spark.operators.dedup import normalized_fingerprint
+
     d = table(spark, sf_dir, "documents")
-    fp = d.select(
-        "doc_id",
-        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias(
-            "f"
-        ),
-    )
+    fp = d.select("doc_id", normalized_fingerprint("text").alias("f"))
     old = fp.where(F.col("doc_id") < 250).select("f").distinct()
     new_docs = fp.where(F.col("doc_id") >= 250)
     first_new = new_docs.groupBy("f").agg(F.min("doc_id").alias("first_id"))
@@ -134,10 +131,10 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary size (and predicts the OOV rate a fixed vocab leaves
     behind; Zipf X105 fits the same relation's slope). Ranking is
     (freq DESC, token) — a total order, so every k's coverage is
-    deterministic. Plan: one token count aggregate, one rank over the
-    type relation (|types|, not |tokens|), a 4-row k axis; at extreme
-    type cardinality the rank runs through the two-pass operator and
-    the curve is unchanged.
+    deterministic. Plan: one token count aggregate, then the rank over
+    the type relation (|types|, not |tokens|) runs through the
+    two-pass operator — no single-partition window even at extreme
+    type cardinality — and a 4-row k axis joins in.
     """
     d = table(spark, sf_dir, "documents")
     freq = (
@@ -148,8 +145,13 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = freq.agg(
         F.sum("n").alias("total"), F.count("*").alias("n_types")
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("token"))
-    ranked = freq.select("n", F.row_number().over(w).alias("rn"))
+    from laser_hadoop_spark.operators.cumulative import ordered_cumsum
+
+    ranked = ordered_cumsum(
+        freq,
+        order_by=[F.col("n").desc(), F.col("token")],
+        row_number_col="rn",
+    ).select("n", "rn")
     ks = spark.createDataFrame([(10,), (100,), (1000,), (10000,)], ["k"])
     return (
         ks.crossJoin(ranked)

@@ -142,6 +142,24 @@ def write_partitioned_parquet(
     )
 
 
+def has_parquet_files(path: str) -> bool:
+    """True if any parquet file exists under ``path`` (recursive).
+
+    Recursive because a base written with write_partitioned_parquet
+    keeps its files under key=value subdirectories, where a
+    top-level-only listing would miss them and a caller could silently
+    replace a whole table. Driver-local posix walk — on HDFS/S3 use
+    the Hadoop FileSystem listing instead (same caveat as
+    compact_parquet).
+    """
+    if not os.path.isdir(path):
+        return False
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def upsert_parquet(
     spark: SparkSession,
     base_dir: str,
@@ -166,17 +184,7 @@ def upsert_parquet(
     + rewrite to partitions present in the updates.
     """
     up = updates.dropDuplicates(keys).localCheckpoint(eager=True)
-    # Detect the base recursively: a base written with
-    # write_partitioned_parquet keeps its files under key=value
-    # subdirectories, where a top-level-only listing would miss them and
-    # silently replace the whole table with just the updates.
-    has_base = False
-    if os.path.isdir(base_dir):
-        for _root, _dirs, files in os.walk(base_dir):
-            if any(f.endswith(".parquet") for f in files):
-                has_base = True
-                break
-    if has_base:
+    if has_parquet_files(base_dir):
         base = spark.read.parquet(base_dir)
         merged = base.join(up, on=keys, how="left_anti").unionByName(up)
     else:

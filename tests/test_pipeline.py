@@ -244,6 +244,7 @@ def test_incremental_ingest_dedup_and_idempotence(spark, tmp_path):
     assert c1 == {
         "n_input": 3,
         "n_quality_rejected": 1,
+        "n_dup_in_batch": 0,
         "n_dup_history": 0,
         "n_ingested": 2,
     }
@@ -261,15 +262,31 @@ def test_incremental_ingest_dedup_and_idempotence(spark, tmp_path):
         spark, b2, batch_id="b2", corpus_dir=corpus, digest_dir=digests
     )
     assert c2["n_dup_history"] == 1 and c2["n_ingested"] == 1
+    assert c2["n_dup_in_batch"] == 1 and c2["n_quality_rejected"] == 0
     got = spark.read.parquet(corpus)
     assert got.count() == 3  # docs 1, 2, 11
     assert {r["doc_id"] for r in got.collect()} == {1, 2, 11}
-    # idempotent re-run of batch 2: everything dedups against the
-    # digests the first run wrote; corpus and store unchanged
+    # idempotent FULL re-run of batch 2 (the crash-retry path): its
+    # partition is dynamically overwritten, not appended; every doc
+    # dedups against the digests the first run wrote; corpus and
+    # store unchanged
     c2b = ingest_batch(
-        spark, mk([(10, good, "en", "s1", len(good))]),
-        batch_id="b2", corpus_dir=corpus, digest_dir=digests,
+        spark, b2, batch_id="b2", corpus_dir=corpus, digest_dir=digests
     )
     assert c2b["n_ingested"] == 0
     assert spark.read.parquet(corpus).count() == 3
     assert spark.read.parquet(digests).count() == 3
+    # crash-window retry: corpus partition written but digests lost —
+    # the retry must overwrite the partition (same content, no dupes)
+    import shutil
+
+    shutil.rmtree(digests)
+    c2c = ingest_batch(
+        spark, b2, batch_id="b2", corpus_dir=corpus, digest_dir=digests
+    )
+    # with the whole store gone (b1's digests included), doc 10 no
+    # longer dedups against history: both 10 and 11 land — and the b2
+    # partition is REPLACED with those 2 rows, never appended to
+    assert c2c["n_ingested"] == 2
+    got2 = spark.read.parquet(corpus)
+    assert got2.where("ingest_batch = 'b2'").count() == 2
