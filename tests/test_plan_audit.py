@@ -427,3 +427,45 @@ def test_round4d_queries_stay_jvm_side_and_shuffle_bounded(spark, sf_dir):
     plan = _plan(registry.get("q_cusum_changepoint").fn(spark, sf_dir))
     for spec in plan.split("windowspecdefinition(")[1:]:
         assert spec.startswith("__pid"), spec[:120]
+
+
+def test_weighted_median_no_fact_shuffle(spark, sf_dir):
+    """X98 (histogram-pruned): the fact table is never shuffled — no
+    range exchange, no localCheckpoint materialization; the only hash
+    exchanges move the tiny bucket histogram / per-value aggregates,
+    and the single-partition windows run over the constant-bounded
+    histogram relation only."""
+    plan = _plan(registry.get("q_weighted_median").fn(spark, sf_dir))
+    assert "rangepartitioning" not in plan, plan
+    # two scan passes (histogram + crossing bucket), each followed by a
+    # small aggregate exchange; the windows sit on the histogram side
+    assert plan.count("Scan parquet") == 2, plan
+
+
+def test_quantiles_pruned_no_fact_shuffle(spark, sf_dir):
+    """X166: same contract for the multi-quantile operator — two fact
+    scans, no range shuffle of fact rows."""
+    plan = _plan(registry.get("q_quantiles_pruned").fn(spark, sf_dir))
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_knn_classify_salted_topk_no_python(spark, sf_dir):
+    """X157: the scoring path stays JVM-side (no BatchEvalPython /
+    ArrowEvalPython), the query side broadcasts, and the two-level
+    top-k means no window partitions on query_id alone before the
+    5xSalt reduction (the salted window appears first)."""
+    plan = _plan(registry.get("q_knn_classify").fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # salted local window precedes the per-query window in the plan
+    assert "__salt" in plan, "two-level top-k salt column missing from plan"
+
+
+def test_sprt_walk_uses_two_pass_cumulative(spark, sf_dir):
+    """X181: the LLR walk must not funnel users through a single
+    partition — the ordered_cumsum shape (range repartition of the
+    tiny user relation + partitioned windows) is present instead of a
+    global unpartitioned running-sum window over the user axis."""
+    plan = _plan(registry.get("q_sprt").fn(spark, sf_dir))
+    # ordered_cumsum pins its frame with a localCheckpoint scan
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan or "Scan ExistingRDD" in plan, plan
