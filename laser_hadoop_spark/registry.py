@@ -68,12 +68,14 @@ def _load_all() -> None:
 # is ever-green per LEDGER.json and stays covered by the full local
 # oracle corpus (tests/test_oracle_corpus.py + ORACLE_LOCAL_r04.json).
 #
-# ROUND-5 ROTATION NOTE: round 4 ultimately registered X123-X174
-# (round4c..round4l) BEYOND this window — 50 oracle-backed queries
-# (all green in ORACLE_LOCAL_r04.json, incl. at sf0.01 and under the
-# adversarial session) that have never received a driver verdict.
-# Round 5 should place q_ecdf..q_higher_moments at positions 1-50 and
-# rotate the longest-ago-verified greens after them.
+# ROUND-5 ROTATION NOTE: round 4 ultimately registered X123-X183
+# (round4c..round4n) BEYOND this window — 59 oracle-backed queries
+# (all green in ORACLE_LOCAL_r04.json at sf0.001; spot-verified at
+# sf0.01; the full corpus also green under the adversarial session)
+# that have never received a driver verdict. Round 5 should fill the
+# 50-slot window from q_ecdf forward (the 9 overflow plus any new
+# round-5 queries go to round 6) and rotate the longest-ago-verified
+# greens after them.
 _DRIVER_PRIORITY = [
     # -- 1. round-3 overflow: oracle-backed, never driver-tested ------
     "q_naive_bayes_score",
