@@ -30,6 +30,7 @@ def load_all() -> None:
         round4l,
         round4m,
         round4n,
+        round4o,
         scalars,
         scans,
         setops,
