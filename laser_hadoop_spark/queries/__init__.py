@@ -31,6 +31,7 @@ def load_all() -> None:
         round4m,
         round4n,
         round4o,
+        round4p,
         scalars,
         scans,
         setops,
