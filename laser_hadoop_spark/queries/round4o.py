@@ -101,7 +101,7 @@ def q_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
         SELECT o_orderpriority AS priority,
                CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS centi
-        FROM orders WHERE o_totalprice > 0
+        FROM orders WHERE FLOOR(o_totalprice * 100 + 0.5) >= 1
     ),
     m AS (
         SELECT priority,
@@ -139,7 +139,12 @@ def q_mean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = table(spark, sf_dir, "orders")
     centi = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
-    m = o.where(F.col("o_totalprice") > 0).select(
+    # guard on the FIXED-POINT domain (centi >= 1), not the raw float:
+    # a price in (0, 0.005) floors to centi 0 — LOG10(0) aborts DuckDB
+    # while Spark NULLs, an engine divergence
+    m = o.where(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)) >= 1
+    ).select(
         F.col("o_orderpriority").alias("priority"),
         centi.alias("centi"),
         F.round(F.log10(centi.cast("double")) * 1_000_000)
@@ -306,6 +311,11 @@ def q_cross_source_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
         .distinct()
+        .distinct()
+        # pinned: consumed three times (per_n + both self-join sides) —
+        # without the pin the explode+md5+distinct recomputes per
+        # subtree (the q_binary_segmentation multi-consumer discipline)
+        .localCheckpoint(eager=False)
     )
     per_n = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")

@@ -33,15 +33,14 @@ from laser_hadoop_spark.tables import table
         SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
     ),
     freq AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
-    ranked AS (
+    top_ AS (SELECT token, n FROM freq ORDER BY n DESC, token LIMIT 200),
+    curve AS (
         SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rn
-        FROM freq
+        FROM top_
     ),
-    curve AS (SELECT rn, n FROM ranked WHERE rn <= 200),
     ends AS (
         SELECT MIN(rn) AS x1, MAX(rn) AS x2,
-               MAX(CASE WHEN rn = 1 THEN n END) AS y1,
-               MAX(CASE WHEN rn = 200 THEN n END) AS y2
+               arg_min(n, rn) AS y1, arg_max(n, rn) AS y2
         FROM curve
     ),
     dist AS (
@@ -65,8 +64,11 @@ def q_knee_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X188: knee/elbow of the rank-frequency curve (exact geometry).
 
     The automatic cut-point rule (Satopaa et al. 'kneedle' family,
-    public method) over the top-200 token ranks: the knee is the
-    point furthest from the chord between the curve's endpoints.
+    public method) over the top-200 (or full-vocabulary, if smaller)
+    token ranks: the knee is the point furthest from the chord
+    between the curve's ACTUAL endpoints (adaptive — a fixed rank-200
+    endpoint would be NULL on a smaller vocabulary and kill every
+    distance).
     Perpendicular distance = |cross product| / |chord|, and the chord
     is CONSTANT across candidates — so ranking by the doubled triangle
     area |(y2-y1)(x-x1) - (x2-x1)(y-y1)| is exact integer arithmetic
@@ -83,16 +85,22 @@ def q_knee_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )
+    # top-200 via parallel TakeOrderedAndProject (the q_zipf_fit
+    # spelling), THEN a row number over the <= 200-row result — a
+    # global no-partition window over the full vocabulary would funnel
+    # every token through one task
+    top = freq.orderBy(F.col("n").desc(), "token").limit(200)
     w = Window.orderBy(F.col("n").desc(), F.col("token"))
-    curve = (
-        freq.select("n", F.row_number().over(w).alias("rn"))
-        .where(F.col("rn") <= 200)
-    )
+    curve = top.select("n", F.row_number().over(w).alias("rn"))
+    # endpoints are ADAPTIVE (arg at max rank) — a fixed rank-200
+    # endpoint is NULL whenever the vocabulary is smaller, silently
+    # killing every distance (found by probing the committed corpus:
+    # 31 types)
     ends = curve.agg(
         F.min("rn").alias("x1"),
         F.max("rn").alias("x2"),
-        F.max(F.when(F.col("rn") == 1, F.col("n"))).alias("y1"),
-        F.max(F.when(F.col("rn") == 200, F.col("n"))).alias("y2"),
+        F.min_by("n", "rn").alias("y1"),
+        F.max_by("n", "rn").alias("y2"),
     )
     dist = curve.crossJoin(F.broadcast(ends)).select(
         "rn",
