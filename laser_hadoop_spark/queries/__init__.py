@@ -32,6 +32,7 @@ def load_all() -> None:
         round4n,
         round4o,
         round4p,
+        round4q,
         scalars,
         scans,
         setops,
