@@ -33,6 +33,7 @@ def load_all() -> None:
         round4o,
         round4p,
         round4q,
+        round4r,
         scalars,
         scans,
         setops,
