@@ -34,6 +34,7 @@ def load_all() -> None:
         round4p,
         round4q,
         round4r,
+        round4s,
         scalars,
         scans,
         setops,
