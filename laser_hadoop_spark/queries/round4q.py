@@ -49,10 +49,12 @@ from laser_hadoop_spark.tables import table
     ),
     bounds AS (SELECT MIN(day) AS lo FROM daily)
     SELECT f.day, CAST(f.n AS BIGINT) AS n_days,
-           ROUND(CAST(f.n * f.sxy - f.sx * f.sy AS DOUBLE)
-                 / (SQRT(CAST(f.n * f.sxx - f.sx * f.sx AS DOUBLE))
-                    * SQRT(CAST(f.n * f.syy - f.sy * f.sy AS DOUBLE))), 6)
-               AS r
+           CASE WHEN f.n * f.sxx - f.sx * f.sx > 0
+                 AND f.n * f.syy - f.sy * f.sy > 0
+                THEN ROUND(CAST(f.n * f.sxy - f.sx * f.sy AS DOUBLE)
+                     / (SQRT(CAST(f.n * f.sxx - f.sx * f.sx AS DOUBLE))
+                        * SQRT(CAST(f.n * f.syy - f.sy * f.sy AS DOUBLE))), 6)
+                ELSE NULL END AS r
     FROM frames f CROSS JOIN bounds b
     WHERE f.day >= b.lo + 13
     """,
@@ -80,7 +82,8 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "click", centi).otherwise(0)
         ).alias("y"),
     )
-    spine = daily.select(F.col("day").alias("fday")).distinct()
+    # daily is grouped by day -> already unique; no distinct needed
+    spine = daily.select(F.col("day").alias("fday"))
     b = daily.select(F.col("day").alias("bday"), "x", "y")
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     frames = (
@@ -109,10 +112,19 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "day",
             F.col("n").cast("bigint").alias("n_days"),
-            F.round(
-                num.cast("double")
-                / (F.sqrt(den1.cast("double")) * F.sqrt(den2.cast("double"))),
-                6,
+            # zero-variance guard: a constant window makes a denominator
+            # 0 — NULL on both engines instead of an ANSI-session
+            # DIVIDE_BY_ZERO on Spark only
+            F.when(
+                (den1 > 0) & (den2 > 0),
+                F.round(
+                    num.cast("double")
+                    / (
+                        F.sqrt(den1.cast("double"))
+                        * F.sqrt(den2.cast("double"))
+                    ),
+                    6,
+                ),
             ).alias("r"),
         )
     )
@@ -176,12 +188,14 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
         ).alias("rev")
     ).withColumn("dow", F.weekday("day") + 1)
-    means = daily.groupBy("dow").agg(
-        F.expr("SUM(rev) * 1000000 DIV COUNT(*)").alias("mean_micro")
+    # sums through DECIMAL(38): DuckDB's SUM is HUGEINT, so the
+    # *1e6 product must not wrap on the Spark side either
+    mean_expr = (
+        "CAST(CAST(SUM(rev) AS DECIMAL(38,0)) * 1000000 div COUNT(*)"
+        " AS BIGINT)"
     )
-    gmean = daily.agg(
-        F.expr("SUM(rev) * 1000000 DIV COUNT(*)").alias("gmean_micro")
-    )
+    means = daily.groupBy("dow").agg(F.expr(mean_expr).alias("mean_micro"))
+    gmean = daily.agg(F.expr(mean_expr).alias("gmean_micro"))
     devs = (
         daily.join(F.broadcast(means), "dow")
         .crossJoin(F.broadcast(gmean))

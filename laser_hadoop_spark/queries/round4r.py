@@ -128,7 +128,7 @@ def q_ingest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) OVER () AS n
         FROM gaps
     )
-    SELECT (SELECT CAST(MIN(n) AS BIGINT) FROM r) AS n_converted,
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM gaps) AS n_converted,
            (SELECT CAST(MIN(gap_s) AS BIGINT) FROM r
             WHERE 2 * rn >= n) AS p50_s,
            (SELECT CAST(MIN(gap_s) AS BIGINT) FROM r
@@ -143,9 +143,12 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     prices HOW LONG conversion takes: per user, first view to first
     subsequent purchase, gaps in integer seconds (epoch-micros
     difference, truncating division — TZ-free), then the lower p50 /
-    p90 / max as (den*rank >= num*n) order statistics over the
-    per-user gap relation (user-bounded, not event-bounded). The SLA
-    twin of X83's order-to-ship latency on the event funnel.
+    p90 via ONE histogram-prune pass (the X166 ordered_quantiles
+    operator — no rank shuffle of the gap relation) and max from the
+    same scan. The SLA twin of X83's order-to-ship latency on the
+    event funnel; the oracle keeps the definitional
+    (den*rank >= num*n) spelling, so the hash match re-proves the
+    pruning on this relation too.
     """
     e = table(spark, sf_dir, "events")
     v = (
@@ -163,26 +166,26 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps = v.join(p, "user_id").select(
         F.expr("(t_purch - t_view) DIV 1000000").alias("gap_s")
     )
-    from laser_hadoop_spark.operators.cumulative import ordered_cumsum
+    # both percentiles in ONE histogram-prune pass (ordered_quantiles —
+    # the q_weighted_median/X166 operator) instead of a hand-rolled
+    # rank selection over a range-shuffled cumulative
+    from laser_hadoop_spark.operators.cumulative import ordered_quantiles
 
-    r = ordered_cumsum(gaps, order_by=["gap_s"], row_number_col="rn")
+    qs = ordered_quantiles(
+        gaps, value_col="gap_s", quantiles=[(1, 2), (9, 10)]
+    )
+    pivoted = (
+        qs.groupBy()
+        .pivot("q_num", [1, 9])
+        .agg(F.min("quantile_value"))
+        .select(F.col("`1`").alias("p50_s"), F.col("`9`").alias("p90_s"))
+    )
     n_row = gaps.agg(
         F.count("*").alias("n"), F.max("gap_s").alias("max_s")
     )
-    sel = r.crossJoin(F.broadcast(n_row))
-    p50 = sel.where(2 * F.col("rn") >= F.col("n")).agg(
-        F.min("gap_s").alias("p50_s")
-    )
-    p90 = sel.where(10 * F.col("rn") >= 9 * F.col("n")).agg(
-        F.min("gap_s").alias("p90_s")
-    )
-    return (
-        n_row.crossJoin(p50)
-        .crossJoin(p90)
-        .select(
-            F.col("n").cast("bigint").alias("n_converted"),
-            F.col("p50_s").cast("bigint").alias("p50_s"),
-            F.col("p90_s").cast("bigint").alias("p90_s"),
-            F.col("max_s").cast("bigint").alias("max_s"),
-        )
+    return n_row.crossJoin(pivoted).select(
+        F.col("n").cast("bigint").alias("n_converted"),
+        F.col("p50_s").cast("bigint").alias("p50_s"),
+        F.col("p90_s").cast("bigint").alias("p90_s"),
+        F.col("max_s").cast("bigint").alias("max_s"),
     )

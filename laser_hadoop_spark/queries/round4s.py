@@ -224,14 +224,17 @@ def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("y") == F.col("cur_y"))
         .select("centi")
     )
+    # pre-group to the distinct-centi relation FIRST (the oracle's
+    # cur_g shape): the <=10x range-join fanout then applies to
+    # |distinct values| rows, not every order, and cur scans once
+    cur_g = cur.groupBy("centi").agg(F.count("*").alias("c"))
     cur_b = (
-        cur.join(F.broadcast(bounds), F.col("centi") <= F.col("hi"), "left")
-        .groupBy("centi")
+        cur_g.join(F.broadcast(bounds), F.col("centi") <= F.col("hi"), "left")
+        .groupBy("centi", "c")
         .agg(F.coalesce(F.min("d"), F.lit(10)).alias("d"))
-        .join(cur.groupBy("centi").agg(F.count("*").alias("c")), "centi")
     )
     cur_n = cur_b.groupBy("d").agg(F.sum("c").alias("cn"))
-    cur_tot = cur.agg(F.count("*").alias("ct"))
+    cur_tot = cur_b.agg(F.sum("c").alias("ct"))
     shares = (
         ref_n.join(cur_n, "d", "left")
         .crossJoin(F.broadcast(ref_tot))
@@ -317,15 +320,16 @@ def q_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", centi).otherwise(0)
         ).alias("v")
     ).select((F.col("user_id") % 2).alias("arm"), "v", "user_id")
-    from laser_hadoop_spark.operators.cumulative import ordered_cumsum
+    # pooled lower median via the X166 histogram-prune operator — the
+    # third hand-rolled (den*rank >= num*n) selection this round was
+    # reviewed out of; no rank shuffle of the per-user relation
+    from laser_hadoop_spark.operators.cumulative import ordered_weighted_quantile
 
-    r = ordered_cumsum(spend, order_by=["v", "user_id"], row_number_col="rn")
-    n_row = spend.agg(F.count("*").alias("n"))
-    med = (
-        r.crossJoin(F.broadcast(n_row))
-        .where(2 * F.col("rn") >= F.col("n"))
-        .agg(F.min("v").alias("m"))
-    )
+    med = ordered_weighted_quantile(
+        spend.select("v", F.lit(1).cast("bigint").alias("__w")),
+        value_col="v",
+        weight_col="__w",
+    ).select(F.col("quantile_value").alias("m"))
     cell = (
         spend.crossJoin(F.broadcast(med))
         .agg(
