@@ -35,6 +35,7 @@ def load_all() -> None:
         round4q,
         round4r,
         round4s,
+        round4t,
         scalars,
         scans,
         setops,
