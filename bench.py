@@ -58,6 +58,14 @@ HEADLINE = [
     # stats broadcast + postings equi-join + integer scoring)
     "q_simhash_exact",
     "q_bm25_search",
+    # round 4 late batches: multi-quantile histogram pruning (five
+    # percentile_disc points, two scans, zero fact shuffles), the
+    # corpus-wide first-seen shingle-novelty join (scan-local shingle
+    # dedup), and the doubled-rank exact AUC over the event stream
+    # (two-pass cumulative over the grouped score relation)
+    "q_quantiles_pruned",
+    "q_shingle_novelty",
+    "q_auc_exact",
 ]
 
 
