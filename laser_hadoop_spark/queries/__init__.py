@@ -36,6 +36,7 @@ def load_all() -> None:
         round4r,
         round4s,
         round4t,
+        round4u,
         scalars,
         scans,
         setops,
