@@ -37,6 +37,7 @@ def load_all() -> None:
         round4s,
         round4t,
         round4u,
+        round4v,
         scalars,
         scans,
         setops,

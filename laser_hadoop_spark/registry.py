@@ -68,8 +68,8 @@ def _load_all() -> None:
 # is ever-green per LEDGER.json and stays covered by the full local
 # oracle corpus (tests/test_oracle_corpus.py + ORACLE_LOCAL_r04.json).
 #
-# ROUND-5 ROTATION NOTE: round 4 ultimately registered X123-X202
-# (round4c..round4u) BEYOND this window — 78 oracle-backed queries
+# ROUND-5 ROTATION NOTE: round 4 ultimately registered X123-X203
+# (round4c..round4v) BEYOND this window — 79 oracle-backed queries
 # (all green in ORACLE_LOCAL_r04.json at sf0.001; spot-verified at
 # sf0.01; the full corpus also green under the adversarial session)
 # that have never received a driver verdict. Round 5 should fill the
