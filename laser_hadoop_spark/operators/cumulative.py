@@ -294,3 +294,22 @@ def ordered_quantiles(
             F.col("__tot").alias("total_weight"),
         )
     )
+
+
+def closed_form_ntile(
+    rn_col: str = "rn", n_col: str = "n", k: int = 10
+) -> Column:
+    """NTILE(k)'s remainder arithmetic as a closed-form expression over
+    a global row number: with q = n DIV k and r = n % k, the first r
+    buckets take q+1 rows. Computes the identical bucket id to
+    NTILE(k) OVER (ORDER BY ...) without any window — pair it with
+    ordered_cumsum's row_number_col for the no-single-partition plan
+    (hash-proven equal to NTILE in q_equidepth_histogram,
+    q_calibration_bins, q_ingest_drift, q_lorenz_points, q_psi).
+    """
+    return F.expr(
+        f"CASE WHEN {rn_col} <= ({n_col} % {k}) * ({n_col} DIV {k} + 1) "
+        f"THEN ({rn_col} - 1) DIV ({n_col} DIV {k} + 1) + 1 "
+        f"ELSE {n_col} % {k} + ({rn_col} - ({n_col} % {k}) * ({n_col} DIV {k} + 1) - 1) "
+        f"DIV greatest({n_col} DIV {k}, 1) + 1 END"
+    )

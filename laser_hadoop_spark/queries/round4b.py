@@ -578,7 +578,10 @@ def q_boxplot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle keeps the plain window spelling and hash equality proves
     the offset arithmetic.
     """
-    from laser_hadoop_spark.operators.cumulative import ordered_cumsum
+    from laser_hadoop_spark.operators.cumulative import (
+        closed_form_ntile,
+        ordered_cumsum,
+    )
 
     li = table(spark, sf_dir, "lineitem")
     p = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
@@ -714,7 +717,10 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     with q = n DIV 10, r = n % 10, the first r buckets take q+1 rows.
     Hash equality proves the closed form matches the window function.
     """
-    from laser_hadoop_spark.operators.cumulative import ordered_cumsum
+    from laser_hadoop_spark.operators.cumulative import (
+        closed_form_ntile,
+        ordered_cumsum,
+    )
 
     o = table(spark, sf_dir, "orders")
     centi = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
@@ -723,12 +729,7 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         v, order_by=["centi", "o_orderkey"], row_number_col="rn"
     )
     n_row = v.agg(F.count("*").alias("n"))
-    bucket = F.expr(
-        "CASE WHEN rn <= (n % 10) * (n DIV 10 + 1) "
-        "THEN (rn - 1) DIV (n DIV 10 + 1) + 1 "
-        "ELSE n % 10 + (rn - (n % 10) * (n DIV 10 + 1) - 1) "
-        "DIV greatest(n DIV 10, 1) + 1 END"
-    )
+    bucket = closed_form_ntile()
     return (
         ranked.crossJoin(F.broadcast(n_row))
         .select("centi", bucket.cast("int").alias("bucket"))

@@ -386,7 +386,12 @@ def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from laser_hadoop_spark.queries.round4 import minhash_mins
 
-    wide = minhash_mins(spark, sf_dir).cache()
+    # localCheckpoint instead of cache: both pin the frame for the
+    # multi-consumer plan (bands + two signature joins), but the
+    # checkpointed RDD is reclaimed by the ContextCleaner as soon as
+    # the DataFrame is garbage collected — a bare cache() accumulated
+    # one pinned signature-matrix copy per invocation (review finding)
+    wide = minhash_mins(spark, sf_dir).localCheckpoint(eager=False)
     band_exprs = ", ".join(
         f"{b}, concat(s{2*b}, '|', s{2*b+1})" for b in range(4)
     )

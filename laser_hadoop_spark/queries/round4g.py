@@ -175,7 +175,10 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     window; the oracle keeps DuckDB's NTILE spelling and hash equality
     proves the closed form again on a different relation.
     """
-    from laser_hadoop_spark.operators.cumulative import ordered_cumsum
+    from laser_hadoop_spark.operators.cumulative import (
+        closed_form_ntile,
+        ordered_cumsum,
+    )
 
     e = table(spark, sf_dir, "events")
     v = e.select(
@@ -187,12 +190,7 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         v, order_by=["score", "event_id"], row_number_col="rn"
     )
     n_row = v.agg(F.count("*").alias("n"))
-    bin_ = F.expr(
-        "CASE WHEN rn <= (n % 10) * (n DIV 10 + 1) "
-        "THEN (rn - 1) DIV (n DIV 10 + 1) + 1 "
-        "ELSE n % 10 + (rn - (n % 10) * (n DIV 10 + 1) - 1) "
-        "DIV greatest(n DIV 10, 1) + 1 END"
-    )
+    bin_ = closed_form_ntile()
     return (
         ranked.crossJoin(F.broadcast(n_row))
         .select("score", "label", bin_.cast("int").alias("bin"))

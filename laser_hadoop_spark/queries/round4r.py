@@ -62,7 +62,10 @@ def q_ingest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     X180 ingest plan's quality counter. One scan + the two-pass rank
     + one aggregate.
     """
-    from laser_hadoop_spark.operators.cumulative import ordered_cumsum
+    from laser_hadoop_spark.operators.cumulative import (
+        closed_form_ntile,
+        ordered_cumsum,
+    )
 
     d = table(spark, sf_dir, "documents")
     words = F.split("text", " ")
@@ -75,12 +78,7 @@ def q_ingest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = ordered_cumsum(base, order_by=["doc_id"], row_number_col="rn")
     n_row = base.agg(F.count("*").alias("n"))
-    decile = F.expr(
-        "CASE WHEN rn <= (n % 10) * (n DIV 10 + 1) "
-        "THEN (rn - 1) DIV (n DIV 10 + 1) + 1 "
-        "ELSE n % 10 + (rn - (n % 10) * (n DIV 10 + 1) - 1) "
-        "DIV greatest(n DIV 10, 1) + 1 END"
-    )
+    decile = closed_form_ntile()
     f = ranked.crossJoin(F.broadcast(n_row)).select(
         decile.cast("int").alias("decile"),
         "n_words",

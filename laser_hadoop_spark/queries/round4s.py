@@ -193,7 +193,10 @@ def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").alias("y"), centi.alias("centi"), "o_orderkey"
     )
     cur_y = v.agg(F.max("y").alias("cur_y"))
-    from laser_hadoop_spark.operators.cumulative import ordered_cumsum
+    from laser_hadoop_spark.operators.cumulative import (
+        closed_form_ntile,
+        ordered_cumsum,
+    )
 
     ref_rows = (
         v.crossJoin(F.broadcast(cur_y))
@@ -207,12 +210,7 @@ def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # X118's closed-form ntile over the two-pass rank — the oracle
     # keeps the NTILE spelling; hash equality re-proves the closed
     # form on the reference year's relation
-    decile_expr = F.expr(
-        "CASE WHEN rn <= (n % 10) * (n DIV 10 + 1) "
-        "THEN (rn - 1) DIV (n DIV 10 + 1) + 1 "
-        "ELSE n % 10 + (rn - (n % 10) * (n DIV 10 + 1) - 1) "
-        "DIV greatest(n DIV 10, 1) + 1 END"
-    )
+    decile_expr = closed_form_ntile()
     ref = ranked.crossJoin(F.broadcast(nref)).select(
         "centi", decile_expr.cast("int").alias("d")
     )

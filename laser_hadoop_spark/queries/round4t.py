@@ -60,7 +60,10 @@ def q_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     fourth time); the 10-row cumulative is trivial. One fact
     aggregate, one two-pass rank, one 10-row walk.
     """
-    from laser_hadoop_spark.operators.cumulative import ordered_cumsum
+    from laser_hadoop_spark.operators.cumulative import (
+        closed_form_ntile,
+        ordered_cumsum,
+    )
     from pyspark.sql.window import Window
 
     o = table(spark, sf_dir, "orders")
@@ -73,12 +76,7 @@ def q_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust, order_by=["rev", "o_custkey"], row_number_col="rn"
     )
     n_row = cust.agg(F.count("*").alias("n"))
-    decile = F.expr(
-        "CASE WHEN rn <= (n % 10) * (n DIV 10 + 1) "
-        "THEN (rn - 1) DIV (n DIV 10 + 1) + 1 "
-        "ELSE n % 10 + (rn - (n % 10) * (n DIV 10 + 1) - 1) "
-        "DIV greatest(n DIV 10, 1) + 1 END"
-    )
+    decile = closed_form_ntile()
     per = (
         ranked.crossJoin(F.broadcast(n_row))
         .select(decile.cast("int").alias("decile"), "rev")

@@ -36,7 +36,8 @@ from laser_hadoop_spark.tables import table
     ),
     per_doc AS (
         SELECT t.doc_id, COUNT(*) AS n_tokens,
-               SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS hapax_tokens,
+               COUNT(DISTINCT CASE WHEN d.df = 1 THEN t.token END)
+                   AS hapax_tokens,
                SUM(CASE WHEN d.df <= 3 THEN 1 ELSE 0 END) AS rare_tokens
         FROM toks t JOIN df_ d ON d.token = t.token
         GROUP BY t.doc_id
@@ -72,7 +73,9 @@ def q_rare_token_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            # hapax legomena are counted as TYPES (a doc repeating one
+            # unique token 7x has hapax_tokens = 1, not 7)
+            F.count_distinct(F.when(F.col("df") == 1, F.col("token")))
             .cast("bigint")
             .alias("hapax_tokens"),
             F.expr(

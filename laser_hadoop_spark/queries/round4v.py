@@ -71,29 +71,18 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH candidates (never all pairs), and the per-doc shingle sets
     dedup scan-locally before exploding.
     """
+    from laser_hadoop_spark.operators.dedup import word_shingles
+
     pairs = q_minhash_band_pairs(spark, sf_dir)
     d = table(spark, sf_dir, "documents")
-    t = F.split("text", " ")
+    # word_shingles builds the identical space-joined trigram set via
+    # zip_with slice views (~6x faster than element_at-in-transform,
+    # per its docstring); short docs yield an empty array and drop at
+    # the explode
     sh = (
         d.select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
-        .where(F.size(t) >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(0), F.size(t) - 3),
-                        lambda i: F.concat_ws(
-                            " ",
-                            F.element_at(t, i + 1),
-                            F.element_at(t, i + 2),
-                            F.element_at(t, i + 3),
-                        ),
-                    )
-                )
-            ).alias("s"),
-        )
+        .select("doc_id", F.explode(word_shingles("text", 3)).alias("s"))
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")

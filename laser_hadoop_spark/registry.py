@@ -69,8 +69,9 @@ def _load_all() -> None:
 # oracle corpus (tests/test_oracle_corpus.py + ORACLE_LOCAL_r04.json).
 #
 # ROUND-5 ROTATION NOTE: round 4 ultimately registered X123-X203
-# (round4c..round4v) BEYOND this window — 79 oracle-backed queries
-# (all green in ORACLE_LOCAL_r04.json at sf0.001; spot-verified at
+# (round4c..round4v) BEYOND this window — 79 queries (77
+# oracle-backed + 2 rows-only: q_compress_ratio, q_wau_hll; all green
+# in ORACLE_LOCAL_r04.json at sf0.001; spot-verified at
 # sf0.01; the full corpus also green under the adversarial session)
 # that have never received a driver verdict. Round 5 should fill the
 # 50-slot window from q_ecdf forward (the 9 overflow plus any new
