@@ -53,86 +53,110 @@ def _load_all() -> None:
     queries.load_all()
 
 
-# The driver verifies a 50-entry PREFIX of queries() order (rounds 1-3:
-# CORRECTNESS_r0{1,2,3}.json are exactly the first 50 entries of the
-# round's ordering), so dict order is a verification budget. Priority
-# for round 4 — the window is exactly filled by never-driver-checked
-# queries, 24 + 10 + 16 = 50:
-#   1. the 24 round-3 queries (X73-X96, q_naive_bayes_score..q_mad)
-#      that overflowed round 3's window — oracle-green in the local
-#      sf0.001 pytest corpus but never driver-checked;
-#   2. the first round-4 batch (X97-X106, queries/round4.py);
-#   3. the second round-4 batch (X107-X122, queries/round4b.py).
-# Regression re-checks (r1 greens last verified three rounds ago) are
-# listed after position 50 as next-in-line; everything past the window
-# is ever-green per LEDGER.json and stays covered by the full local
-# oracle corpus (tests/test_oracle_corpus.py + ORACLE_LOCAL_r04.json).
+# The driver verifies a 50-entry PREFIX of queries() order (rounds 1-4:
+# each CORRECTNESS_r0N.json is exactly the first 50 entries of that
+# round's ordering), so dict order is a verification budget.
 #
-# ROUND-5 ROTATION NOTE: round 4 ultimately registered X123-X203
-# (round4c..round4v) BEYOND this window — 79 queries (77
-# oracle-backed + 2 rows-only: q_compress_ratio, q_wau_hll; all green
-# in ORACLE_LOCAL_r04.json at sf0.001; spot-verified at
-# sf0.01; the full corpus also green under the adversarial session)
-# that have never received a driver verdict. Round 5 should fill the
-# 50-slot window from q_ecdf forward (the 9 overflow plus any new
-# round-5 queries go to round 6) and rotate the longest-ago-verified
-# greens after them.
+# ROUND-5 ROTATION (VERDICT_r04 "Next round" #1): round 4 registered
+# 79 queries (X123-X203, queries/round4c..round4v) BEYOND round 4's
+# window — 77 oracle-backed + 2 rows-only (q_compress_ratio,
+# q_wau_hll) — all green in ORACLE_LOCAL_r04.json at sf0.001,
+# spot-verified at sf0.01, and green under the adversarial session
+# (ANSI mode, non-UTC TZ, shuffle=7), but never driver-checked. The
+# round-5 window is the first 50 of the 77 oracle-backed ones in
+# registration order (q_ecdf .. q_incremental_dedup); the rows-only
+# pair is deliberately EXCLUDED from the prefix (a rows-only check
+# would spend a hash-verification slot on a weaker verdict — both
+# stay covered by the local rows>0 gate in tests).
+#
+# After the window: the remaining 27 oracle-backed round-4 queries
+# (q_vocab_coverage .. q_minhash_accuracy — round 6's window), then
+# any round-5 additions, then regression re-checks verified longest
+# ago. Everything past the window stays covered by the full local
+# oracle corpus (tests/test_oracle_corpus.py + ORACLE_LOCAL_r04.json).
 _DRIVER_PRIORITY = [
-    # -- 1. round-3 overflow: oracle-backed, never driver-tested ------
-    "q_naive_bayes_score",
-    "q_point_in_time_join",
-    "q_outlier_count",
-    "q_event_transitions",
-    "q_ab_test",
-    "q_rfm_segments",
-    "q_hamming_neighbors",
-    "q_top_paths",
-    "q_max_drawdown",
-    "q_pareto_customers",
-    "q_ship_latency",
-    "q_repeat_interval",
-    "q_new_vs_returning",
-    "q_dow_seasonality",
-    "q_rolling_active_users",
-    "q_funnel_windowed",
-    "q_cart_abandonment",
-    "q_gini_revenue",
-    "q_value_deciles",
-    "q_duplicate_invoices",
-    "q_benford",
-    "q_monthly_growth",
-    "q_abc_analysis",
-    "q_mad",
-    # -- 2. new in round 4 (X97-X106, queries/round4.py) --------------
-    "q_pivot_table",
-    "q_weighted_median",
-    "q_interval_union",
-    "q_skyline",
-    "q_bigram_pmi",
-    "q_minhash_signatures",
-    "q_run_length",
-    "q_nearest_event",
-    "q_zipf_fit",
-    "q_latest_state",
-    # -- 3. new in round 4, second batch (X107-X122, round4b.py) ------
-    "q_mode_per_group",
-    "q_entropy",
-    "q_chi_squared",
-    "q_heavy_hitters",
-    "q_table_diff",
-    "q_ewma",
-    "q_bfs_distances",
-    "q_simhash_exact",
-    "q_sample_hash_stratified",
-    "q_boxplot_stats",
-    "q_copurchase_degree",
-    "q_equidepth_histogram",
-    "q_partition_checksum",
-    "q_incremental_merge",
-    "q_audience_jaccard",
-    "q_bm25_search",
-    # -- past the 50-entry window: regression re-checks, verified-
-    #    longest-ago first (all r1-green, last checked in r01) --------
+    # -- round-5 driver window: 50 oracle-backed, never driver-checked
+    "q_ecdf",
+    "q_ks_test",
+    "q_mann_whitney",
+    "q_autocorr_lag1",
+    "q_activity_bitmap",
+    "q_key_gap_islands",
+    "q_histogram2d",
+    "q_topk_with_ties",
+    "q_bellman_ford",
+    "q_rolling_zscore",
+    "q_cusum_changepoint",
+    "q_profile_cosine",
+    "q_minhash_band_pairs",
+    "q_mixture_weights",
+    "q_nelson_aalen",
+    "q_negative_pairs",
+    "q_train_split",
+    "q_quantile_normalize",
+    "q_containment_pairs",
+    "q_seasonal_residual",
+    "q_spearman_corr",
+    "q_theil_sen",
+    "q_rrf_fusion",
+    "q_shingle_novelty",
+    "q_clamped_balance",
+    "q_degree_assortativity",
+    "q_auc_exact",
+    "q_rolling_median",
+    "q_forecast_accuracy",
+    "q_calibration_bins",
+    "q_dsir_weights",
+    "q_mutual_info",
+    "q_knn_classify",
+    "q_cross_correlation",
+    "q_embedding_norm_stats",
+    "q_dims_variance",
+    "q_join_cardinality",
+    "q_gopher_rules",
+    "q_langid_confusion",
+    "q_cohort_ltv",
+    "q_quantiles_pruned",
+    "q_log2_histogram",
+    "q_dau_mau",
+    "q_type_token_ratio",
+    "q_fano_burstiness",
+    "q_business_days",
+    "q_f1_scores",
+    "q_k_anonymity",
+    "q_higher_moments",
+    "q_incremental_dedup",
+    # -- past the window: the 27 remaining never-driver-checked
+    #    oracle-backed round-4 queries (round-6 window head) ----------
+    "q_vocab_coverage",
+    "q_price_volume_mix",
+    "q_decile_migration",
+    "q_null_safe_join",
+    "q_sprt",
+    "q_cuped",
+    "q_winsorized_mean",
+    "q_longest_streak",
+    "q_mean_family",
+    "q_rolling_mode",
+    "q_cross_source_dupes",
+    "q_knee_point",
+    "q_readability",
+    "q_binary_segmentation",
+    "q_rolling_corr",
+    "q_seasonality_strength",
+    "q_reorder_rate",
+    "q_ingest_drift",
+    "q_funnel_latency",
+    "q_growth_accounting",
+    "q_psi",
+    "q_mood_median_test",
+    "q_lorenz_points",
+    "q_rare_token_exposure",
+    "q_weekday_hour_heatmap",
+    "q_hhi_concentration",
+    "q_minhash_accuracy",
+    # -- then regression re-checks, verified-longest-ago first
+    #    (all r1-green, last driver-checked in r01) -------------------
     "q_partial_final_agg",
     "q_count_distinct",
     "q_dedup_exact",
