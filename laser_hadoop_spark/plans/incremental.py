@@ -97,11 +97,14 @@ def ingest_batch(
     survivors = fresh.withColumn("ingest_batch", F.lit(batch_id))
     # dynamic overwrite of THIS batch's partition: a retry replaces its
     # own partition instead of appending duplicates (idempotence
-    # contract above); other batches' partitions are untouched
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # contract above); other batches' partitions are untouched. The
+    # mode is a WRITER option, not a session conf — a session-level
+    # set would silently change overwrite semantics for every later
+    # partitioned write in the same session (round-4 advice).
     (
         survivors.drop("__fp")
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("ingest_batch")
         .parquet(corpus_dir)
     )

@@ -796,11 +796,19 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-nondeterministic), and the 4x4x4 segment census. Quartile 1 is
     best on every axis (most recent / most frequent / highest spend).
 
-    Scale: one per-user aggregate (the only big shuffle); the three
-    ntile windows run over the user-level table — at extreme user
-    cardinality the scalable substitute is approx-quantile cut points
-    (q_approx_percentile) joined as literals, same downstream census.
+    Scale: one per-user aggregate (the only big fact shuffle); the
+    three quartile scores are NTILE(4)'s closed form over three
+    distributed global row numbers (operators/cumulative.ordered_cumsum
+    chained once per ordering, each a parallel range shuffle of the
+    user-level table + closed_form_ntile) — no single-partition window
+    anywhere, so the plan survives extreme user cardinality. The oracle
+    keeps DuckDB's NTILE spelling; hash equality proves equivalence.
     """
+    from laser_hadoop_spark.operators.cumulative import (
+        closed_form_ntile,
+        ordered_cumsum,
+    )
+
     e = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
     from laser_hadoop_spark.functions.scalar import micro_units
 
@@ -810,19 +818,34 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(micro_units(F.col("value"))).alias("monetary_micro"),
     )
     now = rfm.agg(F.max("last_us").alias("now_us"))
-    scored = (
+    # Pin the user-level table once: the count job and the first cumsum
+    # pass would otherwise each redo the events scan + groupBy.
+    base = (
         rfm.crossJoin(F.broadcast(now))
         .withColumn("recency_us", F.col("now_us") - F.col("last_us"))
-        .select(
-            "user_id",
-            F.ntile(4).over(Window.orderBy("recency_us", "user_id")).alias("r"),
-            F.ntile(4)
-            .over(Window.orderBy(F.col("frequency").desc(), F.col("user_id")))
-            .alias("f"),
-            F.ntile(4)
-            .over(Window.orderBy(F.col("monetary_micro").desc(), F.col("user_id")))
-            .alias("m"),
-        )
+        .localCheckpoint(eager=True)
+    )
+    n_row = base.agg(F.count("*").alias("n"))
+    s = ordered_cumsum(
+        base,
+        order_by=[F.col("recency_us").asc(), F.col("user_id").asc()],
+        row_number_col="rn_r",
+    )
+    s = ordered_cumsum(
+        s,
+        order_by=[F.col("frequency").desc(), F.col("user_id").asc()],
+        row_number_col="rn_f",
+    )
+    s = ordered_cumsum(
+        s,
+        order_by=[F.col("monetary_micro").desc(), F.col("user_id").asc()],
+        row_number_col="rn_m",
+    )
+    scored = s.crossJoin(F.broadcast(n_row)).select(
+        "user_id",
+        closed_form_ntile("rn_r", "n", 4).cast("int").alias("r"),
+        closed_form_ntile("rn_f", "n", 4).cast("int").alias("f"),
+        closed_form_ntile("rn_m", "n", 4).cast("int").alias("m"),
     )
     return scored.groupBy("r", "f", "m").agg(
         F.count("*").alias("n_users"),

@@ -171,18 +171,35 @@ def q_first_last_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_percent_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W-closure: relative-rank analytics (percent_rank, cume_dist, ntile).
 
-    Global window ordered by (o_totalprice, o_orderkey): the unique key
-    makes ntile bucket boundaries deterministic. Single-partition window
-    at sf; at 100 TB relative ranks would be computed per partition key
-    or via approx quantiles (q_percentile covers the scalable path).
+    The ordering (o_totalprice, o_orderkey) is a TOTAL order (unique
+    key tiebreaker), so the three relative-rank functions reduce to
+    closed forms over the global row number rn and total count n:
+    percent_rank = (rn-1)/(n-1), cume_dist = rn/n, and ntile(4) via
+    closed_form_ntile's remainder arithmetic. rn comes from
+    operators/cumulative.ordered_cumsum (range-repartition + two-pass
+    offsets) — NO single-partition window anywhere in the plan, unlike
+    the naive Window.orderBy spelling that funnels the whole orders
+    fact through one task. The oracle keeps DuckDB's window spelling;
+    hash equality proves the closed forms match.
     """
-    o = table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
-        "o_orderkey",
-        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 4).alias("cume"),
-        F.ntile(4).over(w).alias("quartile"),
+    from laser_hadoop_spark.operators.cumulative import (
+        closed_form_ntile,
+        ordered_cumsum,
+    )
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = ordered_cumsum(
+        o, order_by=["o_totalprice", "o_orderkey"], row_number_col="rn"
+    )
+    n_row = o.agg(F.count("*").alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n_row))
+        .select(
+            "o_orderkey",
+            F.round((F.col("rn") - 1) / (F.col("n") - 1), 4).alias("pct_rank"),
+            F.round(F.col("rn") / F.col("n"), 4).alias("cume"),
+            closed_form_ntile("rn", "n", 4).cast("int").alias("quartile"),
+        )
     )
 
 

@@ -578,10 +578,7 @@ def q_boxplot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle keeps the plain window spelling and hash equality proves
     the offset arithmetic.
     """
-    from laser_hadoop_spark.operators.cumulative import (
-        closed_form_ntile,
-        ordered_cumsum,
-    )
+    from laser_hadoop_spark.operators.cumulative import ordered_cumsum
 
     li = table(spark, sf_dir, "lineitem")
     p = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")

@@ -286,13 +286,24 @@ def q_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X178: customer value-decile migration across adjacent years.
 
     The churn-risk transition matrix: each customer's spend decile in
-    year Y vs Y+1 (only customers active in both). Deciles use NTILE
-    with the unique cust tiebreaker (X91's convention) over the
-    per-(customer, year) aggregate — the window partitions by year,
-    so no global funnel; the migration join is a two-period self-join
-    on that same aggregate. The diagonal mass is retention; below-
-    diagonal mass feeds the X78 RFM interventions.
+    year Y vs Y+1 (only customers active in both). The oracle keeps
+    DuckDB's NTILE(10) PARTITION BY y spelling; a per-year window
+    would put EVERY customer of a year into one task, so the Spark
+    side derives the per-year rank distributedly instead: one global
+    row number over (y, spend, cust) via ordered_cumsum (parallel
+    range shuffle), minus a per-year start offset computed by a
+    triangular self-join over the tiny year-counts relation (the same
+    no-SinglePartition offset discipline ordered_cumsum itself uses),
+    then NTILE's closed form (closed_form_ntile) per year. The
+    migration join is a two-period self-join on that same aggregate.
+    The diagonal mass is retention; below-diagonal mass feeds the X78
+    RFM interventions.
     """
+    from laser_hadoop_spark.operators.cumulative import (
+        closed_form_ntile,
+        ordered_cumsum,
+    )
+
     o = table(spark, sf_dir, "orders")
     cy = o.groupBy(
         F.col("o_custkey").alias("cust"),
@@ -302,8 +313,21 @@ def q_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
         ).alias("spend")
     )
-    w = Window.partitionBy("y").orderBy("spend", "cust")
-    dec = cy.select("cust", "y", F.ntile(10).over(w).alias("d"))
+    ranked = ordered_cumsum(
+        cy, order_by=["y", "spend", "cust"], row_number_col="grn"
+    )
+    yc = cy.groupBy("y").agg(F.count("*").alias("n"))
+    ya, yb = yc.alias("ya"), yc.alias("yb")
+    offs = (
+        ya.join(yb, F.col("yb.y") < F.col("ya.y"), "left")
+        .groupBy(F.col("ya.y").alias("y"), F.col("ya.n").alias("n"))
+        .agg(F.coalesce(F.sum(F.col("yb.n")), F.lit(0)).alias("off"))
+    )
+    dec = (
+        ranked.join(F.broadcast(offs), "y")
+        .withColumn("rn", F.col("grn") - F.col("off"))
+        .select("cust", "y", closed_form_ntile("rn", "n", 10).alias("d"))
+    )
     a, b = dec.alias("a"), dec.alias("b")
     return (
         a.join(

@@ -311,7 +311,6 @@ def q_cross_source_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
         .distinct()
-        .distinct()
         # pinned: consumed three times (per_n + both self-join sides) —
         # without the pin the explode+md5+distinct recomputes per
         # subtree (the q_binary_segmentation multi-consumer discipline)

@@ -1280,19 +1280,29 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytics-closure: order-value decile table.
 
-    Equi-depth distribution report: ntile(10) with the unique orderkey
-    tiebreak, then per-decile count / bounds / exact centi sums — the
-    where-the-money-sits table. Global ntile over orders; the
-    approx-quantile cut-point form replaces it at extreme scale.
+    Equi-depth distribution report: per-decile count / bounds / exact
+    centi sums — the where-the-money-sits table. The decile id is
+    NTILE(10)'s closed form over a distributed global row number
+    (operators/cumulative.ordered_cumsum + closed_form_ntile): no
+    single-partition window over the orders fact, so the plan holds at
+    100x. The oracle keeps DuckDB's NTILE spelling; hash equality
+    proves the closed form identical.
     """
-    o = table(spark, sf_dir, "orders")
-    v = o.select(
+    from laser_hadoop_spark.operators.cumulative import (
+        closed_form_ntile,
+        ordered_cumsum,
+    )
+
+    o = table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranked = ordered_cumsum(
+        o, order_by=["o_totalprice", "o_orderkey"], row_number_col="rn"
+    )
+    n_row = o.agg(F.count("*").alias("n"))
+    v = ranked.crossJoin(F.broadcast(n_row)).select(
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias(
             "v_centi"
         ),
-        F.ntile(10)
-        .over(Window.orderBy("o_totalprice", "o_orderkey"))
-        .alias("decile"),
+        closed_form_ntile("rn", "n", 10).cast("int").alias("decile"),
     )
     return v.groupBy("decile").agg(
         F.count("*").alias("n_orders"),

@@ -319,26 +319,39 @@ def read_fixed_width(
     and cast; empty slices become NULL via the cast. The whole parse is
     a single Project over ``spark.read.text`` — per-file splittable,
     no Python in the path, so at 100 TB it scans exactly like the
-    gzip-TSV source (S1). Header skipping uses a per-file line index
-    from a window keyed by ``input_file_name`` (headers repeat per
-    file in fixed-width drops), not a global order.
+    gzip-TSV source (S1).
+
+    Header skipping (headers repeat per file in fixed-width drops)
+    needs a SPLIT-STABLE per-file line index: a window over
+    ``monotonically_increasing_id`` is not one — FilePartition packing
+    orders splits by size, not offset, so splits of one large file can
+    land out of order and the wrong lines would be skipped (round-4
+    advice). With ``skip_header_lines > 0`` the file is therefore read
+    ``wholetext`` (one task per file — exact line order by
+    construction; parallelism comes from file count, the same
+    trade-off as gzip members) and split into lines JVM-side with
+    posexplode. ``skip_header_lines=0`` keeps the fully splittable
+    scan.
 
     Reference analogue: the positional-projection parse discipline of
     LASERInputCheckMapper.java:68,243-245 (fields addressed by
     position, not name), generalized to byte offsets.
     """
-    from pyspark.sql.window import Window
-
-    lines = spark.read.text(path)
     if skip_header_lines:
-        w = Window.partitionBy(F.input_file_name()).orderBy(
-            F.monotonically_increasing_id()
-        )
+        whole = spark.read.text(path, wholetext=True)
+        arr = F.split("value", "\r?\n")
+        # a trailing newline yields one empty final element (read.text
+        # itself never emits that phantom line) — drop it
+        arr = F.when(
+            F.element_at(arr, -1) == "", F.slice(arr, F.lit(1), F.size(arr) - 1)
+        ).otherwise(arr)
         lines = (
-            lines.withColumn("__ln", F.row_number().over(w))
-            .where(F.col("__ln") > skip_header_lines)
-            .drop("__ln")
+            whole.select(F.posexplode(arr).alias("__ln", "value"))
+            .where(F.col("__ln") >= skip_header_lines)  # posexplode is 0-based
+            .select("value")
         )
+    else:
+        lines = spark.read.text(path)
     fields = [
         F.nullif(F.trim(F.substring("value", start, length)), F.lit(""))
         .cast(dtype)

@@ -30,10 +30,15 @@ from pyspark.sql import DataFrame, SparkSession
 from laser_hadoop_spark import tables
 from laser_hadoop_spark.tables import TABLE_NAMES
 
-# (session id, sf_dir) pairs whose views are already registered — each
-# registration is ~1s of parquet listing/footer overhead (see
-# tables.register_views), so run_sql memoizes it per session+dir.
-_REGISTERED: set[tuple[int, str]] = set()
+# Memoization key: temp views are GLOBAL PER NAME within a session, so
+# only the LAST registered sf_dir is live — a set of (session, dir)
+# pairs would wrongly skip re-registration after switching dirs and
+# silently query the other dir's data (round-4 advice). The marker
+# lives as an attribute ON the session object itself: session-lifetime
+# by construction (no id() reuse after GC), and naturally tracks only
+# the latest dir. Each registration costs ~1s of parquet
+# listing/footer overhead (see tables.register_views), hence the memo.
+_MARKER = "_laser_hadoop_spark_registered_sf_dir"
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
@@ -43,13 +48,14 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
     view wiring, events canonicalization included).
     """
     tables.register_views(spark, sf_dir)
-    _REGISTERED.add((id(spark), sf_dir))
+    setattr(spark, _MARKER, sf_dir)
     return list(TABLE_NAMES)
 
 
 def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
-    """One-shot SQL entry point: register views (once per session+dir),
-    run the query lazily."""
-    if (id(spark), sf_dir) not in _REGISTERED:
+    """One-shot SQL entry point: register views (skipped only when this
+    session's CURRENT views already point at sf_dir), run the query
+    lazily."""
+    if getattr(spark, _MARKER, None) != sf_dir:
         register_views(spark, sf_dir)
     return spark.sql(sql)

@@ -469,3 +469,26 @@ def test_sprt_walk_uses_two_pass_cumulative(spark, sf_dir):
     plan = _plan(registry.get("q_sprt").fn(spark, sf_dir))
     # ordered_cumsum pins its frame with a localCheckpoint scan
     assert "ExistingRDD" in plan or "LocalTableScan" in plan or "Scan ExistingRDD" in plan, plan
+
+
+def test_ntile_migrations_no_unpartitioned_window(spark, sf_dir):
+    """Round-4 verdict item 3: the last four raw global-NTILE queries
+    (q_percent_rank_ntile, q_value_deciles, q_rfm_segments,
+    q_decile_migration) now derive their bucket ids from
+    ordered_cumsum + closed_form_ntile — every window in every plan is
+    partitioned (by __pid), so no fact-cardinality relation funnels
+    through one task, and no `WindowExec: No Partition Defined`
+    warning fires during the bench."""
+    spark.catalog.clearCache()
+    for name in (
+        "q_percent_rank_ntile",
+        "q_value_deciles",
+        "q_rfm_segments",
+        "q_decile_migration",
+    ):
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        for spec in plan.split("windowspecdefinition(")[1:]:
+            assert spec.startswith("__pid"), (
+                f"{name}: unpartitioned window: {spec[:120]}"
+            )
+        assert "BatchEvalPython" not in plan, name
