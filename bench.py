@@ -66,6 +66,15 @@ HEADLINE = [
     "q_quantiles_pruned",
     "q_shingle_novelty",
     "q_auc_exact",
+    # round 5: the four de-funneled NTILE queries (ordered_cumsum +
+    # closed_form_ntile replacing global windows — watch the recurring
+    # cost of the two-pass rank shape) and the production daily-ingest
+    # path (broadcast digest semi-join, corpus never rescanned)
+    "q_percent_rank_ntile",
+    "q_value_deciles",
+    "q_rfm_segments",
+    "q_decile_migration",
+    "q_incremental_dedup",
 ]
 
 

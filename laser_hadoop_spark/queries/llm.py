@@ -261,19 +261,166 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_dedup_near", oracle=None)  # LSH hash family: rows-only check
+@register(
+    "q_dedup_near",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(list_transform(generate_series(1, len(t) - 2),
+                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                   AS shingle
+        FROM toks WHERE len(t) >= 3
+    ),
+    seeds AS (SELECT UNNEST(generate_series(0, 7)) AS seed),
+    sigs AS (
+        SELECT doc_id, seed,
+               MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+        FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    wide AS (
+        SELECT doc_id,
+               MIN(CASE WHEN seed = 0 THEN mh END) AS s0,
+               MIN(CASE WHEN seed = 1 THEN mh END) AS s1,
+               MIN(CASE WHEN seed = 2 THEN mh END) AS s2,
+               MIN(CASE WHEN seed = 3 THEN mh END) AS s3,
+               MIN(CASE WHEN seed = 4 THEN mh END) AS s4,
+               MIN(CASE WHEN seed = 5 THEN mh END) AS s5,
+               MIN(CASE WHEN seed = 6 THEN mh END) AS s6,
+               MIN(CASE WHEN seed = 7 THEN mh END) AS s7
+        FROM sigs GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band, s0 || '|' || s1 AS bv FROM wide
+        UNION ALL SELECT doc_id, 1, s2 || '|' || s3 FROM wide
+        UNION ALL SELECT doc_id, 2, s4 || '|' || s5 FROM wide
+        UNION ALL SELECT doc_id, 3, s6 || '|' || s7 FROM wide
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    shd AS (SELECT doc_id, md5(shingle) AS g FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+        FROM cand c
+        JOIN shd a ON a.doc_id = c.doc_a
+        JOIN shd b ON b.doc_id = c.doc_b AND b.g = a.g
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT x.doc_a, x.doc_b,
+           CAST(x.i * 10000 // (sa.n + sb.n - x.i) AS BIGINT) AS jaccard_bp
+    FROM inter x
+    JOIN sizes sa ON sa.doc_id = x.doc_a
+    JOIN sizes sb ON sb.doc_id = x.doc_b
+    WHERE x.i * 10000 // (sa.n + sb.n - x.i) >= 5000
+    """,
+)
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 (scale form): MinHash-LSH near-dup candidate pairs.
+    """L2 (scale form): MinHash-LSH near-dup pairs, exactly verified
+    end-to-end (round-4 verdict item 4: previously rows-only via
+    pyspark.ml MinHashLSH, whose library hash family is unverifiable;
+    the ml operator stays in operators/dedup.minhash_lsh_pairs under
+    pytest).
 
-    shingle -> HashingTF sparse vector -> MinHashLSH (fixed seed) ->
-    approxSimilarityJoin at Jaccard distance < 0.5. The LSH banding
-    bounds candidate pairs, replacing the exact shingle self-join at
-    scale. Hash-family values are engine-specific -> rows-only check.
+    The production near-dup recipe: (1) candidate pairs from the
+    oracle-exact md5 MinHash banding (X102 signatures, X135 band
+    equi-join — recall stage, never all-pairs); (2) each candidate
+    verified with its EXACT 3-gram shingle Jaccard (precision stage) —
+    only pairs with jaccard >= 0.5 (10000*|A∩B| DIV |A∪B| >= 5000 bp,
+    pure integer) survive. Both stages are deterministic and
+    hash-checked against DuckDB.
+
+    100 TB shape: banding bounds the candidate set; the verify join
+    touches only candidate docs (broadcast semi-filter of the shingle
+    relation), and every shuffle carries 32-hex digests, never text.
     """
-    from laser_hadoop_spark.operators.dedup import minhash_lsh_pairs
+    from laser_hadoop_spark.queries.round4 import minhash_mins
 
     d = table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, id_col="doc_id", text_col="text", distance=0.5)
+    t = F.split("text", " ")
+    # (doc, shingle-digest) relation, per-doc distinct, scan-local
+    shd = (
+        d.select("doc_id", "text")
+        .where(F.size(t) >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(t) - 3),
+                        lambda i: F.md5(
+                            F.concat_ws(
+                                " ",
+                                F.element_at(t, i + 1),
+                                F.element_at(t, i + 2),
+                                F.element_at(t, i + 3),
+                            )
+                        ),
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+    wide = minhash_mins(spark, sf_dir)
+    bands = wide.select(
+        "doc_id",
+        F.expr(
+            "stack(4, "
+            + ", ".join(f"{b}, concat(s{2*b}, '|', s{2*b+1})" for b in range(4))
+            + ") AS (band, bv)"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # verify stage touches only candidate docs
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    shf = shd.join(F.broadcast(cand_docs), "doc_id").localCheckpoint(eager=False)
+    sizes = shf.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa, sb = shf.alias("sa"), shf.alias("sb")
+    inter = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.g") == F.col("sb.g")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    na, nb = sizes.alias("na"), sizes.alias("nb")
+    jac = F.expr("i * 10000 DIV (na_n + nb_n - i)")
+    return (
+        inter.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("na.n").alias("na_n"),
+            F.col("nb.n").alias("nb_n"),
+            "i",
+        )
+        .where(jac >= 5000)
+        .select("doc_a", "doc_b", jac.cast("bigint").alias("jaccard_bp"))
+    )
 
 
 @register("q_dedup_simhash", oracle=None)  # xxhash64-based bits: rows-only

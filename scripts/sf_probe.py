@@ -65,6 +65,16 @@ PROBE_QUERIES = [
     "q_auc_exact",
     "q_dsir_weights",
     "q_knn_classify",
+    # round 5: the four de-funneled NTILE queries (two-pass
+    # ordered_cumsum rank replacing the global window — exponents
+    # should be flat-to-sublinear now that no task sees the full
+    # fact), and the prefix-filtered similarity join probed against
+    # the 10-copy dense-duplicate corpus (quadratic-candidate risk)
+    "q_percent_rank_ntile",
+    "q_value_deciles",
+    "q_rfm_segments",
+    "q_decile_migration",
+    "q_prefix_filter_pairs",
 ]
 AS_IS = ["region", "nation", "customer", "supplier", "part", "events", "embeddings"]
 
