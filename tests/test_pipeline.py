@@ -290,3 +290,65 @@ def test_incremental_ingest_dedup_and_idempotence(spark, tmp_path):
     assert c2c["n_ingested"] == 2
     got2 = spark.read.parquet(corpus)
     assert got2.where("ingest_batch = 'b2'").count() == 2
+
+
+def test_trace_end_to_end_sftp_staged_multi_vcf(spark, fx, tmp_path):
+    """Round-4 verdict item 6: the full TRACE ingest composed in one
+    run — S6 (seeded local:// SFTP staging of a multi-VCF drop) -> S3
+    (VCF scan+melt) -> J2/J3 (group membership) -> A3/A4/A5 (per-batch
+    distinct-individual counters, TRACEInputValidator.java:221-233) ->
+    P7 (shared-loci threshold gate). Asserts the staged run produces
+    counter parity with the direct-path run, and that a seeded
+    inconsistent batch (fewer samples in one file) trips the
+    VCF_INCONSISTENT_INDIVIDUALS gate, reference semantics."""
+    import shutil
+
+    from laser_hadoop_spark.sources.sftp import fetch_to_staging
+
+    # a "remote" drop directory with two consistent VCFs
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    shutil.copy(fx["vcf"], drop / "study.vcf.gz")
+    shutil.copy(fx["vcf2"], drop / "study2.vcf.gz")
+
+    staging = tmp_path / "staging"
+    staged = fetch_to_staging(f"local://{drop}", str(staging))
+    assert len(staged) == 2 and all(p.startswith(str(staging)) for p in staged)
+
+    res = P.trace_validate(
+        spark,
+        vcf_paths=sorted(staged),
+        groups_path=fx["groups"],
+        reference_site_path=fx["ref_site"],
+    )
+    direct = P.trace_validate(
+        spark,
+        vcf_paths=[fx["vcf"], fx["vcf2"]],
+        groups_path=fx["groups"],
+        reference_site_path=fx["ref_site"],
+    )
+    # staging must be a pure transport: identical counters either way
+    assert res.metadata() == direct.metadata()
+    assert res.individuals == N_SAMPLES
+    assert res.shared_loci == int(N_LOCI * 0.6)
+
+    # seed an inconsistent batch: same loci, HALF the samples — the
+    # per-batch distinct-individuals consistency gate must trip
+    import random
+
+    from tests.fixtures import _write_vcf
+
+    short = drop / "study_short.vcf.gz"
+    samples = [f"S{i:04d}" for i in range(N_SAMPLES // 2)]
+    loci = [("1", 100 + i, f"rs{i}", "A", "C") for i in range(5)]
+    _write_vcf(str(short), samples, loci, random.Random(7))
+    staging2 = tmp_path / "staging2"
+    staged2 = fetch_to_staging(f"local://{drop}", str(staging2))
+    assert len(staged2) == 3
+    with pytest.raises(V.ValidationError, match="VCF_INCONSISTENT_INDIVIDUALS"):
+        P.trace_validate(
+            spark,
+            vcf_paths=sorted(staged2),
+            groups_path=fx["groups"],
+            reference_site_path=fx["ref_site"],
+        )

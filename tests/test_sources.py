@@ -324,3 +324,59 @@ def test_read_fixed_width_layout_and_nulls(spark, tmp_path):
     assert [f.dataType.simpleString() for f in df.schema.fields] == [
         "int", "string", "bigint", "double",
     ]
+
+
+def test_compact_parquet_partitioned_uri_layout(spark, tmp_path):
+    """Round-4 verdict item 7: object-store-shaped compaction — a
+    hive-partitioned directory of many tiny files (the streaming-sink
+    pathology), addressed through a file:// URI so sizing MUST come
+    from the Hadoop FileSystem statuses of the scan's own file index
+    (an os.walk on a URI string sees nothing and would collapse to one
+    partition). Asserts the byte-budget partition count, row/value
+    preservation including discovered partition columns, and that
+    sort_within yields non-overlapping per-file key ranges (clustering
+    preserved through the rewrite)."""
+    import glob
+
+    from laser_hadoop_spark.sources.sinks import compact_parquet
+
+    src = str(tmp_path / "hive_frag")
+    dst = str(tmp_path / "hive_compact")
+    (
+        spark.range(400000)
+        .selectExpr("id", "id % 97 AS k", "CAST(id % 4 AS INT) AS bucket")
+        .repartition(32)
+        .write.partitionBy("bucket")
+        .parquet(src)
+    )
+    frag_files = glob.glob(f"{src}/bucket=*/part-*.parquet")
+    assert len(frag_files) >= 100, "fixture should be pathologically fragmented"
+
+    n = compact_parquet(
+        spark, f"file://{src}", f"file://{dst}", target_mb=1, sort_within=["k", "id"]
+    )
+    # URI path: the os.walk fallback would have returned 0 bytes -> 1
+    # partition; >1 proves the FileSystem-status sizing ran on the URI
+    assert n > 1
+    out_files = sorted(glob.glob(f"{dst}/part-*.parquet"))
+    assert len(out_files) == n < len(frag_files)
+
+    got = spark.read.parquet(dst)
+    assert got.count() == 400000
+    row = got.selectExpr(
+        "sum(id) AS s", "count(DISTINCT bucket) AS nb"
+    ).collect()[0]
+    assert row["s"] == sum(range(400000)) and row["nb"] == 4
+
+    # clustering: per-file [min,max] of the leading sort key must not
+    # overlap across files (repartitionByRange + sortWithinPartitions)
+    ranges = sorted(
+        tuple(
+            spark.read.parquet(f)
+            .selectExpr("min(k) AS lo", "max(k) AS hi")
+            .collect()[0]
+        )
+        for f in out_files
+    )
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next, f"overlapping key ranges: {ranges}"
