@@ -38,6 +38,7 @@ def load_all() -> None:
         round4t,
         round4u,
         round4v,
+        round5,
         scalars,
         scans,
         setops,
