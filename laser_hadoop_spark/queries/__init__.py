@@ -39,6 +39,7 @@ def load_all() -> None:
         round4u,
         round4v,
         round5,
+        round5b,
         scalars,
         scans,
         setops,
