@@ -492,3 +492,36 @@ def test_ntile_migrations_no_unpartitioned_window(spark, sf_dir):
                 f"{name}: unpartitioned window: {spec[:120]}"
             )
         assert "BatchEvalPython" not in plan, name
+
+
+def test_round5_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
+    """Round-5 batch (X204-X213): no Python nodes anywhere, and every
+    shape stays within its declared exchange budget."""
+    spark.catalog.clearCache()
+    budgets = {
+        "q_grid_spatial_join": 2,      # cell equi-join of two scan-local sides
+        "q_record_linkage": 2,         # blocked self-join on nation key
+        "q_countmin_audit": 6,         # cells agg + probe aggs (cells broadcast)
+        "q_bloom_fpr_audit": 12,       # members distinct, bits distinct, anti,
+                                       # hits agg + four scalar count funnels
+                                       # (each a partial->final pair moving
+                                       # n_partitions rows, not data)
+        "q_embedding_covariance": 3,   # dims explode + (i,j) moment agg
+        "q_retrieval_metrics": 6,      # tok distinct + score agg + rank window
+        "q_weighted_sample": 1,        # one stratum window
+        "q_kl_divergence": 8,          # wordcount + vocab top-50 + src/
+                                       # stot/final aggs + two scalar funnels
+        "q_bpe_merges": 12,            # wordcount + 3x(pair agg + top-1)
+        "q_multisource_reconcile": 6,  # two distincts + mask agg + census
+    }
+    for name, budget in budgets.items():
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        got = _n_shuffles(plan)
+        assert got <= budget, (name, got, budget)
+    # the sketch relations must BROADCAST to the probe side, never
+    # shuffle-join it: cms cells (<= d*w rows) and bloom bits (<= m)
+    for name in ("q_countmin_audit", "q_bloom_fpr_audit"):
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        assert "BroadcastExchange" in plan, name
