@@ -40,6 +40,7 @@ def load_all() -> None:
         round4v,
         round5,
         round5b,
+        round5c,
         scalars,
         scans,
         setops,
