@@ -740,3 +740,70 @@ def heavy_hitters_stream_ttl(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# --- ST15: streaming KMV (bottom-k) distinct sketch ---------------------------
+
+KMV_OUT_SCHEMA = "grp string, n_sketch int, kmv_est long"
+KMV_STATE_SCHEMA = "hashes array<long>"
+_KMV_SCALE = 1 << 48  # 48-bit hashes: (k-1)<<48 stays inside int64
+
+
+def _mk_kmv_fn(k: int):
+    def kmv_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        hashes = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            hashes.update(int(h) for h in pdf["h"])
+        # bottom-k merge: the sketch of a union is the k smallest of
+        # the union of sketches — state stays O(k) across triggers
+        kept = sorted(hashes)[:k]
+        state.update((kept,))
+        if len(kept) >= k:
+            est = (k - 1) * _KMV_SCALE // kept[k - 1]
+        else:
+            est = len(kept)  # exact below the sketch threshold
+        yield pd.DataFrame(
+            {"grp": [key[0]], "n_sketch": [len(kept)], "kmv_est": [int(est)]}
+        )
+
+    return kmv_fn
+
+
+def kmv_distinct_stream(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    group_col: str = "event_type",
+    k: int = 64,
+) -> DataFrame:
+    """ST15: streaming distinct-count estimation via a KMV (bottom-k)
+    sketch in GroupState — the online form of X216's
+    q_kmv_distinct_audit, third streaming sketch alongside the decayed
+    counter (ST10) and Misra-Gries (ST11).
+
+    Per group, state holds the k smallest 48-bit md5 hashes of the
+    keys seen so far (bottom-k union across triggers IS the sketch
+    merge — order- and batching-invariant, so replay/at-least-once
+    delivery cannot change the estimate); each trigger emits the
+    group's current estimate (k-1)<<48 DIV h_k, or the exact count
+    while fewer than k distinct hashes exist. State is O(k) longs per
+    group — constant in stream length, the property that makes this
+    viable at 100 TB/day key cardinalities where exact streaming
+    COUNT(DISTINCT) state grows without bound.
+    """
+    hashed = events.select(
+        F.col(group_col).alias("grp"),
+        F.expr(
+            f"CAST(conv(substring(md5(CAST({key_col} AS STRING)), 1, 12), "
+            f"16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
+    return hashed.groupBy("grp").applyInPandasWithState(
+        _mk_kmv_fn(k),
+        outputStructType=KMV_OUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

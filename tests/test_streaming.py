@@ -570,3 +570,80 @@ def test_decayed_counter_ttl_deadline_never_moves_earlier(spark, tmp_path):
     # WHEN — n_seen=2 plus single-expiry proves the late fold happened
     # before expiry, and the fixed deadline made it wait for 11:00
     assert len(expired) == 1 and expired[0]["n_seen"] == 2
+
+
+def test_kmv_distinct_stream(spark, tmp_path):
+    """ST15: streaming bottom-k distinct sketch — cross-batch state
+    merge, exactness below the sketch threshold, bounded state size,
+    and batching-invariance (same estimate whether keys arrive in one
+    file or three)."""
+    import math
+
+    d = tmp_path / "kmv_in"
+    d.mkdir()
+    ddl = "event_id long, ts string, user_id long, event_type string, value double"
+
+    def write(rows, _i=[0]):
+        _i[0] += 1
+        df = spark.createDataFrame(rows, ddl)
+        df.withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d))
+
+    # 200 distinct users across 3 files for 'click' (above k=64 ->
+    # estimated); 10 users for 'view' (below k -> exact)
+    ts = "2024-01-01 10:00:00"
+    write([(i, ts, i, "click", 1.0) for i in range(80)])
+    write([(i, ts, i, "click", 1.0) for i in range(60, 150)])
+    write(
+        [(i, ts, i, "click", 1.0) for i in range(150, 200)]
+        + [(1000 + i, ts, 1000 + i, "view", 1.0) for i in range(10)]
+    )
+
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(str(d))
+    out = ops.kmv_distinct_stream(stream, k=64)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("kmv_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emission per group = final estimate over the whole stream
+    rows = spark.sql(
+        "select * from kmv_stream"
+    ).collect()
+    final = {}
+    for r in rows:  # memory sink appends per-trigger updates in order
+        final[r["grp"]] = r
+    # view: below threshold -> exact, sketch holds all 10
+    assert final["view"]["n_sketch"] == 10
+    assert final["view"]["kmv_est"] == 10
+    # click: 200 distinct, sketch capped at k=64, estimate within 30%
+    assert final["click"]["n_sketch"] == 64
+    est = final["click"]["kmv_est"]
+    assert math.isclose(est, 200, rel_tol=0.30), est
+
+    # batching invariance: the same 200 keys in ONE file produce the
+    # IDENTICAL estimate (bottom-k union is order/batching-invariant)
+    d2 = tmp_path / "kmv_one"
+    d2.mkdir()
+    df = spark.createDataFrame(
+        [(i, ts, i, "click", 1.0) for i in range(200)], ddl
+    )
+    df.withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.parquet(
+        str(d2), mode="append"
+    )
+    stream2 = spark.readStream.schema(EVENTS_DDL).parquet(str(d2))
+    q2 = (
+        ops.kmv_distinct_stream(stream2, k=64)
+        .writeStream.format("memory")
+        .queryName("kmv_one")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    one = {r["grp"]: r for r in spark.sql("select * from kmv_one").collect()}
+    assert one["click"]["kmv_est"] == est
