@@ -41,6 +41,7 @@ def load_all() -> None:
         round5,
         round5b,
         round5c,
+        round5d,
         scalars,
         scans,
         setops,

@@ -280,7 +280,10 @@ def test_round3_queries_stay_jvm_side_and_shuffle_bounded(spark, sf_dir):
         "q_outlier_count": 2,         # stats agg + broadcast-joined test
         "q_event_transitions": 5,
         "q_ab_test": 3,
-        "q_rfm_segments": 4,
+        "q_rfm_segments": 5,      # +1 exchange from the closed-form ntile
+                                  # two-pass rank (r4 verdict #3): the extra
+                                  # shuffle moves per-partition offset rows,
+                                  # and retires the single-partition funnel
         "q_hamming_neighbors": 2,     # deletion-key self-join, one exchange pair
         "q_top_paths": 2
     }
