@@ -528,3 +528,30 @@ def test_round5_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
     for name in ("q_countmin_audit", "q_bloom_fpr_audit"):
         plan = _plan(registry.get(name).fn(spark, sf_dir))
         assert "BroadcastExchange" in plan, name
+
+
+def test_round5d_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
+    """Round-5 fourth batch (X218-X222): no Python nodes, bounded
+    exchanges. q_bootstrap_ci's single exchange is the partial->final
+    pair of the ONE 64-column aggregate — the x32 resample fanout
+    never exists as rows; everything after is a 32-row relation."""
+    spark.catalog.clearCache()
+    budgets = {
+        "q_bootstrap_ci": 1,        # one 64-col agg; CI math on 32 rows
+        "q_mann_kendall": 5,        # monthly agg + per-group pair join +
+                                    # pair/size aggs (month relation only)
+        "q_revenue_proration": 1,   # bounded explode + one month agg
+        "q_zonemap_audit": 4,       # 2 layouts x (block agg + census)
+        "q_dedup_survivors": 7,     # shingle pairs + components + winner
+                                    # + census (digests on the wire)
+    }
+    for name, budget in budgets.items():
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        got = _n_shuffles(plan)
+        assert got <= budget, (name, got, budget)
+    # the trend test's pair join must broadcast the bounded month
+    # relation, never shuffle the fact
+    plan = _plan(registry.get("q_mann_kendall").fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
