@@ -42,6 +42,7 @@ def load_all() -> None:
         round5b,
         round5c,
         round5d,
+        round5e,
         scalars,
         scans,
         setops,

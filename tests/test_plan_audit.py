@@ -555,3 +555,26 @@ def test_round5d_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
     # relation, never shuffle the fact
     plan = _plan(registry.get("q_mann_kendall").fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_round5e_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
+    """Round-5 fifth batch (X223-X227): no Python nodes, bounded
+    exchanges. q_set_cover audits to 0 because its per-round relations
+    are localCheckpointed (each round's own shuffles are measured by
+    the per-iteration plan, like X50/X215); q_qte_deciles' exchanges
+    are all histogram/offset relations — the operator's zero-FACT-
+    shuffle property is asserted by test_quantiles_pruned_no_fact_shuffle."""
+    spark.catalog.clearCache()
+    budgets = {
+        "q_set_cover": 0,            # checkpointed rounds; final cross of 1-rows
+        "q_km_survival": 5,          # user agg + tiny per-duration windows
+        "q_itemset_triples": 4,      # one orderkey shuffle + triple aggs
+        "q_sorted_neighborhood": 3,  # block window + neighbor join + census
+        "q_qte_deciles": 14,         # 2 arms x histogram-pruned quantile op
+    }
+    for name, budget in budgets.items():
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        got = _n_shuffles(plan)
+        assert got <= budget, (name, got, budget)
