@@ -43,6 +43,7 @@ def load_all() -> None:
         round5c,
         round5d,
         round5e,
+        round5f,
         scalars,
         scans,
         setops,

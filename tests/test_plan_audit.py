@@ -571,6 +571,11 @@ def test_round5e_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
         "q_itemset_triples": 4,      # one orderkey shuffle + triple aggs
         "q_sorted_neighborhood": 3,  # block window + neighbor join + census
         "q_qte_deciles": 14,         # 2 arms x histogram-pruned quantile op
+        "q_compression_advisor": 3,  # stacked scan + block agg + column rollup
+        "q_shuffle_skew_planner": 4, # (k, part) agg + per-k rollups
+        "q_hierarchical_share": 5,   # one fact shuffle + 25-row rollup reuse
+        "q_watermark_audit": 2,      # user window + histogram agg
+        "q_snapshot_asof_diff": 3,   # two as-of aggs + key join + census
     }
     for name, budget in budgets.items():
         plan = _plan(registry.get(name).fn(spark, sf_dir))
