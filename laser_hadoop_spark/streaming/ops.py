@@ -807,3 +807,83 @@ def kmv_distinct_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- ST16: streaming watermark-delay monitor ----------------------------------
+
+WMD_OUT_SCHEMA = (
+    "user_id long, n_events long, n_late long, max_delay_s long, "
+    "watermark_rec_s long"
+)
+WMD_STATE_SCHEMA = "max_em long, n_events long, n_late long, max_delay_s long"
+
+
+def _wmd_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    if state.exists:
+        max_em, n_events, n_late, max_delay_s = state.get
+    else:
+        max_em, n_events, n_late, max_delay_s = -1, 0, 0, 0
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        pdf = pdf.sort_values("event_id")
+        em = pdf["em"].to_numpy(dtype="int64")
+        prev = np.maximum.accumulate(
+            np.concatenate([np.array([max_em], dtype="int64"), em])
+        )[:-1]
+        delay_us = np.maximum(prev - em, 0)
+        n_events += len(em)
+        n_late += int((delay_us > 0).sum())
+        max_delay_s = max(max_delay_s, int(delay_us.max()) // 1_000_000)
+        max_em = max(max_em, int(em.max()))
+    state.update((max_em, n_events, n_late, max_delay_s))
+    rec = (1 << int(max_delay_s).bit_length()) if max_delay_s > 0 else 0
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n_events],
+            "n_late": [n_late],
+            "max_delay_s": [max_delay_s],
+            "watermark_rec_s": [rec],
+        }
+    )
+
+
+def watermark_delay_stream(
+    events: DataFrame, *, user_col: str = "user_id"
+) -> DataFrame:
+    """ST16: streaming watermark-delay monitor — X231's online form.
+
+    Per user, GroupState carries the running MAX event time plus
+    lateness tallies; each incoming event's lateness = running max of
+    previously-ARRIVED event times minus its own event time (arrival
+    order = event_id within and across triggers, the same proxy X231
+    audits in batch). Every trigger emits the user's cumulative event/
+    late counts, max observed delay in whole seconds, and the
+    power-of-two watermark recommendation 2^bitlength(max_delay) —
+    the smallest withWatermark() delay in the X231 bucket scheme that
+    would have lost nothing SO FAR. Running this next to a production
+    job turns watermark sizing from a guess into a monitored number.
+
+    State is 4 longs per user — constant in stream length; the
+    arithmetic is vectorized numpy over each Arrow batch
+    (running-max accumulate), no per-row Python in the hot path.
+    Batching-invariant so long as arrival order follows event_id, the
+    same determinism contract the batch audit uses.
+    """
+    timed = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col("event_id"),
+        F.unix_micros("ts").alias("em"),
+    )
+    return timed.groupBy("user_id").applyInPandasWithState(
+        _wmd_fn,
+        outputStructType=WMD_OUT_SCHEMA,
+        stateStructType=WMD_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -647,3 +647,83 @@ def test_kmv_distinct_stream(spark, tmp_path):
     q2.awaitTermination(120)
     one = {r["grp"]: r for r in spark.sql("select * from kmv_one").collect()}
     assert one["click"]["kmv_est"] == est
+
+
+def test_watermark_delay_stream(spark, tmp_path):
+    """ST16: streaming watermark-delay monitor — cross-batch running
+    max, late-event detection, power-of-two recommendation, and
+    batching-invariance (same verdict in one file or two)."""
+    d = tmp_path / "wmd_in"
+    d.mkdir()
+    ddl = "event_id long, ts string, user_id long, event_type string, value double"
+
+    def write(rows):
+        df = spark.createDataFrame(rows, ddl)
+        df.withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d))
+
+    # batch 1: user 7 in order; batch 2: event 4 is LATE by 15 min
+    # (arrives after event 3 whose ts is 10:20 -> delay 900 s)
+    write(
+        [
+            (1, "2024-01-01 10:00:00", 7, "view", 1.0),
+            (2, "2024-01-01 10:10:00", 7, "view", 1.0),
+            (3, "2024-01-01 10:20:00", 7, "view", 1.0),
+        ]
+    )
+    write(
+        [
+            (4, "2024-01-01 10:05:00", 7, "view", 1.0),
+            (5, "2024-01-01 10:30:00", 7, "view", 1.0),
+        ]
+    )
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(str(d))
+    q = (
+        ops.watermark_delay_stream(stream)
+        .writeStream.format("memory")
+        .queryName("wmd_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from wmd_stream").collect()
+    final = {r["user_id"]: r for r in rows}  # last update wins
+    r = final[7]
+    assert r["n_events"] == 5
+    assert r["n_late"] == 1
+    assert r["max_delay_s"] == 900
+    # 900s -> bit_length 10 -> recommend 1024s
+    assert r["watermark_rec_s"] == 1024
+
+    # batching invariance: the same five events in ONE file give the
+    # identical cumulative verdict
+    d2 = tmp_path / "wmd_one"
+    d2.mkdir()
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 7, "view", 1.0),
+            (2, "2024-01-01 10:10:00", 7, "view", 1.0),
+            (3, "2024-01-01 10:20:00", 7, "view", 1.0),
+            (4, "2024-01-01 10:05:00", 7, "view", 1.0),
+            (5, "2024-01-01 10:30:00", 7, "view", 1.0),
+        ],
+        ddl,
+    )
+    df.withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.parquet(
+        str(d2), mode="append"
+    )
+    stream2 = spark.readStream.schema(EVENTS_DDL).parquet(str(d2))
+    q2 = (
+        ops.watermark_delay_stream(stream2)
+        .writeStream.format("memory")
+        .queryName("wmd_one")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    one = {r["user_id"]: r for r in spark.sql("select * from wmd_one").collect()}
+    assert one[7]["n_late"] == 1 and one[7]["max_delay_s"] == 900
+    assert one[7]["watermark_rec_s"] == 1024
