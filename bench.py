@@ -75,6 +75,12 @@ HEADLINE = [
     "q_rfm_segments",
     "q_decile_migration",
     "q_incremental_dedup",
+    # round 5 additions: the single-scan 64-column Poisson bootstrap
+    # (the x32 resample rows never exist) and the transitive-dedup
+    # survivor pipeline (pairs -> components -> argmax -> census, the
+    # full near-dup curation path in one plan)
+    "q_bootstrap_ci",
+    "q_dedup_survivors",
 ]
 
 

@@ -44,6 +44,7 @@ def load_all() -> None:
         round5d,
         round5e,
         round5f,
+        round5g,
         scalars,
         scans,
         setops,

@@ -75,6 +75,15 @@ PROBE_QUERIES = [
     "q_rfm_segments",
     "q_decile_migration",
     "q_prefix_filter_pairs",
+    # round 5 additions: the one-scan Poisson bootstrap (should be
+    # flat-to-linear — one aggregate), the survivor pipeline against
+    # the 10-copy dense-duplicate corpus (its clusters are 10-cliques
+    # here — the dedup worst case), the greedy set-cover rounds, and
+    # the per-order-bounded triple-itemset joins
+    "q_bootstrap_ci",
+    "q_dedup_survivors",
+    "q_set_cover",
+    "q_itemset_triples",
 ]
 AS_IS = ["region", "nation", "customer", "supplier", "part", "events", "embeddings"]
 

@@ -576,6 +576,11 @@ def test_round5e_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
         "q_hierarchical_share": 5,   # one fact shuffle + 25-row rollup reuse
         "q_watermark_audit": 2,      # user window + histogram agg
         "q_snapshot_asof_diff": 3,   # two as-of aggs + key join + census
+        "q_gini_features": 6,        # stacked cells + value/total rollups
+        "q_position_attribution": 3, # one user shuffle reused by windows+join
+        "q_diff_in_diff": 4,         # 4-cell agg + tiny self-pivot
+        "q_fd_miner": 15,            # 5 pairs x (distinct-combine + rollup)
+        "q_percentile_quarantine": 2,  # month window + census
     }
     for name, budget in budgets.items():
         plan = _plan(registry.get(name).fn(spark, sf_dir))
