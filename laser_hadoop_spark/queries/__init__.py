@@ -45,6 +45,7 @@ def load_all() -> None:
         round5e,
         round5f,
         round5g,
+        round5h,
         scalars,
         scans,
         setops,
