@@ -46,6 +46,7 @@ def load_all() -> None:
         round5f,
         round5g,
         round5h,
+        round5i,
         scalars,
         scans,
         setops,
