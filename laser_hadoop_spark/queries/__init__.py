@@ -47,6 +47,7 @@ def load_all() -> None:
         round5g,
         round5h,
         round5i,
+        round5j,
         scalars,
         scans,
         setops,
