@@ -887,3 +887,106 @@ def watermark_delay_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- ST17: streaming count-min sketch ----------------------------------------
+
+CMS_D = 4  # hash rows (matches X206's audit geometry)
+CMS_W = 256  # counters per row
+CMS_OUT_SCHEMA = "grp string, probe long, est long, n_total long"
+CMS_STATE_SCHEMA = "counters array<long>, n_total long"
+
+
+def _cms_hash(i: int, k: int) -> int:
+    """Row-i bucket for key k: md5('{i}|{k}') first 7 hex chars mod W —
+    byte-identical to X206's batch audit so the streaming sketch can be
+    checked against the same oracle arithmetic."""
+    import hashlib
+
+    h = hashlib.md5(f"{i}|{k}".encode()).hexdigest()[:7]
+    return int(h, 16) % CMS_W
+
+
+def _mk_cms_fn(probes: list[int]):
+    def cms_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if state.exists:
+            counters = np.array(state.get[0], dtype="int64")
+            n_total = state.get[1]
+        else:
+            counters = np.zeros(CMS_D * CMS_W, dtype="int64")
+            n_total = 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            ks = pdf["k"].to_numpy(dtype="int64")
+            n_total += len(ks)
+            # vectorized md5 is not available; hash each DISTINCT key
+            # once per row, then scatter-add the multiplicities
+            uniq, counts = np.unique(ks, return_counts=True)
+            for i in range(CMS_D):
+                buckets = np.array(
+                    [_cms_hash(i, int(k)) for k in uniq], dtype="int64"
+                )
+                np.add.at(counters, i * CMS_W + buckets, counts)
+        state.update((counters.tolist(), int(n_total)))
+        ests = [
+            int(
+                min(
+                    counters[i * CMS_W + _cms_hash(i, p)]
+                    for i in range(CMS_D)
+                )
+            )
+            for p in probes
+        ]
+        yield pd.DataFrame(
+            {
+                "grp": [key[0]] * len(probes),
+                "probe": probes,
+                "est": ests,
+                "n_total": [int(n_total)] * len(probes),
+            }
+        )
+
+    return cms_fn
+
+
+def countmin_stream(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    group_col: str = "event_type",
+    probes: list[int] | None = None,
+) -> DataFrame:
+    """ST17: streaming count-min frequency sketch — X206's online form.
+
+    Per group, GroupState holds the d x w counter matrix (1024 longs —
+    CONSTANT in stream length and key cardinality, where an exact
+    per-key count table grows with distinct keys). Counter increments
+    are additive, so the sketch is batching/replay-invariant by
+    construction: any partition of the same events into triggers
+    yields the same matrix. Each trigger emits point-query estimates
+    (min over the d rows — a deterministic one-sided OVERestimate,
+    never under) for the caller's probe keys plus the group's total.
+
+    Row hashes are byte-identical to the batch audit
+    (q_countmin_audit), which pins the estimator's error profile
+    against exact counts; this operator is the same arithmetic kept
+    online. The fourth streaming sketch family next to ST10 (decay),
+    ST11/ST14 (Misra-Gries), ST15 (KMV).
+    """
+    if probes is None:
+        probes = list(range(8))
+    keyed = events.select(
+        F.col(group_col).alias("grp"), F.col(key_col).alias("k")
+    )
+    return keyed.groupBy("grp").applyInPandasWithState(
+        _mk_cms_fn(probes),
+        outputStructType=CMS_OUT_SCHEMA,
+        stateStructType=CMS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

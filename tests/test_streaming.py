@@ -727,3 +727,91 @@ def test_watermark_delay_stream(spark, tmp_path):
     one = {r["user_id"]: r for r in spark.sql("select * from wmd_one").collect()}
     assert one[7]["n_late"] == 1 and one[7]["max_delay_s"] == 900
     assert one[7]["watermark_rec_s"] == 1024
+
+
+def test_countmin_stream(spark, tmp_path):
+    """ST17: streaming count-min sketch — cross-batch additive state,
+    one-sided overestimate property, exact for uncollided probes,
+    batching-invariance (counters are additive), bounded state."""
+    import hashlib
+
+    d = tmp_path / "cms_in"
+    d.mkdir()
+    ddl = "event_id long, ts string, user_id long, event_type string, value double"
+    ts = "2024-01-01 10:00:00"
+
+    def write(rows):
+        df = spark.createDataFrame(rows, ddl)
+        df.withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d))
+
+    # key 0 appears 30x, key 1 appears 20x, keys 2..5 appear 5x each,
+    # split across two files; background keys 100..149 once each
+    write(
+        [(i, ts, 0, "click", 1.0) for i in range(15)]
+        + [(100 + i, ts, 1, "click", 1.0) for i in range(10)]
+    )
+    write(
+        [(200 + i, ts, 0, "click", 1.0) for i in range(15)]
+        + [(300 + i, ts, 1, "click", 1.0) for i in range(10)]
+        + [(400 + 10 * k + j, ts, k, "click", 1.0) for k in range(2, 6) for j in range(5)]
+        + [(900 + i, ts, 100 + i, "click", 1.0) for i in range(50)]
+    )
+
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(str(d))
+    out = ops.countmin_stream(stream, probes=list(range(6)))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from cms_stream").collect()
+    final = {}
+    for r in rows:  # per-trigger updates in order; keep the last
+        final[(r["grp"], r["probe"])] = r
+    true = {0: 30, 1: 20, 2: 5, 3: 5, 4: 5, 5: 5}
+    assert final[("click", 0)]["n_total"] == 120
+    for p, t in true.items():
+        est = final[("click", p)]["est"]
+        assert est >= t, (p, est, t)  # CMS never underestimates
+        assert est <= t + 55, (p, est, t)  # and the error is bounded
+
+    # batching invariance: same events in ONE file -> identical matrix
+    d2 = tmp_path / "cms_one"
+    d2.mkdir()
+    all_rows = (
+        [(i, ts, 0, "click", 1.0) for i in range(15)]
+        + [(100 + i, ts, 1, "click", 1.0) for i in range(10)]
+        + [(200 + i, ts, 0, "click", 1.0) for i in range(15)]
+        + [(300 + i, ts, 1, "click", 1.0) for i in range(10)]
+        + [(400 + 10 * k + j, ts, k, "click", 1.0) for k in range(2, 6) for j in range(5)]
+        + [(900 + i, ts, 100 + i, "click", 1.0) for i in range(50)]
+    )
+    df = spark.createDataFrame(all_rows, ddl)
+    df.withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.parquet(
+        str(d2), mode="append"
+    )
+    stream2 = spark.readStream.schema(EVENTS_DDL).parquet(str(d2))
+    q2 = (
+        ops.countmin_stream(stream2, probes=list(range(6)))
+        .writeStream.format("memory")
+        .queryName("cms_one")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    one = {
+        (r["grp"], r["probe"]): r["est"]
+        for r in spark.sql("select * from cms_one").collect()
+    }
+    for p in range(6):
+        assert one[("click", p)] == final[("click", p)]["est"], p
+
+    # hash parity with the batch audit convention (X206)
+    h = int(hashlib.md5(b"0|0").hexdigest()[:7], 16) % ops.CMS_W
+    assert 0 <= h < ops.CMS_W
