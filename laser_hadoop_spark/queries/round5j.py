@@ -109,9 +109,16 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def norm(df: DataFrame, key: str) -> DataFrame:
+        # materialize each normalized score relation: every step is
+        # referenced twice downstream (as the max source and the join
+        # side), and without truncation the plan re-derives the whole
+        # iteration chain per reference (measured 86 exchanges vs 2
+        # per step with the checkpoint — X50's iteration discipline)
         mx = df.agg(F.max("s").alias("mx"))
-        return df.crossJoin(F.broadcast(mx)).select(
-            key, F.expr("10000 * s DIV mx").alias("sn")
+        return (
+            df.crossJoin(F.broadcast(mx))
+            .select(key, F.expr("10000 * s DIV mx").alias("sn"))
+            .localCheckpoint(eager=True)
         )
 
     a1 = edges.groupBy("p").agg(F.count("*").alias("s"))

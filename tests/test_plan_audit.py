@@ -588,3 +588,39 @@ def test_round5e_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
         assert "ArrowEvalPython" not in plan, name
         got = _n_shuffles(plan)
         assert got <= budget, (name, got, budget)
+
+
+def test_round5hij_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
+    """Round-5 batches 8-10 (X238-X252): no Python nodes, bounded
+    exchanges. q_hits_scores audits to 0 because every normalized
+    score relation is localCheckpointed (per-iteration plans carry
+    the real per-step shuffles, X50/X215/X223 discipline — without it
+    the mutual recursion re-derived 86 exchanges). The single-
+    partition windows that remain (runs test, neyman ranking) run
+    over calendar-bounded or |strata|-bounded relations, never facts."""
+    spark.catalog.clearCache()
+    budgets = {
+        "q_cohens_kappa": 1,         # one conditional-agg scan
+        "q_bh_fdr": 7,               # mean + per-user agg + p-group +
+                                     # ordered_cumsum two-pass + census
+        "q_js_divergence": 9,        # wordcount + vocab top-k + pair
+                                     # counts + share/term rollups
+        "q_transition_entropy": 9,   # user lead window + cell/state aggs
+        "q_cvm_test": 6,             # distinct-value agg + two-pass cum
+        "q_allen_census": 7,         # order-line agg + rank join + census
+        "q_permutation_test": 2,     # customer agg + one 33-col agg
+        "q_neyman_allocation": 8,    # strata agg + tiny apportionment
+        "q_capture_recapture": 9,    # two distincts + overlap + funnels
+        "q_simpson_reversals": 3,    # year cells + census re-agg
+        "q_hits_scores": 0,          # checkpointed per-step relations
+        "q_clustering_coefficient": 3,  # deg + tri-corner + census aggs
+        "q_cochran_armitage": 2,     # dose agg + 1-row stat
+        "q_covariate_balance": 4,    # customer-grain agg + stacked stats
+        "q_runs_test": 4,            # daily agg + bounded median/lag
+    }
+    for name, budget in budgets.items():
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        got = _n_shuffles(plan)
+        assert got <= budget, (name, got, budget)
