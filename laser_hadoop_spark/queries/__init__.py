@@ -48,6 +48,7 @@ def load_all() -> None:
         round5h,
         round5i,
         round5j,
+        round5k,
         scalars,
         scans,
         setops,
