@@ -49,6 +49,7 @@ def load_all() -> None:
         round5i,
         round5j,
         round5k,
+        round5l,
         scalars,
         scans,
         setops,
