@@ -624,3 +624,32 @@ def test_round5hij_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
         assert "ArrowEvalPython" not in plan, name
         got = _n_shuffles(plan)
         assert got <= budget, (name, got, budget)
+
+
+def test_round5kl_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
+    """Round-5 batches 11-12 (X253-X262): no Python nodes, bounded
+    exchanges. q_qini_deciles' exchanges are the two ordered_cumsum
+    passes over customer-grain and 10-row relations; q_sequence_match
+    pays ONE user shuffle plus per-pattern scalar funnels."""
+    spark.catalog.clearCache()
+    budgets = {
+        "q_heaps_fit": 6,           # tokenized scan + two prefix aggs
+        "q_inventory_turns": 3,     # two brand aggs + brand join
+        "q_qini_deciles": 5,        # conv distinct + rank cumsum + cells
+        "q_circular_hours": 2,      # (type,hour) agg + type rollup
+        "q_srm_detector": 1,        # stacked salt agg
+        "q_kruskal_wallis": 4,      # value agg + two-pass cumulative
+        "q_eta_squared": 3,         # stacked group/square aggs
+        "q_sequence_match": 6,      # user string-agg + 3 scalar funnels
+        "q_acf": 3,                 # daily agg + lag self-join + lag agg
+        "q_chi2_residuals": 7,      # cell agg + margin rollups (tiny)
+    }
+    for name, budget in budgets.items():
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        got = _n_shuffles(plan)
+        assert got <= budget, (name, got, budget)
+    # the ACF's daily relation must broadcast into the lag join
+    plan = _plan(registry.get("q_acf").fn(spark, sf_dir))
+    assert "BroadcastExchange" in plan
