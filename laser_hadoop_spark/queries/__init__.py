@@ -50,6 +50,7 @@ def load_all() -> None:
         round5j,
         round5k,
         round5l,
+        round5m,
         scalars,
         scans,
         setops,
