@@ -84,6 +84,13 @@ PROBE_QUERIES = [
     "q_dedup_survivors",
     "q_set_cover",
     "q_itemset_triples",
+    # round-5 late batches (only fact-scaling inputs belong here —
+    # events/customer/supplier are copied AS_IS): rank statistics
+    # over a 10x order-value domain (the two-pass cumulative must
+    # stay flat-ish) and the iterative HITS graph (10x edges)
+    "q_kruskal_wallis",
+    "q_cvm_test",
+    "q_hits_scores",
 ]
 AS_IS = ["region", "nation", "customer", "supplier", "part", "events", "embeddings"]
 
