@@ -51,6 +51,7 @@ def load_all() -> None:
         round5k,
         round5l,
         round5m,
+        round5n,
         scalars,
         scans,
         setops,

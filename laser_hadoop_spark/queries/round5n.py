@@ -6,19 +6,20 @@ and two operational censuses:
 - X268 Page-Hinkley drift detector: the sequential mean-shift test
   over the daily revenue series — CUSUM's (X133) one-sided online
   sibling, with consistent truncating running means.
-- X269 gapped-subsequence support: first-occurrence subsequence
-  (x..y..z, gaps allowed) support census over X260's per-user
-  sequence strings — sequential-pattern mining's support-counting
-  step without per-stage joins.
+- X269 sequence-pattern support census: anchored-start/end and
+  adjacency patterns over X260's per-user sequence strings —
+  sequential-pattern mining's support-counting step without
+  per-stage joins.
 - X270 half-life trending score: items ranked by sum of 2^(-age
   weeks) — exact bit-shift decay (X112's per-entity EWMA turned into
   a leaderboard).
-- X271 churn-threshold sensitivity: churn rate at 30/60/90-day
+- X271 churn-threshold sensitivity: churn rate at 6/12/24-hour
   inactivity cutoffs in ONE pass — the definition-sensitivity table
   that should precede any churn metric.
-- X272 capped sessionization: inactivity gap AND max-duration
+- X272 capped sessionization: inactivity-gap AND max-duration
   dual-condition sessions (the GA-style rule X22's gap-only form
-  approximates), exact via elapsed DIV cap within gap-sessions.
+  approximates), exact via elapsed DIV cap within gap-sessions —
+  no iterative splitting.
 """
 
 from __future__ import annotations
@@ -136,16 +137,16 @@ def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- X269: gapped-subsequence support ---------------------------------------
 
 _GAP_PATTERNS = [
-    ("v_c_p", "%v%c%p%"),
-    ("s_v_p", "%s%v%p%"),
-    ("e_e_e", "%e%e%e%"),
-    ("p_p", "%p%p%"),
-    ("c_e_c", "%c%e%c%"),
+    ("starts_purchase", "p%"),
+    ("ends_error", "%e"),
+    ("adjacent_double_purchase", "%pp%"),
+    ("purchase_error_purchase", "%pep%"),
+    ("signup_first", "s%"),
 ]
 
 
 @register(
-    "q_gapped_subsequences",
+    "q_sequence_support",
     oracle=f"""
     WITH seqs AS (
         SELECT user_id,
@@ -166,16 +167,18 @@ _GAP_PATTERNS = [
     ) u CROSS JOIN tot t
     """,
 )
-def q_gapped_subsequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X269: gapped-subsequence (sequential-pattern) support census.
+def q_sequence_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X269: sequence-pattern support census (anchored + adjacency).
 
-    Support counting for ordered patterns with arbitrary gaps — the
-    inner loop of GSP/PrefixSpan-style sequential-pattern mining:
-    'purchase then later another purchase' is LIKE '%p%p%' over the
-    per-user ordered type string, first-occurrence semantics, no
-    per-stage self-joins (X80 counts CONTIGUOUS 3-grams; these allow
-    gaps). Five candidate patterns evaluate as conditional counts
-    over ONE sequence relation; support in bp of all users.
+    Support counting over per-user ordered type strings for the
+    pattern classes plain funnels can't ask: anchored starts ('first
+    act was a purchase' = LIKE 'p%'), anchored ends ('last act was an
+    error' = '%e'), ADJACENT repeats ('two purchases back-to-back
+    with nothing between' = '%pp%') and mixed shapes ('%pep%') — the
+    support-counting inner loop of GSP/PrefixSpan-style sequential
+    mining (X260 covers the purely-gapped funnel membership; X80 the
+    contiguous 3-gram paths). Five candidates evaluate as conditional
+    counts over ONE sequence relation; support in bp of all users.
 
     100 TB shape: the user shuffle builds the sequence strings once
     (X260's plan); each added pattern is one more conditional-sum
@@ -312,72 +315,73 @@ def q_trending_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- X271: churn-threshold sensitivity --------------------------------------
 
-_CHURN_THRESHOLDS = [30, 60, 90]
+_CHURN_THRESHOLDS_H = [6, 12, 24]
 
 
 @register(
     "q_churn_sensitivity",
     oracle=f"""
-    WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS mxd FROM events),
+    WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
     last_seen AS (
-        SELECT user_id, MAX(CAST(ts AS DATE)) AS last_d FROM events
-        GROUP BY user_id
+        SELECT user_id, MAX(epoch_us(ts)) AS l FROM events GROUP BY user_id
     ),
     aged AS (
-        SELECT user_id, m.mxd - last_d AS idle_days
-        FROM last_seen CROSS JOIN mx m
+        SELECT user_id, (x.m - l) // 3600000000 AS idle_h
+        FROM last_seen CROSS JOIN mx x
     )
-    SELECT threshold_days,
+    SELECT threshold_hours,
            CAST(n_users AS BIGINT) AS n_users,
            CAST(n_churned AS BIGINT) AS n_churned,
            CAST(10000 * n_churned // n_users AS BIGINT) AS churn_bp
     FROM (
         {" UNION ALL ".join(
-            f"SELECT CAST({t} AS BIGINT) AS threshold_days,"
+            f"SELECT CAST({t} AS BIGINT) AS threshold_hours,"
             f" COUNT(*) AS n_users,"
-            f" SUM(CASE WHEN idle_days > {t} THEN 1 ELSE 0 END) AS n_churned"
+            f" SUM(CASE WHEN idle_h > {t} THEN 1 ELSE 0 END) AS n_churned"
             f" FROM aged"
-            for t in _CHURN_THRESHOLDS
+            for t in _CHURN_THRESHOLDS_H
         )}
     ) u
     """,
 )
 def q_churn_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X271: churn rate under 30/60/90-day inactivity definitions.
+    """X271: churn rate under 6/12/24-hour inactivity definitions.
 
     'Churn' is a definition, not a fact — this table shows how much
     the rate moves with the inactivity threshold, which should be
     read BEFORE anyone quotes a churn number (a metric that halves
-    when the cutoff moves 30 days is measuring the cutoff). One
-    per-user last-activity aggregate; all three thresholds evaluate
-    as conditional counts over the same tiny aged relation.
+    when the cutoff doubles is measuring the cutoff, not the users).
+    Thresholds are hour-scale because the corpus spans 30 days; the
+    operator is the same at any unit. One per-user last-activity
+    aggregate; all thresholds evaluate as conditional counts over
+    the same tiny aged relation. Idle time in TZ-proof epoch micros.
 
     100 TB shape: one user-grain max aggregate (map-side combine),
-    a broadcast scalar for the corpus max date, 3-row output.
+    a broadcast scalar for the corpus max, |thresholds|-row output.
     """
     e = table(spark, sf_dir, "events")
-    mx = e.agg(F.max(F.col("ts").cast("date")).alias("mxd"))
+    mx = e.agg(F.max(F.expr("unix_micros(ts)")).alias("m"))
     last_seen = e.groupBy("user_id").agg(
-        F.max(F.col("ts").cast("date")).alias("last_d")
+        F.max(F.expr("unix_micros(ts)")).alias("l")
     )
     aged = last_seen.crossJoin(F.broadcast(mx)).select(
-        F.datediff(F.col("mxd"), F.col("last_d")).alias("idle_days")
+        F.expr("(m - l) DIV 3600000000").alias("idle_h")
     )
     parts = [
         aged.agg(
-            F.lit(t).cast("bigint").alias("threshold_days"),
+            F.lit(t).cast("bigint").alias("threshold_hours"),
             F.count("*").alias("n_users"),
-            F.sum(F.when(F.col("idle_days") > t, 1).otherwise(0)).alias(
+            F.sum(F.when(F.col("idle_h") > t, 1).otherwise(0)).alias(
                 "n_churned"
             ),
         )
-        for t in _CHURN_THRESHOLDS
+        for t in _CHURN_THRESHOLDS_H
     ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.select(
-        "threshold_days",
+        "threshold_hours",
         F.col("n_users").cast("bigint").alias("n_users"),
         F.col("n_churned").cast("bigint").alias("n_churned"),
         F.expr("CAST(10000 * n_churned DIV n_users AS BIGINT)").alias(
@@ -388,8 +392,8 @@ def q_churn_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- X272: capped sessionization --------------------------------------------
 
-_SESS_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
-_SESS_CAP_US = 2 * 3600 * 1_000_000  # 2-hour max session duration
+_SESS_GAP_US = 12 * 3600 * 1_000_000  # 12-hour inactivity gap
+_SESS_CAP_US = 24 * 3600 * 1_000_000  # 24-hour max session duration
 
 
 @register(
@@ -429,14 +433,17 @@ _SESS_CAP_US = 2 * 3600 * 1_000_000  # 2-hour max session duration
            CAST(SUM(n_events) AS BIGINT) AS n_events,
            CAST(SUM(n_events) // COUNT(*) AS BIGINT)
                AS events_per_session
+    FROM sessions
     """,
 )
 def q_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X272: dual-condition (gap + max-duration) sessionization.
 
-    Production session rules (GA-style) close a session on EITHER 30
-    minutes of inactivity OR 2 hours of total duration — X22's
-    gap-only form never closes a slow-drip session. Exact without
+    Production session rules (GA-style) close a session on EITHER an
+    inactivity gap OR a max total duration — X22's gap-only form
+    never closes a slow-drip session. Cutoffs here are 12 h/24 h to
+    match the corpus's ~2 events/user/day cadence (the operator is
+    unit-agnostic; web analytics uses 30 min/2 h). Exact without
     iteration: gap-sessions form from the lag/cumsum idiom, then the
     duration cap splits each by (elapsed-since-session-start DIV
     cap) — a closed-form second key, no loop. Census: sessions,

@@ -990,3 +990,84 @@ def countmin_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- ST18: streaming funnel automaton ----------------------------------------
+
+FUNNEL_OUT_SCHEMA = (
+    "user_id long, stage int, n_stages int, completed int, n_events long"
+)
+FUNNEL_STATE_SCHEMA = "stage int, n_events long"
+
+
+def _mk_funnel_fn(stages: list[str]):
+    def funnel_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            stage, n_events = state.get
+        else:
+            stage, n_events = 0, 0
+        k = len(stages)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values("event_id")
+            n_events += len(pdf)
+            if stage < k:
+                # advance the subsequence automaton through this batch
+                for et in pdf["event_type"]:
+                    if et == stages[stage]:
+                        stage += 1
+                        if stage == k:
+                            break
+        state.update((int(stage), int(n_events)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "stage": [int(stage)],
+                "n_stages": [k],
+                "completed": [1 if stage == k else 0],
+                "n_events": [int(n_events)],
+            }
+        )
+
+    return funnel_fn
+
+
+def funnel_stream(
+    events: DataFrame,
+    *,
+    stages: list[str] | None = None,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """ST18: streaming funnel as a per-user subsequence automaton —
+    X260's gapped sequence match kept online.
+
+    Per user, GroupState holds ONE integer: the index of the next
+    funnel stage to match (plus an event tally). Each arriving event
+    either advances the automaton or is ignored — the entire funnel
+    membership question ('did view..click..purchase happen in order,
+    gaps allowed?') costs O(1) state per user and O(batch) time per
+    trigger, where the batch form re-scans the user's whole history
+    every run. Emits the user's current stage and completion flag per
+    trigger; completion is monotone, so downstream consumers can act
+    on the first completed=1 row.
+
+    Arrival order follows event_id within and across triggers (the
+    same determinism contract ST16 and the batch X260 use), so the
+    result is batching-invariant: the automaton state after any
+    partition of the same ordered events is identical.
+    """
+    if stages is None:
+        stages = ["view", "click", "purchase"]
+    keyed = events.select(
+        F.col(user_col).alias("user_id"), F.col("event_id"), F.col("event_type")
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _mk_funnel_fn(stages),
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

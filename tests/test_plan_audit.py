@@ -653,3 +653,33 @@ def test_round5kl_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
     # the ACF's daily relation must broadcast into the lag join
     plan = _plan(registry.get("q_acf").fn(spark, sf_dir))
     assert "BroadcastExchange" in plan
+
+
+def test_round5mn_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
+    """Round-5 batches 13-14 (X263-X272): no Python nodes, bounded
+    exchanges. The SinglePartition exchanges inside the budgets are
+    all final partial->final global aggregates (one row crosses per
+    upstream partition) or per-pattern scalar funnels over user-grain
+    relations (q_sequence_support, same discipline as
+    q_sequence_match); q_haversine_join audits to 0 because both
+    sides are broadcast-sized dimension relations at every sf (cells
+    of the 5-degree grid)."""
+    spark.catalog.clearCache()
+    budgets = {
+        "q_g_test": 12,              # cell aggs + margin rollups (tiny)
+        "q_profile_shape_cosine": 7, # (cat,bucket) cells + pair rollups
+        "q_haversine_join": 0,       # broadcast grid join, no shuffle
+        "q_double_fire_census": 2,   # bucket band join + census
+        "q_backlog_aging": 1,        # pushed scan filter + bucket agg
+        "q_page_hinkley": 2,         # daily agg + calendar-bounded window
+        "q_sequence_support": 12,    # ONE user shuffle + scalar funnels
+        "q_trending_parts": 2,       # part agg + top-k
+        "q_churn_sensitivity": 9,    # user agg + 3 scalar threshold aggs
+        "q_capped_sessions": 2,      # ONE user shuffle + session census
+    }
+    for name, budget in budgets.items():
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        got = _n_shuffles(plan)
+        assert got <= budget, (name, got, budget)

@@ -815,3 +815,65 @@ def test_countmin_stream(spark, tmp_path):
     # hash parity with the batch audit convention (X206)
     h = int(hashlib.md5(b"0|0").hexdigest()[:7], 16) % ops.CMS_W
     assert 0 <= h < ops.CMS_W
+
+
+def test_funnel_stream(spark, tmp_path):
+    """ST18: streaming funnel automaton — cross-batch stage carry,
+    order-insensitive to batching (event_id order), completion
+    monotone, O(1) state."""
+    d = tmp_path / "funnel_in"
+    d.mkdir()
+    ddl = "event_id long, ts string, user_id long, event_type string, value double"
+    ts = "2024-01-01 10:00:00"
+
+    def write(rows):
+        df = spark.createDataFrame(rows, ddl)
+        df.withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d))
+
+    # user 1 completes across batches; user 2 has events out of funnel
+    # order (click before view) and must NOT complete; user 3 completes
+    # within one batch; user 4 stalls at stage 1
+    write(
+        [(1, ts, 1, "view", 1.0), (2, ts, 2, "click", 1.0)]
+    )
+    write(
+        [
+            (3, ts, 1, "click", 1.0),
+            (4, ts, 2, "view", 1.0),
+            (5, ts, 3, "view", 1.0),
+            (6, ts, 3, "click", 1.0),
+            (7, ts, 3, "purchase", 1.0),
+            (8, ts, 4, "view", 1.0),
+        ]
+    )
+    write([(9, ts, 1, "purchase", 1.0), (10, ts, 2, "error", 1.0)])
+
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(str(d))
+    out = ops.funnel_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from funnel_stream").collect()
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = r
+    assert final[1]["completed"] == 1 and final[1]["stage"] == 3
+    # user 2 saw click before view: automaton is at stage 1 (view
+    # matched at batch 2), click never re-arrives after it
+    assert final[2]["completed"] == 0
+    assert final[3]["completed"] == 1
+    assert final[4]["completed"] == 0 and final[4]["stage"] == 1
+    # completion is monotone: once a trigger reports completed=1 it
+    # stays 1 in later triggers
+    seen = {}
+    for r in rows:
+        if seen.get(r["user_id"]) == 1:
+            assert r["completed"] == 1, r
+        seen[r["user_id"]] = r["completed"]
