@@ -38,10 +38,28 @@ def connected_components(
     Output: (node, component) — component = min node id reachable.
     Deterministic: min-label propagation has a unique fixpoint.
     """
-    sym = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    # Materialize the symmetrized edge list ONCE, deriving BOTH
+    # orientations from a single evaluation of `edges` (explode of a
+    # 2-struct array, not a self-union — a union's two branches each
+    # re-run the upstream plan, and for dedup_clusters that upstream is
+    # the n-gram Jaccard self-join). Without the checkpoint every
+    # iteration's neighbor_min join would re-derive it again (25 rounds
+    # = re-shingling the corpus 25 times). The materialized relation
+    # itself is tiny (near-dup pairs).
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(
+                        F.col("b").alias("a"), F.col("a").alias("b")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -49,30 +67,39 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["node"])
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # The convergence check rides the SAME action that materializes
+        # the round's labels (df.observe during the eager checkpoint):
+        # min-propagation only ever lowers a label, so "changed" is
+        # exactly the rows where the neighbor min undercuts the old
+        # label — no separate join-and-count job per round.
+        obs = Observation()
         new_labels = (
             labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
+            .withColumn(
+                "new_label",
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
+                ),
             )
-            .localCheckpoint()  # truncate lineage: O(1) plan per round
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("new_label") < F.col("label"), 1).otherwise(0)
+                ).alias("changed"),
+            )
+            .select("node", F.col("new_label").alias("label"))
+            .localCheckpoint(eager=True)  # O(1) plan per round
         )
         labels = new_labels
-        if changed == 0:
+        if obs.get["changed"] == 0:
             break
     return labels.select("node", F.col("label").alias("component"))
 
