@@ -359,3 +359,49 @@ def read_fixed_width(
         for name, start, length, dtype in colspecs
     ]
     return lines.select(*fields)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    *,
+    row_tag: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """S19: XML source (Spark 4 native ``xml`` format).
+
+    Feed drops from enterprise systems (SOAP exports, RSS/Atom, config
+    dumps) arrive as XML; Spark 4 folded the former spark-xml package
+    into the core distribution, so the scan is a first-class
+    FileFormat: splittable by file, schema-inferred or explicit,
+    attributes surfaced as ``_attr`` columns and nested elements as
+    structs. ``row_tag`` names the repeated element that becomes a row
+    (the XML analogue of a JSONL line).
+
+    An explicit ``schema`` skips the inference pass — at 100 TB
+    inference reads every byte once before the real scan, so
+    production feeds should always pin it (same discipline as S4's
+    JSONL descriptor schema).
+    """
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(df: DataFrame, path: str, *, row_tag: str, root_tag: str) -> None:
+    """S19 sink side: write a DataFrame as XML part-files.
+
+    One XML document per partition file (``root_tag`` wrapping one
+    ``row_tag`` element per row) — the mirror contract of read_xml, so
+    round-tripping a relation through the feed format is lossless for
+    flat schemas (the pytest asserts it). Distributed write: one file
+    per task, same layout economics as every other text sink here.
+    """
+    (
+        df.write.format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .mode("overwrite")
+        .save(path)
+    )

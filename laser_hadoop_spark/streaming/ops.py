@@ -1071,3 +1071,100 @@ def funnel_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- ST19: streaming sessionization (closed-session emission) ----------------
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, start_us long, end_us long, n_events long, dur_us long"
+)
+SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
+
+
+def _mk_sessionize_fn(gap_ms: int):
+    gap_us = gap_ms * 1000
+
+    def _row(key, start_us, last_us, n):
+        return {
+            "user_id": [key[0]],
+            "start_us": [int(start_us)],
+            "end_us": [int(last_us)],
+            "n_events": [int(n)],
+            "dur_us": [int(last_us - start_us)],
+        }
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(_row(key, start_us, last_us, n))
+            return
+        start_us, last_us, n = state.get if state.exists else (None, None, 0)
+        closed: list[dict] = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["t_us", "event_id"])
+            for t in (int(t) for t in pdf["t_us"]):
+                if start_us is None:
+                    start_us, last_us, n = t, t, 1
+                elif t - last_us > gap_us:
+                    closed.append(_row(key, start_us, last_us, n))
+                    start_us, last_us, n = t, t, 1
+                else:
+                    # out-of-order events above the watermark merge into
+                    # the open session (t <= last_us leaves it unmoved)
+                    last_us, n = max(last_us, t), n + 1
+        state.update((start_us, last_us, n))
+        # the open session closes when the watermark passes its last
+        # event by the gap (Spark rejects deadlines <= watermark)
+        state.setTimeoutTimestamp(
+            max(last_us // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        for r in closed:
+            yield pd.DataFrame(r)
+
+    return fn
+
+
+def sessionize_stream(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """ST19: streaming sessionization emitting CLOSED sessions exactly
+    once — the online twin of X22/X272's batch lag/cumsum idiom.
+
+    Per user, GroupState holds only the OPEN session (start, last
+    event, count). Within a trigger, a gap between consecutive events
+    closes a session immediately; across triggers the event-time
+    timeout closes it once the watermark passes its last event by the
+    gap — so emission is exactly-once per session and deterministic on
+    replay (event-time deadlines, not wall clock). State is O(active
+    users), never O(events): the 100 TB contract that batch
+    sessionization (rescanning the day's events each run) can't give a
+    live dashboard. Out-of-order events above the watermark merge into
+    the open session; below-watermark stragglers are dropped by the
+    watermark filter upstream, the same bound session_window uses
+    (ST3). Built on applyInPandasWithState because session_window's
+    native streaming aggregation emits (window, agg) rows — this
+    variant needs the census row shape (start/end/duration/count) with
+    a one-row-per-closed-session contract downstream upsert sinks
+    (ST9) consume directly.
+    """
+    gap_ms = _duration_to_ms(gap)
+    prepped = events.select(
+        "user_id",
+        F.col("ts"),
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+    ).withWatermark("ts", watermark)
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _mk_sessionize_fn(gap_ms),
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -380,3 +380,48 @@ def test_compact_parquet_partitioned_uri_layout(spark, tmp_path):
     )
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert hi_prev <= lo_next, f"overlapping key ranges: {ranges}"
+
+
+def test_xml_read_write_roundtrip(spark, tmp_path):
+    """S19: native XML source/sink — explicit schema read, attribute
+    handling, and a lossless flat-schema roundtrip through write_xml."""
+    from pyspark.sql import types as T
+
+    from laser_hadoop_spark.sources.readers import read_xml, write_xml
+
+    src = tmp_path / "feed.xml"
+    src.write_text(
+        "<catalog>"
+        '<item sku="A1"><name>widget</name><qty>3</qty><price>9.5</price></item>'
+        '<item sku="B2"><name>gadget</name><qty>7</qty><price>1.25</price></item>'
+        "<item><name>orphan</name><qty>1</qty><price>0.5</price></item>"
+        "</catalog>"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("_sku", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("qty", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    df = read_xml(spark, str(src), row_tag="item", schema=schema)
+    rows = {r["name"]: r for r in df.collect()}
+    assert rows["widget"]["_sku"] == "A1" and rows["widget"]["qty"] == 3
+    assert rows["orphan"]["_sku"] is None  # missing attribute -> NULL
+    assert abs(rows["gadget"]["price"] - 1.25) < 1e-12
+
+    # inference path agrees on the data columns
+    inferred = read_xml(spark, str(src), row_tag="item")
+    assert inferred.count() == 3
+    assert {"name", "qty", "price"} <= set(inferred.columns)
+
+    # roundtrip: write then re-read under the same schema
+    out = tmp_path / "feed_out"
+    write_xml(df, str(out), row_tag="item", root_tag="catalog")
+    back = read_xml(spark, str(out), row_tag="item", schema=schema)
+    assert sorted((r["name"], r["qty"]) for r in back.collect()) == [
+        ("gadget", 7),
+        ("orphan", 1),
+        ("widget", 3),
+    ]

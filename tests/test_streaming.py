@@ -877,3 +877,78 @@ def test_funnel_stream(spark, tmp_path):
         if seen.get(r["user_id"]) == 1:
             assert r["completed"] == 1, r
         seen[r["user_id"]] = r["completed"]
+
+
+def test_sessionize_stream_closed_sessions(spark, tmp_path):
+    """ST19: streaming sessionization. In-batch gaps close sessions
+    immediately; cross-trigger sessions close exactly once via the
+    event-time timeout when the watermark passes last event + gap;
+    out-of-order events within a batch sort into the right session;
+    an open session at end-of-stream never emits."""
+    import os
+    import time
+
+    d = tmp_path / "sess_in"
+    d.mkdir()
+    US = 1_000_000
+
+    def us(hh, mm):
+        import datetime
+
+        return int(
+            datetime.datetime(
+                2024, 1, 1, hh, mm, tzinfo=datetime.timezone.utc
+            ).timestamp()
+        ) * US
+
+    batches = [
+        # u1: 10:00,10:10 then 11:30 -> in-batch gap (>30 min) closes
+        # [10:00,10:10] immediately; u2 arrives OUT OF ORDER (10:20
+        # before 10:00) and must still form [10:00,10:20]
+        [
+            (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+            (2, "2024-01-01 10:10:00", 1, "click", 1.0),
+            (3, "2024-01-01 11:30:00", 1, "click", 1.0),
+            (4, "2024-01-01 10:20:00", 2, "view", 1.0),
+            (5, "2024-01-01 10:00:00", 2, "view", 1.0),
+        ],
+        # watermark now 11:20 (11:30 - 10 min) > u2's 10:20 + 30 min
+        # -> u2 closes HERE; u1's open session extends to 11:40
+        [(6, "2024-01-01 11:40:00", 1, "click", 1.0)],
+        # watermark 11:30 < u1 deadline 12:10 -> u1 stays open
+        [(7, "2024-01-01 15:00:00", 3, "click", 1.0)],
+        # watermark 14:50 > 12:10 -> u1's [11:30,11:40] closes; u3 open
+        [(8, "2024-01-01 15:05:00", 3, "click", 1.0)],
+    ]
+    seen: set[str] = set()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, value double",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df.coalesce(1).write.mode("append").parquet(str(d))
+        t = time.time() - 100 + i * 10
+        for f in os.listdir(d):
+            p = os.path.join(str(d), f)
+            if f.endswith(".parquet") and p not in seen:
+                seen.add(p)
+                os.utime(p, (t, t))
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    rows = _run(
+        spark, ops.sessionize_stream(stream, gap="30 minutes"), "st19_sessions"
+    ).collect()
+    got = sorted(
+        (r["user_id"], r["start_us"], r["end_us"], r["n_events"], r["dur_us"])
+        for r in rows
+    )
+    assert got == [
+        (1, us(10, 0), us(10, 10), 2, 10 * 60 * US),
+        (1, us(11, 30), us(11, 40), 2, 10 * 60 * US),
+        (2, us(10, 0), us(10, 20), 2, 20 * 60 * US),
+    ]
+    # exactly once: 3 closed sessions, no duplicates, u3 never emits
+    assert len(rows) == 3
