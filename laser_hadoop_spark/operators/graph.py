@@ -143,7 +143,13 @@ def pagerank(
     static — at 100 TB each round's shuffle partitions on the same node
     key, so AQE reuses the layout round to round.
     """
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    # Materialize the edge list once — every iteration's contribs join
+    # references it, and a lazy plan would re-derive the caller's
+    # upstream (e.g. a co-occurrence graph build) n_iter times. Same
+    # discipline for out_deg, which is also loop-invariant.
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("d").alias("node")))
@@ -151,7 +157,11 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
-    out_deg = e.groupBy(F.col("s").alias("node")).agg(F.count("*").alias("deg"))
+    out_deg = (
+        e.groupBy(F.col("s").alias("node"))
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     for _ in range(n_iter):
         with_deg = ranks.join(out_deg, "node", "left")
