@@ -52,6 +52,8 @@ def load_all() -> None:
         round5l,
         round5m,
         round5n,
+        round5o,
+        round5p,
         scalars,
         scans,
         setops,

@@ -91,6 +91,15 @@ PROBE_QUERIES = [
     "q_kruskal_wallis",
     "q_cvm_test",
     "q_hits_scores",
+    # round-5 batches 13-14 (fact-scaling inputs only): the G-test's
+    # orders x customer cells, the pushed-filter backlog aging scan,
+    # the calendar-bounded Page-Hinkley daily series (work is in the
+    # daily aggregate scan), and the bit-shift trending leaderboard
+    # over 10x lineitem
+    "q_g_test",
+    "q_backlog_aging",
+    "q_page_hinkley",
+    "q_trending_parts",
 ]
 AS_IS = ["region", "nation", "customer", "supplier", "part", "events", "embeddings"]
 

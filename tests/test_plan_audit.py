@@ -683,3 +683,47 @@ def test_round5mn_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
         assert "ArrowEvalPython" not in plan, name
         got = _n_shuffles(plan)
         assert got <= budget, (name, got, budget)
+
+
+def test_round5o_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
+    """Round-5 batch 15 (X273-X277): no Python nodes, bounded
+    exchanges. The windows inside q_durbin_watson and q_sax_symbols
+    run over the calendar-bounded daily (or |days|/7 PAA) relation,
+    never facts; the moment aggregates are all map-side-combining
+    partial->final global aggregates."""
+    spark.catalog.clearCache()
+    budgets = {
+        "q_welch_t": 1,          # one conditional-sum moment aggregate
+        "q_durbin_watson": 6,    # daily agg + moments + bounded lag window
+        "q_sax_symbols": 2,      # daily agg + bounded PAA/ntile/fold
+        "q_brown_forsythe": 3,   # median agg + z moments + 1-row stats
+        "q_power_analysis": 1,   # pushed-filter scan -> 1-row moments
+    }
+    for name, budget in budgets.items():
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        got = _n_shuffles(plan)
+        assert got <= budget, (name, got, budget)
+
+
+def test_round5p_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
+    """Round-5 batch 16 (X278-X282): no Python nodes, bounded
+    exchanges. The polygon containment is a literal-folded codegen
+    Project (scan-local); the stats are moment aggregates + 1-row
+    math; Theil's ALL row re-aggregates the 5 segment rows, never
+    the facts."""
+    spark.catalog.clearCache()
+    budgets = {
+        "q_point_in_polygon": 1,     # scan-local ray cast + band agg
+        "q_odds_ratio": 2,           # customer-grain agg + 2x2 cells
+        "q_grubbs": 1,               # one moment aggregate
+        "q_tokenizer_fertility": 1,  # scan-local regex + source agg
+        "q_theil_index": 3,          # segment agg + tiny ALL re-agg
+    }
+    for name, budget in budgets.items():
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        got = _n_shuffles(plan)
+        assert got <= budget, (name, got, budget)
