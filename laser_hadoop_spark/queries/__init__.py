@@ -54,6 +54,7 @@ def load_all() -> None:
         round5n,
         round5o,
         round5p,
+        round5q,
         scalars,
         scans,
         setops,

@@ -1168,3 +1168,128 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# --- ST20: online moments via transformWithStateInPandas (Spark 4) -----------
+
+MOMENTS_OUT_SCHEMA = (
+    "user_id long, n long, s_micro long, q_micro2 string,"
+    " mean_micro long, batch_outliers long"
+)
+
+
+def fold_moments(
+    n: int, s: int, q: int, vals: list[int]
+) -> tuple[int, int, int]:
+    """Pure fold for ST20's state: running (count, sum, sum-of-squares)
+    in exact Python bigints (q outgrows int64 in micro^2 units)."""
+    for v in vals:
+        n, s, q = n + 1, s + v, q + v * v
+    return n, s, q
+
+
+def count_3sigma_outliers(vals: list[int], n: int, s: int, q: int) -> int:
+    """X75's exact cross-multiplied integer 3-sigma test, applied to a
+    batch of values against moments (n, s, q): outlier iff
+    (n-1)*(v*n - s)^2 > 9*n*(q*n - s^2). No sqrt, no floats."""
+    if n < 2:
+        return 0
+    var_num = q * n - s * s
+    out = 0
+    for v in vals:
+        d = v * n - s
+        if (n - 1) * d * d > 9 * n * var_num:
+            out += 1
+    return out
+
+
+def _moments_processor_cls():
+    """Deferred import wrapper: transformWithStateInPandas ships with
+    Spark 4 but its runtime additionally requires the `protobuf`
+    python package (the state-server protocol) — importing lazily
+    keeps this module loadable and every other operator usable when
+    that dependency is absent; moments_stream_tws raises cleanly at
+    call time instead (the SFTP optional-paramiko precedent,
+    sources/sftp.py:82)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class MomentsProcessor(StatefulProcessor):
+        """Per-key running (n, sum, sum-of-squares) in exact integers,
+        plus a per-trigger 3-sigma outlier census (X75's integer
+        cross-multiplied test) against the post-batch moments."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            # q (sum of squared micro values) outgrows int64 — the
+            # state column stores its decimal string; arithmetic runs
+            # in Python bigints
+            self._mom = handle.getValueState(
+                "mom", "n long, s long, q string"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            prior = self._mom.get() if self._mom.exists() else None
+            n, s, q = (
+                (int(prior[0]), int(prior[1]), int(prior[2]))
+                if prior
+                else (0, 0, 0)
+            )
+            vals: list[int] = []
+            for pdf in rows:
+                if len(pdf):
+                    pdf = pdf.sort_values("event_id")
+                    vals.extend(int(v) for v in pdf["v_micro"])
+            n, s, q = fold_moments(n, s, q, vals)
+            self._mom.update((n, s, str(q)))
+            outliers = count_3sigma_outliers(vals, n, s, q)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n": [n],
+                    "s_micro": [s],
+                    "q_micro2": [str(q)],
+                    "mean_micro": [s // n if n else 0],
+                    "batch_outliers": [outliers],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return MomentsProcessor
+
+
+def moments_stream_tws(events: DataFrame) -> DataFrame:
+    """ST20: per-user online moments + 3-sigma census on Spark 4's
+    transformWithStateInPandas (the typed-state successor of
+    applyInPandasWithState used by ST10-ST19).
+
+    State is ONE ValueState tuple (n, sum, sum-of-squares) per user —
+    moments are additive, so the cumulative snapshot is
+    batching/replay-invariant by construction (the pytest replays the
+    same rows as one file and as three and asserts identical finals).
+    Each trigger also reports how many of ITS events sit outside 3
+    sigma of the post-batch distribution, using X75's exact
+    cross-multiplied integer test — no sqrt, no floats; sum-of-squares
+    rides as a decimal string because micro^2 magnitudes outgrow the
+    state schema's int64.
+
+    Requires the RocksDB state store provider (Spark 4 requirement for
+    transformWithState); the caller sets
+    spark.sql.streaming.stateStore.providerClass accordingly.
+    """
+    prepped = events.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("v_micro"),
+    )
+    return prepped.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_moments_processor_cls()(),
+        outputStructType=MOMENTS_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -727,3 +727,31 @@ def test_round5p_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
         assert "ArrowEvalPython" not in plan, name
         got = _n_shuffles(plan)
         assert got <= budget, (name, got, budget)
+
+
+def test_round5q_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
+    """Round-5 batch 17 (X283-X287): no Python nodes, bounded
+    exchanges. q_rake_keywords' final top-k is a TakeOrdered, not a
+    global window; q_qq_table's exchanges are all histogram/offset
+    relations (the X166 operator's zero-FACT-shuffle property is
+    asserted separately); q_fk_integrity pays one bounded count
+    aggregate per FK edge with broadcast dimension parents."""
+    spark.catalog.clearCache()
+    budgets = {
+        "q_rake_keywords": 4,    # ONE (doc,grp) shuffle + word stats +
+                                 # phrase census; broadcast word scores
+        "q_hampel_filter": 2,    # daily agg + bounded list window
+        "q_good_turing": 4,      # type agg + tiny freq-of-freq rollups
+        "q_qq_table": 6,         # histogram + pruned-bucket relations
+        "q_fk_integrity": 16,    # 8 edges x (anti count + 1-row agg)
+    }
+    for name, budget in budgets.items():
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        got = _n_shuffles(plan)
+        assert got <= budget, (name, got, budget)
+    # the RAKE top-k must plan as TakeOrdered, never a global window
+    plan = _plan(registry.get("q_rake_keywords").fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan

@@ -952,3 +952,127 @@ def test_sessionize_stream_closed_sessions(spark, tmp_path):
     ]
     # exactly once: 3 closed sessions, no duplicates, u3 never emits
     assert len(rows) == 3
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_moments_fold_pure():
+    """ST20 core semantics without the streaming runtime: the state
+    fold is additive (batching-invariant by construction) and the
+    integer 3-sigma census flags exactly the planted spike. This runs
+    everywhere; the end-to-end streaming drive below additionally
+    needs the protobuf package transformWithStateInPandas requires."""
+    # n must exceed 11: a single spike among n points can reach at most
+    # (n-1)/sqrt(n) sigma of a variance it dominates (masking), and
+    # (n-1)/sqrt(n) > 3 first holds at n = 12
+    vals = [1_000_000] * 11 + [500_000_000]
+    one = ops.fold_moments(0, 0, 0, vals)
+    split = ops.fold_moments(*ops.fold_moments(0, 0, 0, vals[:4]), vals[4:])
+    assert one == split == (12, 511_000_000, 11 * 1_000_000**2 + 500_000_000**2)
+    n, s, q = one
+    assert ops.count_3sigma_outliers(vals, n, s, q) == 1
+    # zero variance: nothing can sit outside 3 sigma
+    n2, s2, q2 = ops.fold_moments(0, 0, 0, [7, 7, 7])
+    assert ops.count_3sigma_outliers([7, 7, 7], n2, s2, q2) == 0
+    # n < 2: no variance defined, never flags
+    assert ops.count_3sigma_outliers([5], 1, 5, 25) == 0
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas requires the protobuf package "
+    "(absent in this container); the pure fold/census semantics are "
+    "covered by test_moments_fold_pure",
+)
+def test_moments_stream_tws(spark, tmp_path):
+    """ST20: transformWithStateInPandas moments — cross-batch
+    accumulation, batching-invariant snapshots (split vs one-shot),
+    exact integer 3-sigma census, RocksDB state store."""
+    import os
+    import time
+
+    prior_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ts = "2024-01-01 10:00:00"
+        # user 1: eleven 1.0s then one huge spike (n=12 — the first n
+        # where a single spike CAN exceed 3 sigma of a variance it
+        # dominates, (n-1)/sqrt(n) > 3); user 2: constant values
+        rows_all = [
+            *[(i, ts, 1, "click", 1.0) for i in range(1, 12)],
+            (12, ts, 1, "click", 500.0),
+            (13, ts, 2, "view", 7.0),
+            (14, ts, 2, "view", 7.0),
+        ]
+
+        def run(batches, name):
+            d = tmp_path / name
+            d.mkdir()
+            seen = set()
+            for i, rows in enumerate(batches):
+                df = spark.createDataFrame(
+                    rows,
+                    "event_id long, ts string, user_id long,"
+                    " event_type string, value double",
+                ).withColumn("ts", F.to_timestamp("ts"))
+                df.coalesce(1).write.mode("append").parquet(str(d))
+                t = time.time() - 100 + i * 10
+                for f in os.listdir(d):
+                    p = os.path.join(str(d), f)
+                    if f.endswith(".parquet") and p not in seen:
+                        seen.add(p)
+                        os.utime(p, (t, t))
+            stream = (
+                spark.readStream.schema(EVENTS_DDL)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(d))
+            )
+            out = _run(
+                spark, ops.moments_stream_tws(stream), name, mode="update"
+            ).collect()
+            final = {}
+            for r in out:
+                if final.get(r["user_id"], (0,))[0] <= r["n"]:
+                    final[r["user_id"]] = (
+                        r["n"], r["s_micro"], r["q_micro2"], r["mean_micro"]
+                    )
+            return out, final
+
+        out3, final3 = run(
+            [rows_all[:4], rows_all[4:12], rows_all[12:]], "tws_split"
+        )
+        _, final1 = run([rows_all], "tws_oneshot")
+        # batching-invariant cumulative moments
+        assert final3 == final1
+        assert final3[1] == (12, 511_000_000, str(
+            11 * 1_000_000**2 + 500_000_000**2
+        ), 42_583_333)
+        assert final3[2][0] == 2 and final3[2][3] == 7_000_000
+        # the spike trigger flags exactly one outlier for user 1
+        spike_rows = [
+            r for r in out3 if r["user_id"] == 1 and r["n"] == 12
+        ]
+        assert spike_rows and spike_rows[0]["batch_outliers"] == 1
+        # zero-variance user never flags
+        assert all(
+            r["batch_outliers"] == 0 for r in out3 if r["user_id"] == 2
+        )
+    finally:
+        if prior_provider is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prior_provider
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
