@@ -59,3 +59,36 @@ def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     if getattr(spark, _MARKER, None) != sf_dir:
         register_views(spark, sf_dir)
     return spark.sql(sql)
+
+
+def run_script(spark: SparkSession, sf_dir: str, script: str) -> DataFrame:
+    """X288: SQL scripting entry point (Spark 4 procedural SQL).
+
+    Runs a BEGIN ... END block — DECLARE variables, SET, IF/CASE,
+    WHILE/REPEAT/FOR loops, ITERATE/LEAVE — against the registered
+    star-schema views, returning the script's result relation. This is
+    the stored-procedure-shaped surface a warehouse migration expects
+    for maintenance jobs (batched backfills, convergence loops,
+    conditional compaction) without a driver-language round trip per
+    statement: the whole script plans and executes inside Spark's SQL
+    engine, and loop bodies can reference any registered view.
+
+    Scripting is gated behind spark.sql.scripting.enabled; enabling it
+    per-call keeps vanilla sessions untouched elsewhere. The scripting
+    runtime executes statements sequentially on the driver — each
+    statement's PLAN is still fully distributed, so a WHILE loop over
+    chunked work keys issues one distributed job per iteration (the
+    TRACEJobGenerator.java:52-93 batching pattern, expressed in SQL
+    instead of Java driver code).
+    """
+    if getattr(spark, _MARKER, None) != sf_dir:
+        register_views(spark, sf_dir)
+    prior = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(script)
+    finally:
+        if prior is not None:
+            spark.conf.set("spark.sql.scripting.enabled", prior)
+        else:
+            spark.conf.unset("spark.sql.scripting.enabled")
