@@ -425,3 +425,73 @@ def test_xml_read_write_roundtrip(spark, tmp_path):
         ("orphan", 1),
         ("widget", 3),
     ]
+
+
+def test_genetics_qc_operators(spark, fx):
+    """Genetics QC trio (Ts/Tv, het/hom, call rate) over the melted VCF
+    relation, cross-checked against a direct Python parse of the same
+    gzip fixture."""
+    import gzip
+
+    from laser_hadoop_spark.operators import genetics
+    from laser_hadoop_spark.sources import readers
+
+    vcf = readers.read_vcf(spark, fx["vcf"], melt=True)
+
+    # Python truth from the raw file
+    ts_pairs = {("A", "G"), ("G", "A"), ("C", "T"), ("T", "C")}
+    bases = {"A", "C", "G", "T"}
+    n_ts = n_tv = 0
+    het = {}
+    homalt = {}
+    miss = {}
+    per_variant_called = {}
+    samples = []
+    with gzip.open(fx["vcf"], "rt") as f:
+        for line in f:
+            if line.startswith("##"):
+                continue
+            parts = line.rstrip("\n").split("\t")
+            if line.startswith("#CHROM"):
+                samples = parts[9:]
+                continue
+            ref, alt = parts[3], parts[4]
+            if ref in bases and alt in bases and ref != alt:
+                if (ref, alt) in ts_pairs:
+                    n_ts += 1
+                else:
+                    n_tv += 1
+            key = (parts[0], int(parts[1]))
+            called = 0
+            for s, g in zip(samples, parts[9:]):
+                g = g.replace("|", "/")
+                if "." in g:
+                    miss[s] = miss.get(s, 0) + 1
+                else:
+                    called += 1
+                    if g in ("0/1", "1/0"):
+                        het[s] = het.get(s, 0) + 1
+                    elif g == "1/1":
+                        homalt[s] = homalt.get(s, 0) + 1
+            per_variant_called[key] = (called, len(samples))
+
+    r = genetics.tstv_census(vcf).collect()[0]
+    assert (r["n_ts"], r["n_tv"]) == (n_ts, n_tv)
+    assert r["n_snps"] == n_ts + n_tv
+    assert r["tstv_milli"] == 1000 * n_ts // n_tv
+
+    hh = {row["sample_id"]: row for row in genetics.het_hom_census(vcf).collect()}
+    assert len(hh) == len(samples)
+    for s in samples:
+        assert hh[s]["n_het"] == het.get(s, 0), s
+        assert hh[s]["n_hom_alt"] == homalt.get(s, 0), s
+        assert hh[s]["n_missing"] == miss.get(s, 0), s
+        if homalt.get(s, 0):
+            assert hh[s]["het_hom_milli"] == 1000 * het.get(s, 0) // homalt[s]
+
+    cr = {(row["chr"], row["pos"]): row for row in genetics.call_rate(vcf).collect()}
+    assert len(cr) == len(per_variant_called)
+    for key, (called, total) in per_variant_called.items():
+        row = cr[key]
+        assert (row["n_called"], row["n_samples"]) == (called, total)
+        assert row["passes"] == (10000 * called // total >= 9000)
