@@ -55,6 +55,7 @@ def load_all() -> None:
         round5o,
         round5p,
         round5q,
+        round5r,
         scalars,
         scans,
         setops,
