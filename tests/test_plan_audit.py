@@ -755,3 +755,30 @@ def test_round5q_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
     plan = _plan(registry.get("q_rake_keywords").fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_round5r_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
+    """Round-5 batch 18 (X290-X294): no Python nodes, bounded
+    exchanges. Kendall's pair join broadcasts the calendar-bounded
+    daily series; McNemar's full outer join co-partitions on the
+    distinct-key shuffles it already paid; log-rank lives on the
+    per-duration relation after one user aggregate; NDCG's two
+    rankings share the per-source exchange; dup-spans shuffles 8-byte
+    gram hashes and windows only over hit positions."""
+    spark.catalog.clearCache()
+    budgets = {
+        "q_kendall_tau": 4,   # daily agg x2 (probe+broadcast) + census
+        "q_mcnemar": 5,       # 2 distincts + outer join + 1-row cells
+        "q_logrank": 6,       # user agg + tiny per-duration relations
+        "q_ndcg": 4,          # shared per-source window + final sort
+        "q_dup_spans": 8,     # gram census + per-doc span windows
+    }
+    for name, budget in budgets.items():
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        got = _n_shuffles(plan)
+        assert got <= budget, (name, got, budget)
+    # the span census top-k must plan as TakeOrdered, never a global sort
+    plan = _plan(registry.get("q_dup_spans").fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
