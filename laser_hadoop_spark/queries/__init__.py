@@ -56,6 +56,7 @@ def load_all() -> None:
         round5p,
         round5q,
         round5r,
+        round5s,
         scalars,
         scans,
         setops,

@@ -782,3 +782,29 @@ def test_round5r_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
     # the span census top-k must plan as TakeOrdered, never a global sort
     plan = _plan(registry.get("q_dup_spans").fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_round5s_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
+    """Round-5 batch 19 (X295-X299): no Python nodes, bounded
+    exchanges. Isotonic's fact-scale work is the two-pass ntile (its
+    PAV triples are broadcast 10-row relations); l-diversity is one
+    distinct-aggregate; DP counts are a broadcast-dim group count;
+    silhouette broadcasts the K*dims centroid relation; ECOD's
+    censuses are two-pass cumulatives over distinct-value relations."""
+    spark.catalog.clearCache()
+    budgets = {
+        "q_isotonic_fit": 6,      # checkpointed 10-row bins + PAV tinies
+        "q_l_diversity": 3,       # QI distinct-agg (+ partial distinct)
+        "q_dp_noisy_counts": 2,   # group count + 25-row sort
+        "q_silhouette": 5,        # cells agg + per-point agg + label agg
+        "q_ecod_outliers": 7,     # cust agg + 2 value censuses (2-pass)
+    }
+    for name, budget in budgets.items():
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        got = _n_shuffles(plan)
+        assert got <= budget, (name, got, budget)
+    # ECOD's top-k must plan as TakeOrdered, never a global sort
+    plan = _plan(registry.get("q_ecod_outliers").fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
