@@ -57,6 +57,7 @@ def load_all() -> None:
         round5q,
         round5r,
         round5s,
+        round5t,
         scalars,
         scans,
         setops,

@@ -808,3 +808,34 @@ def test_round5s_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
     # ECOD's top-k must plan as TakeOrdered, never a global sort
     plan = _plan(registry.get("q_ecod_outliers").fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_round5t_queries_shuffle_bounded(spark, sf_dir):
+    """Round-5 batch 20 (X300-X304): bounded exchanges; Python only in
+    the two DECLARED string-distance Arrow kernels (X302/X303 exist
+    precisely because Spark lacks jaro/damerau natively). LTTB and the
+    matrix profile checkpoint their calendar-bounded series once;
+    the triangle census joins ordered edges with the edge relation
+    checkpointed."""
+    spark.catalog.clearCache()
+    budgets = {
+        "q_lttb_downsample": 6,     # checkpointed series + 60-row stats
+        "q_matrix_profile": 7,      # diagonal window + broadcast stats
+        "q_jaro_pairs": 3,          # brand-blocked pair join + sort
+        "q_damerau_pairs": 3,
+        "q_triangle_support": 8,    # edge distinct + 3-way join + census
+    }
+    for name, budget in budgets.items():
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        got = _n_shuffles(plan)
+        assert got <= budget, (name, got, budget)
+        if name in ("q_lttb_downsample", "q_matrix_profile", "q_triangle_support"):
+            assert "BatchEvalPython" not in plan, name
+            assert "ArrowEvalPython" not in plan, name
+        else:
+            # the kernel must be Arrow-batched, never row-at-a-time
+            assert "ArrowEvalPython" in plan, name
+            assert "BatchEvalPython" not in plan, name
+    # discords top-k plans as TakeOrdered, never a global sort
+    plan = _plan(registry.get("q_matrix_profile").fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
