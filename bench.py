@@ -81,6 +81,12 @@ HEADLINE = [
     # full near-dup curation path in one plan)
     "q_bootstrap_ci",
     "q_dedup_survivors",
+    # round 5 late batches: the cross-doc duplicated-span census (the
+    # suffix-array-dedup proxy — char-gram hash census + per-doc span
+    # windows, text never shuffled) and the brand-blocked Jaro kernel
+    # (the Arrow-batched Python cost class, bounded by the blocking)
+    "q_dup_spans",
+    "q_jaro_pairs",
 ]
 
 
