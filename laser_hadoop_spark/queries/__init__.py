@@ -58,6 +58,7 @@ def load_all() -> None:
         round5r,
         round5s,
         round5t,
+        round5u,
         scalars,
         scans,
         setops,

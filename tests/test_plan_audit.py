@@ -839,3 +839,28 @@ def test_round5t_queries_shuffle_bounded(spark, sf_dir):
     # discords top-k plans as TakeOrdered, never a global sort
     plan = _plan(registry.get("q_matrix_profile").fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_round5u_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
+    """Round-5 batch 21 (X305-X309): no Python nodes, bounded
+    exchanges. Cronbach is two partial aggregates; Kendall's W ranks
+    a 25-row relation; geohash is one scan-local projection + census;
+    MH is a broadcast-dim join + |years| stratum census; Jonckheere
+    is one value census + the two-pass cumulative."""
+    spark.catalog.clearCache()
+    budgets = {
+        "q_cronbach_alpha": 4,    # item agg + respondent agg + 1-rows
+        "q_kendalls_w": 5,        # fact agg + 25-row rank windows
+        "q_geohash_census": 1,    # scan-local encode + cell census
+        "q_mantel_haenszel": 3,   # fact join agg + stratum census
+        "q_jonckheere": 6,        # value census + 2-pass cumulative
+    }
+    for name, budget in budgets.items():
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        got = _n_shuffles(plan)
+        assert got <= budget, (name, got, budget)
+    # geohash census top-50 plans as TakeOrdered
+    plan = _plan(registry.get("q_geohash_census").fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
