@@ -59,6 +59,7 @@ def load_all() -> None:
         round5s,
         round5t,
         round5u,
+        round5v,
         scalars,
         scans,
         setops,

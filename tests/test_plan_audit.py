@@ -864,3 +864,32 @@ def test_round5u_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
     # geohash census top-50 plans as TakeOrdered
     plan = _plan(registry.get("q_geohash_census").fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_round5v_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
+    """Round-5 batch 22 (X310-X314): no Python nodes, bounded
+    exchanges. Contamination broadcasts the eval side (train side
+    scan-local until the hit aggregate); the mixture and packing
+    audits are source/ctx-bounded relations after one fact pass;
+    continuations shuffle (w1,w2,w3) hashes; the sketch audit is a
+    stride equi-join + one pair aggregate."""
+    spark.catalog.clearCache()
+    budgets = {
+        "q_embedding_contamination": 2,  # hit agg (+ tiny sort)
+        "q_temperature_mixture": 2,      # source census + sort
+        "q_pack_boundaries": 5,          # 2-pass cumulative + 4-row agg
+        "q_ngram_continuations": 3,      # trigram census + prefix window
+        "q_sign_sketch_fidelity": 3,     # stride join + 1-row agg
+    }
+    for name, budget in budgets.items():
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        got = _n_shuffles(plan)
+        assert got <= budget, (name, got, budget)
+    # the eval side must broadcast — contamination's scale contract
+    plan = _plan(registry.get("q_embedding_contamination").fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # continuations top-100 plans as TakeOrdered
+    plan = _plan(registry.get("q_ngram_continuations").fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
