@@ -60,6 +60,7 @@ def load_all() -> None:
         round5t,
         round5u,
         round5v,
+        round5w,
         scalars,
         scans,
         setops,

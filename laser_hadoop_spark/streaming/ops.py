@@ -1293,3 +1293,96 @@ def moments_stream_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# --- ST21: streaming log2-histogram quantiles --------------------------------
+
+L2Q_BUCKETS = 64
+L2Q_OUT_SCHEMA = "grp string, pct int, bucket int, est_lo long, est_hi long, n_total long"
+L2Q_STATE_SCHEMA = "counts array<long>, n_total long"
+
+
+def _l2q_bucket(v: int) -> int:
+    """X167's powers-of-2 bucket: 0 for v <= 0, else floor(log2 v)+1
+    capped at 63 — byte-identical arithmetic to the batch histogram so
+    the streaming sketch shares its oracle-audited bucketing."""
+    if v <= 0:
+        return 0
+    return min(L2Q_BUCKETS - 1, v.bit_length())
+
+
+def _mk_l2q_fn(pcts: list[int]):
+    def l2q_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if state.exists:
+            counts = np.array(state.get[0], dtype="int64")
+            n_total = state.get[1]
+        else:
+            counts = np.zeros(L2Q_BUCKETS, dtype="int64")
+            n_total = 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            vs = pdf["v"].to_numpy(dtype="int64")
+            n_total += len(vs)
+            bks = np.array([_l2q_bucket(int(v)) for v in vs], dtype="int64")
+            np.add.at(counts, bks, 1)
+        state.update((counts.tolist(), int(n_total)))
+        cum = np.cumsum(counts)
+        out = {"grp": [], "pct": [], "bucket": [], "est_lo": [], "est_hi": [], "n_total": []}
+        for pct in pcts:
+            k = (n_total * pct + 99) // 100  # ceil rank
+            b = int(np.searchsorted(cum, max(k, 1)))
+            out["grp"].append(key[0])
+            out["pct"].append(pct)
+            out["bucket"].append(b)
+            out["est_lo"].append(0 if b == 0 else 1 << (b - 1))
+            out["est_hi"].append(0 if b == 0 else (1 << b) - 1)
+            out["n_total"].append(int(n_total))
+        yield pd.DataFrame(out)
+
+    return l2q_fn
+
+
+def log2_quantile_stream(
+    events: DataFrame,
+    *,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    pcts: list[int] | None = None,
+) -> DataFrame:
+    """ST21: streaming quantile estimates from an additive log2
+    histogram — X167's batch histogram kept online.
+
+    Per group, GroupState holds 64 bucket counters (CONSTANT in both
+    stream length and value cardinality). Counter increments are
+    additive, so the state is batching/replay-invariant by
+    construction — any partition of the same events into triggers
+    yields the same histogram (the pytest replays one-file vs
+    three-file and asserts identical finals). Each trigger emits, per
+    requested percentile, the bucket where the ceil-rank cumulative
+    crosses plus the bucket's [2^(b-1), 2^b) value bracket — a
+    DETERMINISTIC 2x-bracket guarantee (the exact quantile provably
+    lies inside), which is the honest contract a constant-space
+    quantile sketch can make. The fifth streaming sketch family next
+    to ST10 (decay), ST11/ST14 (Misra-Gries), ST15 (KMV), ST17 (CMS).
+
+    Values quantize to cents like every money path (X167's bucketing,
+    byte-identical, so the batch oracle audits this arithmetic).
+    """
+    if pcts is None:
+        pcts = [50, 90, 99]
+    keyed = events.select(
+        F.col(group_col).alias("grp"),
+        F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    return keyed.groupBy("grp").applyInPandasWithState(
+        _mk_l2q_fn(pcts),
+        outputStructType=L2Q_OUT_SCHEMA,
+        stateStructType=L2Q_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

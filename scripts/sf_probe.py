@@ -100,6 +100,18 @@ PROBE_QUERIES = [
     "q_backlog_aging",
     "q_page_hinkley",
     "q_trending_parts",
+    # round-5 batches 18-22 (fact/document-scaling inputs only): the
+    # duplicated-span census against the 10-copy corpus (every gram
+    # becomes a cross-doc duplicate — the absolute worst case for the
+    # dup-gram filter), the trigram continuation census and packing
+    # audit over 10x documents, the Jonckheere value census + two-pass
+    # cumulative over 10x orders, and the ECOD per-value censuses over
+    # the 10x-orders customer grain
+    "q_dup_spans",
+    "q_ngram_continuations",
+    "q_pack_boundaries",
+    "q_jonckheere",
+    "q_ecod_outliers",
 ]
 AS_IS = ["region", "nation", "customer", "supplier", "part", "events", "embeddings"]
 

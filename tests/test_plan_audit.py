@@ -893,3 +893,28 @@ def test_round5v_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
     # continuations top-100 plans as TakeOrdered
     plan = _plan(registry.get("q_ngram_continuations").fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_round5w_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
+    """Round-5 batch 23 (X315-X319): no Python nodes, bounded
+    exchanges. STL and the control chart work on the checkpointed
+    calendar-bounded daily series; fixed effects and CEM are
+    customer-grain + |groups| aggregates; Weibull's rank is the
+    two-pass cumulative."""
+    spark.catalog.clearCache()
+    budgets = {
+        "q_stl_decompose": 5,     # daily agg + bounded-series windows
+        "q_fixed_effects": 4,     # cust agg + nation agg + 1-row
+        "q_cem_ate": 5,           # checkpointed cust grain + strata
+        "q_weibull_fit": 7,       # custkey lag + 2-pass rank + agg
+        "q_control_chart": 6,     # checkpointed series + rule windows
+    }
+    for name, budget in budgets.items():
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        got = _n_shuffles(plan)
+        assert got <= budget, (name, got, budget)
+    # STL's anomaly top-k plans as TakeOrdered
+    plan = _plan(registry.get("q_stl_decompose").fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan

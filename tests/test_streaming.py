@@ -1076,3 +1076,76 @@ def test_moments_stream_tws(spark, tmp_path):
             )
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_log2_quantile_stream(spark, tmp_path):
+    """ST21: streaming log2-histogram quantiles — cross-batch additive
+    state, the 2x bracket guarantee against exact quantiles, and
+    batching invariance (one file vs three files, identical finals)."""
+    d = tmp_path / "l2q_in"
+    d.mkdir()
+    ddl = "event_id long, ts string, user_id long, event_type string, value double"
+    ts = "2024-01-01 10:00:00"
+
+    def write(rows):
+        df = spark.createDataFrame(rows, ddl)
+        df.withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d))
+
+    # deterministic skewed values: cents = (7i mod 997)^2 / 100
+    vals = [((7 * i) % 997) ** 2 for i in range(300)]
+    write([(i, ts, i, "buy", vals[i] / 100.0) for i in range(0, 100)])
+    write([(i, ts, i, "buy", vals[i] / 100.0) for i in range(100, 200)])
+    write([(i, ts, i, "buy", vals[i] / 100.0) for i in range(200, 300)])
+
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(str(d))
+    out = ops.log2_quantile_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("l2q_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {}
+    for r in spark.sql("select * from l2q_stream").collect():
+        final[(r["grp"], r["pct"])] = r
+    svals = sorted(vals)
+    assert final[("buy", 50)]["n_total"] == 300
+    for pct in (50, 90, 99):
+        r = final[("buy", pct)]
+        exact = svals[(300 * pct + 99) // 100 - 1]  # ceil-rank order stat
+        assert r["est_lo"] <= exact <= r["est_hi"], (pct, exact, dict(r.asDict()))
+        # the bracket is one power-of-2 bucket wide
+        assert r["est_hi"] <= 2 * max(r["est_lo"], 1)
+
+    # batching invariance: same events in ONE file -> identical outputs
+    d2 = tmp_path / "l2q_one"
+    d2.mkdir()
+    df = spark.createDataFrame(
+        [(i, ts, i, "buy", vals[i] / 100.0) for i in range(300)], ddl
+    )
+    df.withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.parquet(
+        str(d2), mode="append"
+    )
+    stream2 = spark.readStream.schema(EVENTS_DDL).parquet(str(d2))
+    q2 = (
+        ops.log2_quantile_stream(stream2)
+        .writeStream.format("memory")
+        .queryName("l2q_one")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    one = {
+        (r["grp"], r["pct"]): (r["bucket"], r["est_lo"], r["est_hi"], r["n_total"])
+        for r in spark.sql("select * from l2q_one").collect()
+    }
+    for pct in (50, 90, 99):
+        r = final[("buy", pct)]
+        assert one[("buy", pct)] == (
+            r["bucket"], r["est_lo"], r["est_hi"], r["n_total"]
+        ), pct
