@@ -61,6 +61,7 @@ def load_all() -> None:
         round5u,
         round5v,
         round5w,
+        round5x,
         scalars,
         scans,
         setops,

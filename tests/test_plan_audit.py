@@ -918,3 +918,24 @@ def test_round5w_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
     # STL's anomaly top-k plans as TakeOrdered
     plan = _plan(registry.get("q_stl_decompose").fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_round5x_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
+    """Round-5 batch 24 (X320-X324): no Python nodes, bounded
+    exchanges. IPF's rounds run on the checkpointed 125-cell
+    relation; Cochran/Friedman are two partial aggregates with no
+    joins; Wasserstein and AD ride the two-pass cumulative."""
+    spark.catalog.clearCache()
+    budgets = {
+        "q_ipf_raking": 10,        # checkpointed cells + 4 tiny fits
+        "q_cochran_q": 2,          # customer agg + 1-row moments
+        "q_friedman": 2,
+        "q_wasserstein_1d": 7,     # census + 2-pass cum + rank join
+        "q_anderson_darling": 6,   # 2-pass rank + 1-row aggregate
+    }
+    for name, budget in budgets.items():
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        got = _n_shuffles(plan)
+        assert got <= budget, (name, got, budget)
