@@ -495,3 +495,129 @@ def test_genetics_qc_operators(spark, fx):
         row = cr[key]
         assert (row["n_called"], row["n_samples"]) == (called, total)
         assert row["passes"] == (10000 * called // total >= 9000)
+
+
+def test_genetics_population_stats(spark, fx):
+    """X325-X328: HWE chi-square, LD r^2, MAF spectrum, IBS kinship —
+    all cross-checked against a direct Python parse of the gzip VCF."""
+    import gzip
+    import math
+
+    from laser_hadoop_spark.operators import genetics
+    from laser_hadoop_spark.sources import readers
+
+    vcf = readers.read_vcf(spark, fx["vcf"], melt=True)
+
+    # ---- Python truth ----------------------------------------------------
+    dosage = {"0/0": 0, "0/1": 1, "1/0": 1, "1/1": 2}
+    variants = {}  # (chr,pos) -> {sample: dosage or None}
+    samples = []
+    with gzip.open(fx["vcf"], "rt") as f:
+        for line in f:
+            if line.startswith("##"):
+                continue
+            parts = line.rstrip("\n").split("\t")
+            if line.startswith("#CHROM"):
+                samples = parts[9:]
+                continue
+            key = (parts[0], int(parts[1]))
+            gts = {}
+            for s, g in zip(samples, parts[9:]):
+                g = g.replace("|", "/")
+                gts[s] = dosage.get(g)
+            variants[key] = gts
+
+    # HWE truth per testable variant
+    got_hwe = {
+        (r["chr"], r["pos"]): r for r in genetics.hardy_weinberg(vcf).collect()
+    }
+    n_checked = 0
+    for key, gts in variants.items():
+        ds = [g for g in gts.values() if g is not None]
+        naa = sum(1 for g in ds if g == 0)
+        nhet = sum(1 for g in ds if g == 1)
+        nbb = sum(1 for g in ds if g == 2)
+        na_, nb_ = 2 * naa + nhet, 2 * nbb + nhet
+        n = naa + nhet + nbb
+        if na_ == 0 or nb_ == 0:
+            assert key not in got_hwe
+            continue
+        e_aa, e_ab, e_bb = (
+            na_ * na_ / (4.0 * n),
+            na_ * nb_ / (2.0 * n),
+            nb_ * nb_ / (4.0 * n),
+        )
+        chi2_micro = (
+            round(1e6 * (naa - e_aa) ** 2 / e_aa)
+            + round(1e6 * (nhet - e_ab) ** 2 / e_ab)
+            + round(1e6 * (nbb - e_bb) ** 2 / e_bb)
+        )
+        r = got_hwe[key]
+        assert (r["n_hom_ref"], r["n_het"], r["n_hom_alt"]) == (naa, nhet, nbb)
+        assert r["maf_bp"] == 10000 * min(na_, nb_) // (2 * n), key
+        assert r["hwe_chi2_micro"] == chi2_micro, key
+        n_checked += 1
+    assert n_checked > 50  # the fixture is mostly polymorphic
+
+    # LD truth for a handful of adjacent pairs
+    got_ld = {
+        (r["chr"], r["pos_a"], r["pos_b"]): r
+        for r in genetics.ld_r2(vcf, max_dist=50).collect()
+    }
+    assert got_ld, "no pairs within the LD window"
+    n_ld = 0
+    keys = sorted(variants)
+    for (c1, p1), (c2, p2) in zip(keys, keys[1:]):
+        if c1 != c2 or not (0 < p2 - p1 <= 50):
+            continue
+        xs, ys = [], []
+        for s in samples:
+            g1, g2 = variants[(c1, p1)][s], variants[(c2, p2)][s]
+            if g1 is not None and g2 is not None:
+                xs.append(g1)
+                ys.append(g2)
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx, syy = sum(a * a for a in xs), sum(b * b for b in ys)
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        if vx <= 0 or vy <= 0:
+            assert (c1, p1, p2) not in got_ld
+            continue
+        cov = n * sxy - sx * sy
+        r = got_ld[(c1, p1, p2)]
+        assert r["n_pairs"] == n
+        assert r["r2_bp"] == round(10000.0 * cov * cov / (float(vx) * vy))
+        n_ld += 1
+    assert n_ld > 0
+
+    # MAF spectrum totals match the per-variant census
+    spec = {r["maf_bin"]: r["n_variants"] for r in genetics.maf_spectrum(vcf).collect()}
+    bins = {}
+    for gts in variants.values():
+        ds = [g for g in gts.values() if g is not None]
+        na_ = sum(2 - g for g in ds)
+        nb_ = sum(g for g in ds)
+        if na_ + nb_ == 0:
+            continue
+        maf_bp = 10000 * min(na_, nb_) // (na_ + nb_)
+        bins[min(maf_bp // 500, 9)] = bins.get(min(maf_bp // 500, 9), 0) + 1
+    assert spec == bins
+
+    # IBS for three specific pairs
+    got_ibs = {
+        (r["s1"], r["s2"]): r for r in genetics.ibs_kinship(vcf).collect()
+    }
+    assert len(got_ibs) == len(samples) * (len(samples) - 1) // 2
+    import itertools
+
+    for s1, s2 in list(itertools.combinations(sorted(samples), 2))[:3]:
+        tot = cnt = 0
+        for gts in variants.values():
+            g1, g2 = gts[s1], gts[s2]
+            if g1 is not None and g2 is not None:
+                tot += 2 - abs(g1 - g2)
+                cnt += 1
+        r = got_ibs[(s1, s2)]
+        assert r["n_shared"] == cnt
+        assert r["ibs_bp"] == 10000 * tot // (2 * cnt)
