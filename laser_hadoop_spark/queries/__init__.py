@@ -62,6 +62,7 @@ def load_all() -> None:
         round5v,
         round5w,
         round5x,
+        round5y,
         scalars,
         scans,
         setops,

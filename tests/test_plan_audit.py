@@ -939,3 +939,25 @@ def test_round5x_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
         assert "ArrowEvalPython" not in plan, name
         got = _n_shuffles(plan)
         assert got <= budget, (name, got, budget)
+
+
+def test_round5y_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
+    """Round-5 batch 25 (X329-X333): no Python nodes, bounded
+    exchanges. Shapley's coalition join is |masks| x |channels|
+    (broadcast); L-moments ride the two-pass cumulative; Chao1 and
+    the hash audit are census + 1-row/|sources|-row aggregates; FIFO
+    is two keyed shuffles on l_partkey."""
+    spark.catalog.clearCache()
+    budgets = {
+        "q_shapley_attribution": 8,  # touch distinct + mask aggs
+        "q_l_moments": 7,            # 2-pass rank + 1-row sums
+        "q_chao1_richness": 4,       # tok combine + source agg
+        "q_fifo_cogs": 6,            # part window + totals join
+        "q_hash_collision_audit": 3, # bucket combine + 1-row agg
+    }
+    for name, budget in budgets.items():
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        got = _n_shuffles(plan)
+        assert got <= budget, (name, got, budget)
