@@ -63,6 +63,7 @@ def load_all() -> None:
         round5w,
         round5x,
         round5y,
+        round5z,
         scalars,
         scans,
         setops,

@@ -961,3 +961,25 @@ def test_round5y_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
         assert "ArrowEvalPython" not in plan, name
         got = _n_shuffles(plan)
         assert got <= budget, (name, got, budget)
+
+
+def test_round5z_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
+    """Round-5 batch 26 (X334-X338): no Python nodes, bounded
+    exchanges. Alpha/ZIP are user-grain aggregates; RMST lives on the
+    <=|durations| relation after one user aggregate; AP rides the
+    two-pass cumulative; mutual-NN broadcasts one side of the pair
+    join and keeps top-1 as a keyed window."""
+    spark.catalog.clearCache()
+    budgets = {
+        "q_krippendorff_alpha": 7,   # mode rank + unit/marginal aggs
+        "q_rmst": 6,                 # user agg + tiny-relation windows
+        "q_average_precision": 6,    # 2-pass rank + 1-row agg
+        "q_zip_fit": 2,              # user agg + 1-row moments
+        "q_mutual_nn": 6,            # top-1 window + mutual self-join
+    }
+    for name, budget in budgets.items():
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        got = _n_shuffles(plan)
+        assert got <= budget, (name, got, budget)
