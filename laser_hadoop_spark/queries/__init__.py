@@ -61,6 +61,7 @@ def load_all() -> None:
         round5u,
         round5v,
         round5w,
+        round5aa,
         round5x,
         round5y,
         round5z,

@@ -983,3 +983,25 @@ def test_round5z_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
         assert "ArrowEvalPython" not in plan, name
         got = _n_shuffles(plan)
         assert got <= budget, (name, got, budget)
+
+
+def test_round5aa_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
+    """Round-5 batch 27 (X339-X343): no Python nodes, bounded
+    exchanges. BT's MM rounds live on the checkpointed |brands|^2
+    relation; Huber/Weiszfeld re-scan the checkpointed point set per
+    round with a broadcast center (no point-set shuffle); Gumbel and
+    ESS are pure partial-aggregate chains."""
+    spark.catalog.clearCache()
+    budgets = {
+        "q_bradley_terry": 8,      # census + 2 MM rounds on tiny sym
+        "q_gumbel_fit": 4,         # daily + weekly + 1-row moments
+        "q_huber_location": 6,     # 3 scans, 1-row centers broadcast
+        "q_geometric_median": 4,   # centroid + 3 broadcast rounds
+        "q_ess_weights": 4,        # source census + 3-row clip grid
+    }
+    for name, budget in budgets.items():
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        got = _n_shuffles(plan)
+        assert got <= budget, (name, got, budget)
