@@ -62,6 +62,7 @@ def load_all() -> None:
         round5v,
         round5w,
         round5aa,
+        round5ab,
         round5x,
         round5y,
         round5z,

@@ -1005,3 +1005,25 @@ def test_round5aa_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
         assert "ArrowEvalPython" not in plan, name
         got = _n_shuffles(plan)
         assert got <= budget, (name, got, budget)
+
+
+def test_round5ab_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
+    """Round-5 batch 28 (X344-X348): no Python nodes, bounded
+    exchanges. Stitch is one shingle equi-join; canopy broadcasts the
+    ~sqrt(n) centers; the RLE advisor and volatility ride the
+    rank+equi-join lead; the correlation matrix is one scan's
+    14-moment aggregate."""
+    spark.catalog.clearCache()
+    budgets = {
+        "q_doc_stitch": 3,       # shingle equi-join + sort
+        "q_canopy_census": 6,    # broadcast assign + censuses
+        "q_rle_advisor": 8,      # 2-pass rank + lead join + distinct
+        "q_volatility": 8,       # daily agg + lead join + weekly agg
+        "q_corr_matrix": 2,      # one scan, 1-row moments, explode
+    }
+    for name, budget in budgets.items():
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        got = _n_shuffles(plan)
+        assert got <= budget, (name, got, budget)
