@@ -1386,3 +1386,96 @@ def log2_quantile_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- ST22: streaming Page-Hinkley drift detector -----------------------------
+
+PH_OUT_SCHEMA = (
+    "user_id long, n_seen long, ph_gap_centi long, max_gap_centi long, "
+    "alarmed boolean"
+)
+PH_STATE_SCHEMA = "n long, s long, m long, mmin long, maxgap long"
+
+
+def fold_page_hinkley(
+    state: tuple[int, int, int, int, int] | None,
+    values: "list[int]",
+    delta: int,
+) -> tuple[int, int, int, int, int]:
+    """Pure Page-Hinkley fold, BIGINT-exact — the streaming twin of
+    the batch q_page_hinkley (X268), value-identical arithmetic:
+    running mean as truncating DIV over nonnegative sums, deviation
+    dv = v - s//n - delta, cumulative m, running min, and the max gap
+    the detector would alarm on. Additive per event in arrival order;
+    unit-tested for cross-batch state carry.
+    """
+    n, s, m, mmin, maxgap = state if state is not None else (0, 0, 0, 0, 0)
+    for v in values:
+        n += 1
+        s += v
+        m += v - s // n - delta
+        if n == 1 or m < mmin:
+            mmin = m
+        if m - mmin > maxgap:
+            maxgap = m - mmin
+    return n, s, m, mmin, maxgap
+
+
+def _mk_ph_fn(delta: int, lam: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        st = state.get if state.exists else None
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["t_us", "event_id"])
+            st = fold_page_hinkley(
+                st, [int(v) for v in pdf["v_centi"]], delta
+            )
+        if st is None:
+            st = (0, 0, 0, 0, 0)
+        state.update(st)
+        n, s, m, mmin, maxgap = st
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_seen": [n],
+                "ph_gap_centi": [m - mmin],
+                "max_gap_centi": [maxgap],
+                "alarmed": [maxgap > lam],
+            }
+        )
+
+    return fn
+
+
+def page_hinkley_stream(
+    events: DataFrame, delta_centi: int = 5_000, lambda_centi: int = 100_000
+) -> DataFrame:
+    """ST22: per-key streaming Page-Hinkley mean-shift detector via
+    applyInPandasWithState — X268's sequential drift test actually
+    run SEQUENTIALLY, per user, as the online monitor it was designed
+    to be (the batch query replays the whole trace; this one carries
+    (n, sum, m, min m, max gap) — five bigints of O(keys) state — and
+    alarms the trigger the cumulative deviation climbs lambda above
+    its own running minimum).
+
+    Rows fold in (event-time, event_id) order within each trigger,
+    and the fold is the SAME truncating-DIV integer arithmetic as the
+    batch oracle, so a replayed stream reproduces the batch trace
+    bit-for-bit. Emits the current and max gap plus the alarm flag in
+    update mode — the drift page a model monitor tails.
+    """
+    prepped = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v_centi"),
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _mk_ph_fn(delta_centi, lambda_centi),
+        outputStructType=PH_OUT_SCHEMA,
+        stateStructType=PH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1149,3 +1149,77 @@ def test_log2_quantile_stream(spark, tmp_path):
         assert one[("buy", pct)] == (
             r["bucket"], r["est_lo"], r["est_hi"], r["n_total"]
         ), pct
+
+
+def test_page_hinkley_fold_pure():
+    """ST22 core semantics: batching-invariant fold, alarm on a mean
+    shift, silence on a stationary series — independent of the
+    streaming runtime."""
+    from laser_hadoop_spark.streaming.ops import fold_page_hinkley
+
+    # stationary: constant values never build a gap beyond delta slack
+    st = fold_page_hinkley(None, [100] * 50, 0)
+    assert st[4] == 0  # maxgap: v - mean == 0 throughout
+    # mean shift: low regime then high regime builds a positive gap
+    vals = [100] * 30 + [500] * 30
+    full = fold_page_hinkley(None, vals, 10)
+    assert full[4] > 0
+    # batching invariance: any split folds to the same state
+    for cut in (1, 7, 30, 45):
+        a = fold_page_hinkley(None, vals[:cut], 10)
+        b = fold_page_hinkley(a, vals[cut:], 10)
+        assert b == full, cut
+
+
+def test_page_hinkley_stream(spark, tmp_path):
+    """ST22 end-to-end: final per-user snapshot equals the pure fold
+    over (ts, event_id)-ordered arrivals; the shifted user alarms,
+    the stationary one does not."""
+    from laser_hadoop_spark.streaming.ops import (
+        fold_page_hinkley,
+        page_hinkley_stream,
+    )
+
+    ddl = "event_id long, ts string, user_id long, event_type string, value double"
+    d = tmp_path / "ph_in"
+    d.mkdir()
+
+    def write(rows):
+        df = spark.createDataFrame(rows, ddl)
+        df.withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d))
+
+    # user 1: stationary at $1.00; user 2: $1.00 then shifts to $9.00
+    rows = []
+    eid = 0
+    for i in range(40):
+        eid += 1
+        rows.append((eid, f"2024-01-01 10:{i:02d}:00", 1, "buy", 1.0))
+        eid += 1
+        rows.append(
+            (eid, f"2024-01-01 10:{i:02d}:30", 2, "buy", 1.0 if i < 20 else 9.0)
+        )
+    write(rows[:30])
+    write(rows[30:])
+
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(str(d))
+    out = _run(
+        spark,
+        page_hinkley_stream(stream, delta_centi=10, lambda_centi=5_000),
+        "t_ph",
+        mode="update",
+    )
+    final = {}
+    for r in out.collect():  # last snapshot per user wins
+        final[r["user_id"]] = r
+    raw = sorted(rows, key=lambda r: (r[1], r[0]))
+    for uid in (1, 2):
+        vals = [int(r[4] * 100) for r in raw if r[2] == uid]
+        n, s, m, mmin, maxgap = fold_page_hinkley(None, vals, 10)
+        r = final[uid]
+        assert r["n_seen"] == n
+        assert r["max_gap_centi"] == maxgap
+        assert r["alarmed"] == (maxgap > 5_000)
+    assert not final[1]["alarmed"]
+    assert final[2]["alarmed"]
