@@ -54,6 +54,7 @@ from laser_hadoop_spark.tables import table
                array_to_string(toks[1:3], ' ') AS head3,
                len(toks) AS n_toks
         FROM t
+        WHERE len(toks) >= 3
     )
     SELECT a.doc_id AS left_id, b.doc_id AS right_id,
            a.tail3 AS shingle,
@@ -82,13 +83,17 @@ def q_doc_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
+    # Docs shorter than one full shingle are excluded on BOTH sides (and in
+    # the oracle): Spark's slice(toks, -3, 3) returns [] for len < 3 while
+    # DuckDB's toks[-3:] returns the whole list, and an empty-string tail3
+    # would fabricate stitch pairs between unrelated short docs.
     ends = d.select(
         "doc_id",
         "source",
         F.concat_ws(" ", F.slice(toks, -3, 3)).alias("tail3"),
         F.concat_ws(" ", F.slice(toks, 1, 3)).alias("head3"),
         F.size(toks).alias("n_toks"),
-    )
+    ).where(F.size(toks) >= 3)
     a = ends.alias("a")
     b = ends.select(
         F.col("doc_id").alias("b_id"),

@@ -573,7 +573,12 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(
             F.expr(
-                f"transform(sequence(1, greatest(length(text) - {_SPAN_GRAM} + 1, 0)),"
+                # Guard: sequence(1, 0) DESCENDS in Spark ([1, 0]); a doc
+                # shorter than the gram width must emit zero grams (the
+                # DuckDB oracle's generate_series(1, n) is empty for n < 1).
+                f"transform(CASE WHEN length(text) >= {_SPAN_GRAM}"
+                f"               THEN sequence(1, length(text) - {_SPAN_GRAM} + 1)"
+                f"               ELSE array() END,"
                 f" i -> substring(text, i, {_SPAN_GRAM}))"
             )
         ).alias("idx", "gram"),

@@ -421,6 +421,24 @@ def _brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, ["p_brand"]).where(F.col("k1") < F.col("k2"))
 
 
+def _name_vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All ordered pairs of DISTINCT part names — the string-kernel's
+    entire input under the dictionary decomposition.
+
+    p_name draws from a small vocabulary (64 distinct values at every
+    sf), so the expensive string kernel needs to score only vocab²
+    combinations — a quantity bounded by the dictionary, NOT the
+    corpus. The per-record pair relation then gets its scores via a
+    broadcast hash join (pure JVM), which replaced a per-pair Python
+    kernel that was 78% of the round-5 bench (132 s at sf0.1; the
+    kernel ran 8M times for 4,096 distinct inputs). When vocab² ever
+    rivals the pair count, project distinct (s1, s2) off the blocked
+    pair relation instead; same join-back."""
+    p = table(spark, sf_dir, "part")
+    names = p.select(F.col("p_name").alias("s1")).distinct()
+    return names.crossJoin(names.select(F.col("s1").alias("s2")))
+
+
 _JARO_MIN_MICRO = 750000
 
 
@@ -448,11 +466,15 @@ def q_jaro_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is DuckDB's BUILTIN jaro_similarity, so the hash match
     certifies the kernel against an independent implementation.
 
-    100 TB: candidates are brand-blocked (X35's discipline — the
-    quadratic stage is bounded per block); the kernel is the only
-    Python, Arrow-batched, on the blocked pair relation.
+    100 TB: the kernel scores only the vocab² dictionary (corpus-size-
+    independent, see _name_vocab_pairs); the blocked pair relation —
+    the part that grows — is pure JVM: one brand equi-join plus one
+    broadcast hash join against the ≥-threshold slice of the scored
+    dictionary, which prunes sub-threshold pairs inside the join.
+    Residual scaling is the OUTPUT itself (within-block matches are
+    inherently quadratic in block size); see PERF_NOTES for the
+    measured bound.
     """
-    pairs = _brand_pairs(spark, sf_dir)
 
     @F.pandas_udf(LongType())
     def jaro_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
@@ -460,11 +482,15 @@ def q_jaro_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             [_jaro_micro(a, b) for a, b in zip(s1, s2)], dtype="int64"
         )
 
-    return (
-        pairs.select(
-            "k1", "k2", jaro_udf(F.col("s1"), F.col("s2")).alias("jaro_micro")
-        )
+    scored = (
+        _name_vocab_pairs(spark, sf_dir)
+        .select("s1", "s2", jaro_udf("s1", "s2").alias("jaro_micro"))
         .where(F.col("jaro_micro") >= _JARO_MIN_MICRO)
+    )
+    pairs = _brand_pairs(spark, sf_dir)
+    return (
+        pairs.join(F.broadcast(scored), ["s1", "s2"])
+        .select("k1", "k2", "jaro_micro")
         .orderBy("k1", "k2")
     )
 
@@ -494,10 +520,11 @@ def q_damerau_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     keystrokes that plain levenshtein (X35) over-penalizes. The
     oracle is DuckDB's independent builtin.
 
-    100 TB: same brand-blocked candidate bound as X302; Arrow-batched
-    kernel is the only Python stage.
+    100 TB: same dictionary decomposition as X302 — the DP kernel
+    runs vocab² times (corpus-size-independent), the growing pair
+    relation is JVM-only (brand equi-join + broadcast hash join on the
+    ≤-threshold dictionary slice).
     """
-    pairs = _brand_pairs(spark, sf_dir)
 
     @F.pandas_udf(IntegerType())
     def dl_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
@@ -505,9 +532,14 @@ def q_damerau_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             [_damerau(a, b) for a, b in zip(s1, s2)], dtype="int32"
         )
 
-    return (
-        pairs.select("k1", "k2", dl_udf(F.col("s1"), F.col("s2")).alias("dl"))
+    scored = (
+        _name_vocab_pairs(spark, sf_dir)
+        .select("s1", "s2", dl_udf("s1", "s2").alias("dl"))
         .where(F.col("dl") <= _DAMERAU_MAX)
+    )
+    pairs = _brand_pairs(spark, sf_dir)
+    return (
+        pairs.join(F.broadcast(scored), ["s1", "s2"])
         .select("k1", "k2", F.col("dl").cast("bigint").alias("dl"))
         .orderBy("k1", "k2")
     )

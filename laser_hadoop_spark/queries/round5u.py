@@ -535,13 +535,21 @@ def q_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cub"),
         )
     )
-    nn, sq, cub = F.col("nn"), F.col("sq"), F.col("cub")
+    # Variance moments in decimal(38,0): nn*nn*(2*nn+3) wraps int64 once
+    # total orders pass ~1.66M (sf1) — DuckDB widens to HUGEINT, Spark
+    # wraps silently. Same wide-decimal discipline as X340/X348.
+    nn = F.col("nn").cast("decimal(38,0)")
+    sq = F.col("sq").cast("decimal(38,0)")
+    cub = F.col("cub").cast("decimal(38,0)")
     return contrib.crossJoin(F.broadcast(sizes)).select(
         F.col("j2").cast("bigint").alias("j2"),
-        nn.cast("bigint").alias("n"),
+        F.col("nn").cast("bigint").alias("n"),
         F.round(
-            (F.col("j2").cast("double") / 2 - (nn * nn - sq) / 4.0)
-            / F.sqrt((nn * nn * (2 * nn + 3) - cub) / 72.0),
+            (
+                F.col("j2").cast("double") / 2
+                - (nn * nn - sq).cast("double") / 4.0
+            )
+            / F.sqrt((nn * nn * (2 * nn + 3) - cub).cast("double") / 72.0),
             4,
         ).alias("z"),
     )

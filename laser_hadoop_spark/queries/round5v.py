@@ -380,7 +380,12 @@ def q_ngram_continuations(spark: SparkSession, sf_dir: str) -> DataFrame:
     tris = d.select(
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
+                # Guard: sequence(1, 0) DESCENDS in Spark ([1, 0]) and the
+                # transform would then hit element_at(..., 0); docs with
+                # fewer than 3 tokens must produce zero trigrams.
+                "transform(CASE WHEN size(split(text, ' ')) >= 3"
+                "               THEN sequence(1, size(split(text, ' ')) - 2)"
+                "               ELSE array() END,"
                 " i -> struct(element_at(split(text, ' '), i) as w1,"
                 "            element_at(split(text, ' '), i + 1) as w2,"
                 "            element_at(split(text, ' '), i + 2) as w3))"

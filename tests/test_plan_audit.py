@@ -821,7 +821,7 @@ def test_round5t_queries_shuffle_bounded(spark, sf_dir):
     budgets = {
         "q_lttb_downsample": 6,     # checkpointed series + 60-row stats
         "q_matrix_profile": 7,      # diagonal window + broadcast stats
-        "q_jaro_pairs": 3,          # brand-blocked pair join + sort
+        "q_jaro_pairs": 3,          # vocab dict + brand pair join + sort
         "q_damerau_pairs": 3,
         "q_triangle_support": 8,    # edge distinct + 3-way join + census
     }
@@ -836,6 +836,11 @@ def test_round5t_queries_shuffle_bounded(spark, sf_dir):
             # the kernel must be Arrow-batched, never row-at-a-time
             assert "ArrowEvalPython" in plan, name
             assert "BatchEvalPython" not in plan, name
+            # dictionary decomposition: the scored vocab² relation maps
+            # onto the growing pair relation via a broadcast hash join,
+            # so the Python kernel's input is corpus-size-independent
+            # (pre-fix it ran once per candidate pair: 132 s at sf0.1)
+            assert "BroadcastHashJoin" in plan, name
     # discords top-k plans as TakeOrdered, never a global sort
     plan = _plan(registry.get("q_matrix_profile").fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
