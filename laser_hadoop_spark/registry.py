@@ -57,77 +57,28 @@ def _load_all() -> None:
 # each CORRECTNESS_r0N.json is exactly the first 50 entries of that
 # round's ordering), so dict order is a verification budget.
 #
-# ROUND-5 ROTATION (VERDICT_r04 "Next round" #1): round 4 registered
-# 79 queries (X123-X203, queries/round4c..round4v) BEYOND round 4's
-# window — 77 oracle-backed + 2 rows-only (q_compress_ratio,
-# q_wau_hll) — all green in ORACLE_LOCAL_r04.json at sf0.001,
-# spot-verified at sf0.01, and green under the adversarial session
-# (ANSI mode, non-UTC TZ, shuffle=7), but never driver-checked. The
-# round-5 window is the first 50 of the 77 oracle-backed ones in
-# registration order (q_ecdf .. q_incremental_dedup); the rows-only
-# pair is deliberately EXCLUDED from the prefix (a rows-only check
-# would spend a hash-verification slot on a weaker verdict — both
-# stay covered by the local rows>0 gate in tests).
+# ROUND-6 ROTATION (VERDICT_r05 "Next round" #1): after round 5's
+# window (CORRECTNESS_r05: 50/50 hash-green), 166 oracle-backed
+# queries remain never-driver-checked — the 27 round-4 stragglers
+# (q_vocab_coverage .. q_minhash_accuracy, exactly as VERDICT_r05
+# directed) plus 139 round-5 registrations. The round-6 window is the
+# 27 stragglers followed by the first 23 round-5 queries in
+# registration order. The 2 rows-only queries (q_compress_ratio,
+# q_wau_hll) stay EXCLUDED from the prefix (a rows-only check would
+# spend a hash-verification slot on a weaker verdict — both stay
+# covered by the local rows>0 gate in tests).
 #
-# After the window: the remaining 27 oracle-backed round-4 queries
-# (q_vocab_coverage .. q_minhash_accuracy — round 6's window), then
-# any round-5 additions, then regression re-checks verified longest
-# ago. Everything past the window stays covered by the full local
-# oracle corpus (tests/test_oracle_corpus.py + ORACLE_LOCAL_r04.json).
+# After the window: the remaining never-driver-checked round-5
+# queries in registration order (round-7/8/9 windows at 50/round),
+# then regression re-checks verified longest ago (VERDICT_r05 #6:
+# once the lag clears a window's width, ~5 slots/round rotate onto
+# old greens, oldest first). Everything past the window stays covered
+# by the full local oracle corpus (tests/test_oracle_corpus.py +
+# ORACLE_LOCAL_r06.json, 411/411).
 _DRIVER_PRIORITY = [
-    # -- round-5 driver window: 50 oracle-backed, never driver-checked
-    "q_ecdf",
-    "q_ks_test",
-    "q_mann_whitney",
-    "q_autocorr_lag1",
-    "q_activity_bitmap",
-    "q_key_gap_islands",
-    "q_histogram2d",
-    "q_topk_with_ties",
-    "q_bellman_ford",
-    "q_rolling_zscore",
-    "q_cusum_changepoint",
-    "q_profile_cosine",
-    "q_minhash_band_pairs",
-    "q_mixture_weights",
-    "q_nelson_aalen",
-    "q_negative_pairs",
-    "q_train_split",
-    "q_quantile_normalize",
-    "q_containment_pairs",
-    "q_seasonal_residual",
-    "q_spearman_corr",
-    "q_theil_sen",
-    "q_rrf_fusion",
-    "q_shingle_novelty",
-    "q_clamped_balance",
-    "q_degree_assortativity",
-    "q_auc_exact",
-    "q_rolling_median",
-    "q_forecast_accuracy",
-    "q_calibration_bins",
-    "q_dsir_weights",
-    "q_mutual_info",
-    "q_knn_classify",
-    "q_cross_correlation",
-    "q_embedding_norm_stats",
-    "q_dims_variance",
-    "q_join_cardinality",
-    "q_gopher_rules",
-    "q_langid_confusion",
-    "q_cohort_ltv",
-    "q_quantiles_pruned",
-    "q_log2_histogram",
-    "q_dau_mau",
-    "q_type_token_ratio",
-    "q_fano_burstiness",
-    "q_business_days",
-    "q_f1_scores",
-    "q_k_anonymity",
-    "q_higher_moments",
-    "q_incremental_dedup",
-    # -- past the window: the 27 remaining never-driver-checked
-    #    oracle-backed round-4 queries (round-6 window head) ----------
+    # -- round-6 driver window: the 27 round-4 stragglers, then the
+    #    first 23 never-driver-checked round-5 queries in
+    #    registration order (all oracle-backed) --------------------
     "q_vocab_coverage",
     "q_price_volume_mix",
     "q_decile_migration",
@@ -155,6 +106,147 @@ _DRIVER_PRIORITY = [
     "q_weekday_hour_heatmap",
     "q_hhi_concentration",
     "q_minhash_accuracy",
+    "q_grid_spatial_join",
+    "q_record_linkage",
+    "q_countmin_audit",
+    "q_bloom_fpr_audit",
+    "q_embedding_covariance",
+    "q_retrieval_metrics",
+    "q_weighted_sample",
+    "q_kl_divergence",
+    "q_bpe_merges",
+    "q_multisource_reconcile",
+    "q_nearest_hub",
+    "q_kcore_peel",
+    "q_kmv_distinct_audit",
+    "q_luhn_checksum",
+    "q_bootstrap_ci",
+    "q_mann_kendall",
+    "q_revenue_proration",
+    "q_zonemap_audit",
+    "q_dedup_survivors",
+    "q_set_cover",
+    "q_km_survival",
+    "q_itemset_triples",
+    "q_sorted_neighborhood",
+    # -- past the window: remaining never-driver-checked round-5
+    #    queries in registration order (round-7+ windows) ----------
+    "q_qte_deciles",
+    "q_compression_advisor",
+    "q_shuffle_skew_planner",
+    "q_hierarchical_share",
+    "q_watermark_audit",
+    "q_snapshot_asof_diff",
+    "q_gini_features",
+    "q_position_attribution",
+    "q_diff_in_diff",
+    "q_fd_miner",
+    "q_percentile_quarantine",
+    "q_cohens_kappa",
+    "q_bh_fdr",
+    "q_js_divergence",
+    "q_transition_entropy",
+    "q_cvm_test",
+    "q_allen_census",
+    "q_permutation_test",
+    "q_neyman_allocation",
+    "q_capture_recapture",
+    "q_simpson_reversals",
+    "q_hits_scores",
+    "q_clustering_coefficient",
+    "q_cochran_armitage",
+    "q_covariate_balance",
+    "q_runs_test",
+    "q_heaps_fit",
+    "q_inventory_turns",
+    "q_qini_deciles",
+    "q_circular_hours",
+    "q_srm_detector",
+    "q_kruskal_wallis",
+    "q_eta_squared",
+    "q_sequence_match",
+    "q_acf",
+    "q_chi2_residuals",
+    "q_g_test",
+    "q_profile_shape_cosine",
+    "q_haversine_join",
+    "q_double_fire_census",
+    "q_backlog_aging",
+    "q_page_hinkley",
+    "q_sequence_support",
+    "q_trending_parts",
+    "q_churn_sensitivity",
+    "q_capped_sessions",
+    "q_welch_t",
+    "q_durbin_watson",
+    "q_sax_symbols",
+    "q_brown_forsythe",
+    "q_power_analysis",
+    "q_point_in_polygon",
+    "q_odds_ratio",
+    "q_grubbs",
+    "q_tokenizer_fertility",
+    "q_theil_index",
+    "q_rake_keywords",
+    "q_hampel_filter",
+    "q_good_turing",
+    "q_qq_table",
+    "q_fk_integrity",
+    "q_kendall_tau",
+    "q_mcnemar",
+    "q_logrank",
+    "q_ndcg",
+    "q_dup_spans",
+    "q_isotonic_fit",
+    "q_l_diversity",
+    "q_dp_noisy_counts",
+    "q_silhouette",
+    "q_ecod_outliers",
+    "q_lttb_downsample",
+    "q_matrix_profile",
+    "q_jaro_pairs",
+    "q_damerau_pairs",
+    "q_triangle_support",
+    "q_cronbach_alpha",
+    "q_kendalls_w",
+    "q_geohash_census",
+    "q_mantel_haenszel",
+    "q_jonckheere",
+    "q_embedding_contamination",
+    "q_temperature_mixture",
+    "q_pack_boundaries",
+    "q_ngram_continuations",
+    "q_sign_sketch_fidelity",
+    "q_stl_decompose",
+    "q_fixed_effects",
+    "q_cem_ate",
+    "q_weibull_fit",
+    "q_control_chart",
+    "q_bradley_terry",
+    "q_gumbel_fit",
+    "q_huber_location",
+    "q_geometric_median",
+    "q_ess_weights",
+    "q_doc_stitch",
+    "q_canopy_census",
+    "q_rle_advisor",
+    "q_volatility",
+    "q_corr_matrix",
+    "q_ipf_raking",
+    "q_cochran_q",
+    "q_friedman",
+    "q_wasserstein_1d",
+    "q_anderson_darling",
+    "q_shapley_attribution",
+    "q_l_moments",
+    "q_chao1_richness",
+    "q_fifo_cogs",
+    "q_hash_collision_audit",
+    "q_krippendorff_alpha",
+    "q_rmst",
+    "q_average_precision",
+    "q_zip_fit",
+    "q_mutual_nn",
     # -- then regression re-checks, verified-longest-ago first
     #    (all r1-green, last driver-checked in r01) -------------------
     "q_partial_final_agg",
