@@ -478,6 +478,99 @@ def ann_lsh_topk(
     )
 
 
+def rademacher_planes(
+    n_tables: int, n_planes: int, dim: int, key: str = "annlsh"
+) -> list[list[list[float]]]:
+    """Deterministic ±1 (Rademacher) hyperplanes keyed by md5.
+
+    Sign-LSH needs only direction-uniform hyperplanes; Rademacher
+    components preserve the cosine-LSH collision bound (the standard
+    random-projection ±1 substitution) while making every component an
+    engine-neutral literal: component (t, p, d) is the low bit of
+    md5("{key}|{t}|{p}|{d}"). No RNG state, no library hash family —
+    an independent engine (the DuckDB oracle) can inline the identical
+    planes and reproduce the buckets bit-for-bit, which turns the
+    candidate stage of an otherwise rows-only ANN query into a
+    hash-checkable relation.
+    """
+    import hashlib
+
+    return [
+        [
+            [
+                1.0
+                if hashlib.md5(f"{key}|{t}|{p}|{d}".encode()).digest()[0] & 1
+                else -1.0
+                for d in range(dim)
+            ]
+            for p in range(n_planes)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+def ann_lsh_topk_pinned(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_planes: int = 2,
+    n_tables: int = 8,
+    key: str = "annlsh",
+) -> DataFrame:
+    """ann_lsh_topk with md5-Rademacher planes and integer scoring.
+
+    Same multi-table sign-LSH shape as ann_lsh_topk (bucket equi-join
+    for candidates, exact cosine only within buckets), with two changes
+    that make the WHOLE output oracle-checkable: the hyperplanes come
+    from rademacher_planes (deterministic literals, not np.random), and
+    ranking uses the micro-rounded cosine (bigint) with the neighbor id
+    as tiebreaker, so no float ordering ever decides a row.
+
+    Output: (id_a, id_b, cosine_micro, rnk), rnk <= k per id_a.
+    """
+    first = df.select(vec_col).first()
+    dim = len(first[0])
+    tables = rademacher_planes(n_tables, n_planes, dim, key)
+    bucket_entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                hyperplane_bucket_expr(vec_col, np.array(planes)).alias("bucket"),
+            )
+            for t, planes in enumerate(tables)
+        ]
+    )
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col), F.explode(bucket_entries).alias("tb")
+    ).select(
+        id_col,
+        vec_col,
+        F.col("tb.table").alias("table"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "table", "bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "table", "bucket"
+    )
+    candidates = (
+        a.join(b, on=["table", "bucket"])
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])  # union over tables
+    )
+    micro = F.round(cosine_expr(F.col("va"), F.col("vb")) * 1000000).cast("bigint")
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine_micro"), F.col("id_b"))
+    return (
+        candidates.select("id_a", "id_b", micro.alias("cosine_micro"))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     *,

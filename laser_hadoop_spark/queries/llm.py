@@ -524,19 +524,106 @@ def q_embedding_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_ann_lsh", oracle=None)  # random-hyperplane buckets: rows-only
-def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L4 (scale path): LSH-bucketed approximate nearest neighbors.
+_ANN_TABLES = 8
+_ANN_PLANES = 2
+_ANN_K = 5
+_ANN_DIM = 64  # embeddings table dim at every sf (TESTDATA.md)
 
-    Random-hyperplane (sign) LSH with a fixed seed buckets vectors; the
-    pairwise cosine runs only within buckets. Bucket membership depends
-    on the seeded hyperplanes -> rows-only check; recall against the
-    brute-force baseline is pytest-verified in operators/similarity.py.
+
+def _ann_lsh_oracle() -> str:
+    """DuckDB SQL reproducing ann_lsh_topk_pinned bit-for-bit.
+
+    The md5-Rademacher hyperplanes inline as ±1 list literals (the
+    exact same values the Spark plan uses — both sides call
+    rademacher_planes-equivalent constructions with no RNG), so bucket
+    assignment, candidate pairs, micro-rounded cosines, and ranks are
+    all engine-neutral. Only schema-fixed constants are interpolated.
     """
-    from laser_hadoop_spark.operators.similarity import ann_lsh_topk
+    from laser_hadoop_spark.operators.similarity import rademacher_planes
+
+    tables = rademacher_planes(_ANN_TABLES, _ANN_PLANES, _ANN_DIM)
+    branches = []
+    for t, planes in enumerate(tables):
+        bits = " + ".join(
+            f"(CASE WHEN list_inner_product(v, "
+            f"[{', '.join(str(w) for w in plane)}]) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p, plane in enumerate(planes)
+        )
+        branches.append(f"SELECT vec_id, v, {t} AS tbl, {bits} AS bucket FROM e")
+    buckets = "\n        UNION ALL ".join(branches)
+    return f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    buckets AS (
+        {buckets}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket
+         AND a.vec_id <> b.vec_id
+    ),
+    scored AS (
+        SELECT c.id_a, c.id_b,
+               CAST(ROUND(1000000 * list_inner_product(ea.v, eb.v)
+                    / (SQRT(list_inner_product(ea.v, ea.v))
+                       * SQRT(list_inner_product(eb.v, eb.v))))
+                    AS BIGINT) AS cosine_micro
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.id_a
+        JOIN e eb ON eb.vec_id = c.id_b
+    ),
+    ranked AS (
+        SELECT id_a, id_b, cosine_micro,
+               ROW_NUMBER() OVER (PARTITION BY id_a
+                                  ORDER BY cosine_micro DESC, id_b) AS rnk
+        FROM scored
+    )
+    SELECT id_a, id_b, cosine_micro, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {_ANN_K}
+    ORDER BY id_a, rnk
+    """
+
+
+@register("q_ann_lsh", oracle=_ann_lsh_oracle())
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 (scale path): LSH-bucketed approximate nearest neighbors —
+    fully oracle-pinned (round-5 verdict item 5).
+
+    Random-hyperplane sign-LSH buckets vectors; exact cosine runs only
+    within buckets. The hyperplanes are md5-derived ±1 literals
+    (operators/similarity.rademacher_planes) instead of seeded
+    np.random, so the DuckDB oracle reproduces bucket assignment and
+    candidate generation exactly; scores are micro-rounded bigints and
+    ranks break ties on neighbor id, so the whole (id_a, id_b,
+    cosine_micro, rnk) output hash-checks — the former rows-only check
+    survives only in ann_lsh_topk (the np.random variant, pytest
+    recall-tested).
+
+    100 TB: candidates come from an equi-join on (table, bucket) —
+    never a cross join; per-bucket width is tuned by n_planes, recall
+    by n_tables (OR-amplification), and every stage shuffles ids +
+    packed bucket longs, not vectors (vectors ride only into the
+    bucket join's value slots).
+    """
+    from laser_hadoop_spark.operators.similarity import ann_lsh_topk_pinned
 
     emb = table(spark, sf_dir, "embeddings")
-    return ann_lsh_topk(emb, id_col="vec_id", vec_col="embedding", k=5)
+    return (
+        ann_lsh_topk_pinned(
+            emb,
+            id_col="vec_id",
+            vec_col="embedding",
+            k=_ANN_K,
+            n_planes=_ANN_PLANES,
+            n_tables=_ANN_TABLES,
+        )
+        .orderBy("id_a", "rnk")
+    )
 
 
 @register("q_ann_ivf", oracle=None)  # seeded k-means cells: rows-only
