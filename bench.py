@@ -90,9 +90,43 @@ HEADLINE = [
 ]
 
 
+def host_canary(spark) -> dict:
+    """Fixed-work host-contention canary (round-5 verdict item 3).
+
+    Two deterministic workloads whose quiet-host times are baselined in
+    PERF_NOTES.md; run at session START and END so every BENCH_r{N}
+    self-reports whether its numbers are comparable:
+      - py_single_sec: a single-threaded pure-Python integer loop —
+        measures per-core speed under ambient load (no JVM, no I/O).
+      - spark_parallel_sec: sum over spark.range(2**28) on all cores —
+        measures whole-machine availability through the same executor
+        pool the queries use.
+    Per-query ratios between rounds are meaningful only when BOTH
+    canaries sit near the PERF_NOTES quiet line at start AND end.
+    """
+    # untimed JVM/codegen warmup so the START canary measures host
+    # contention, not JIT (first-ever range-sum measured 3.4 s vs a
+    # 0.31 s steady state — pure warmup, not load)
+    spark.range(1 << 24).selectExpr("sum(id)").collect()
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(5_000_000):
+        acc += i * i & 0xFFFF
+    py_single = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    spark.range(1 << 28).selectExpr("sum(id)").collect()
+    spark_parallel = time.perf_counter() - t0
+    return {
+        "py_single_sec": round(py_single, 3),
+        "spark_parallel_sec": round(spark_parallel, 3),
+        "_acc": acc & 1,  # keep the loop unoptimizable
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
+    canary_start = host_canary(spark)
     specs = registry.specs()
     # one-time bucketed-warehouse build stays out of the timings — it is
     # the amortized cost the recurring q_bucketed_fact_join measures
@@ -132,6 +166,7 @@ def main() -> None:
         streaming = pinned_stream_bench(spark)
     except Exception as exc:  # noqa: BLE001
         streaming = {"error": f"{type(exc).__name__}: {exc}"}
+    canary_end = host_canary(spark)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
@@ -141,6 +176,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "streaming": streaming,
+                "canary": {"start": canary_start, "end": canary_end},
                 **({"warehouse_error": warehouse_error} if warehouse_error else {}),
                 "sf": float(sf) if sf else None,
             }

@@ -66,6 +66,7 @@ def load_all() -> None:
         round5x,
         round5y,
         round5z,
+        round6a,
         scalars,
         scans,
         setops,

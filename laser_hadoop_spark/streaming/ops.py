@@ -1479,3 +1479,103 @@ def page_hinkley_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- ST23: streaming HyperLogLog register fold ---------------------------------
+
+HLLS_REGS = 64
+HLLS_RHO_CAP = 49
+HLLS_OUT_SCHEMA = "grp string, hll_est long, n_events long, regs array<int>"
+HLLS_STATE_SCHEMA = "regs array<int>, n_events long"
+# spelling must stay byte-identical to q_hll_audit's (round6a) so the
+# streaming registers equal the batch audit's for the same values —
+# tests/test_streaming.py cross-checks them against an independent
+# hashlib recomputation
+_HLLS_REG_EXPR = (
+    "CAST(conv(substring(md5(k), 1, 15), 16, 10) AS BIGINT) % 64"
+)
+_HLLS_RHO_EXPR = (
+    "LEAST(4 * length(regexp_extract(substring(md5(k), 17, 12), '^(0*)', 1))"
+    " + (CASE substring(substring(md5(k), 17, 12),"
+    "          length(regexp_extract(substring(md5(k), 17, 12), '^(0*)', 1)) + 1, 1)"
+    "    WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2"
+    "    WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1"
+    "    WHEN '' THEN 0 ELSE 0 END) + 1, 49)"
+)
+
+
+def hll_estimate(regs: list[int]) -> int:
+    """Raw HLL estimate from 64 registers, exact integer arithmetic —
+    the same alpha_64*m^2*2^50 // (1000*sum 2^(50-m)) formula as the
+    q_hll_audit oracle (Python ints never overflow, mirroring the
+    HUGEINT/DECIMAL38 spellings there)."""
+    ssum = sum(1 << (50 - m) for m in regs)
+    return (709 * HLLS_REGS * HLLS_REGS * (1 << 50)) // (1000 * ssum)
+
+
+def _hlls_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        regs, n_events = list(state.get[0]), state.get[1]
+    else:
+        regs, n_events = [0] * HLLS_REGS, 0
+    for pdf in pdfs:
+        n_events += len(pdf)
+        for r, rho in zip(pdf["reg"], pdf["rho"]):
+            r = int(r)
+            if rho > regs[r]:
+                regs[r] = int(rho)
+    state.update((regs, int(n_events)))
+    yield pd.DataFrame(
+        {
+            "grp": [key[0]],
+            "hll_est": [hll_estimate(regs)],
+            "n_events": [int(n_events)],
+            "regs": [regs],
+        }
+    )
+
+
+def hll_distinct_stream(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """ST23: streaming distinct-count via HyperLogLog registers in
+    GroupState — the online form of X349's q_hll_audit, and the fifth
+    streaming sketch family (ST10 decay, ST11/ST14 Misra-Gries, ST15
+    KMV, ST17 count-min).
+
+    Per group, state is the 64-register array; folding an event is
+    regs[j] = max(regs[j], rho) — max is commutative, associative and
+    IDEMPOTENT, so the sketch is batching-, replay- AND duplicate-
+    invariant by construction (strictly stronger than ST15's KMV,
+    whose bottom-k union is merely batching-invariant: at-least-once
+    delivery of a NEW key can evict nothing here). Register/rho
+    arithmetic happens JVM-side with the exact q_hll_audit spelling;
+    each trigger emits the current exact-integer estimate, so the
+    streaming trace and a batch audit over the same prefix agree
+    register-for-register — verified in pytest against an independent
+    hashlib recomputation.
+
+    100 TB: state is CONSTANT (64 ints) per group regardless of key
+    cardinality; two HLL tables merge by element-wise MAX, so
+    per-partition sketches roll up without reshuffling raw keys.
+    """
+    prepped = events.select(
+        F.col(group_col).alias("grp"),
+        F.col(key_col).cast("string").alias("k"),
+    ).select(
+        "grp",
+        F.expr(_HLLS_REG_EXPR).cast("int").alias("reg"),
+        F.expr(_HLLS_RHO_EXPR).cast("int").alias("rho"),
+    )
+    return prepped.groupBy("grp").applyInPandasWithState(
+        _hlls_fn,
+        outputStructType=HLLS_OUT_SCHEMA,
+        stateStructType=HLLS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -170,9 +170,14 @@ def probe(spark, runs: int) -> None:
 
 
 def main() -> None:
+    global PROBE_QUERIES
     runs = 3
     if "--runs" in sys.argv:
         runs = int(sys.argv[sys.argv.index("--runs") + 1])
+    # bare query names on the command line restrict the probe set
+    names = [a for a in sys.argv[1:] if a.startswith("q_")]
+    if names:
+        PROBE_QUERIES = names
     spark = get_spark("sf_probe")
     build(spark)
     if "--build-only" in sys.argv:

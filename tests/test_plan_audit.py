@@ -1032,3 +1032,36 @@ def test_round5ab_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
         assert "ArrowEvalPython" not in plan, name
         got = _n_shuffles(plan)
         assert got <= budget, (name, got, budget)
+
+
+def test_round6a_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
+    """Round-6 batch 1 (X349-X355): no Python nodes anywhere, bounded
+    exchanges. The HLL audit aggregates into a constant 64-register
+    relation (its census runs two bounded SinglePartition folds over
+    64 rows, allowed below); graph
+    ops run over the eagerly-checkpointed edge list (without it the
+    Katz plan re-expanded to 54 exchanges, measured); DBSCAN is the
+    3x3 grid-blocked join; entropy is a pure projection (zero
+    pre-top-k shuffles)."""
+    spark.catalog.clearCache()
+    budgets = {
+        "q_hll_audit": 6,        # distinct + 64-register census + folds
+        "q_resource_alloc": 3,   # wedge join + RA census (post-checkpoint)
+        "q_katz_centrality": 7,  # 3 SpMV steps + assembly joins
+        "q_dbscan_core": 4,      # grid join + nb census + label joins
+        "q_char_entropy": 0,     # scan-local projection, TakeOrdered top-k
+        "q_label_prop": 4,       # 2 MIN rounds + census
+        "q_var_es": 8,           # daily agg + lag window + quantile + ES
+    }
+    for name, budget in budgets.items():
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        got = _n_shuffles(plan)
+        assert got <= budget, (name, got, budget)
+        if name != "q_hll_audit":
+            assert "Exchange SinglePartition" not in plan, name
+    # top-k queries plan as TakeOrdered, never a global sort
+    for name in ("q_char_entropy", "q_katz_centrality"):
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, name

@@ -985,11 +985,35 @@ def test_moments_fold_pure():
     assert ops.count_3sigma_outliers([5], 1, 5, 25) == 0
 
 
+def test_moments_tws_skip_reason_is_protobuf_not_rot(spark):
+    """ST20 rot check (round-5 verdict item 7): when the e2e drive is
+    skipped, prove the blocker is STILL the missing protobuf package
+    and not rot in our own plumbing. Two assertions: (a) our side —
+    moments_stream_tws builds its streaming plan cleanly on a real
+    unbounded frame (schema, groupBy, processor class, output schema
+    all resolve); (b) pyspark's side — the first failing import on the
+    transformWithState worker path is its protobuf-generated
+    StateMessage module failing on the absent google package."""
+    if _has_protobuf():
+        pytest.skip("protobuf present: the real e2e drive below runs")
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double"
+    ).parquet("/root/testdata/sf0.001")  # any existing dir; never started
+    df = ops.moments_stream_tws(stream)
+    assert df.isStreaming
+    assert {f.name for f in df.schema.fields} >= {"user_id", "n", "s_micro"}
+    with pytest.raises(ImportError, match="google"):
+        import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
+
+
 @pytest.mark.skipif(
     not _has_protobuf(),
     reason="transformWithStateInPandas requires the protobuf package "
     "(absent in this container); the pure fold/census semantics are "
-    "covered by test_moments_fold_pure",
+    "covered by test_moments_fold_pure, and "
+    "test_moments_tws_skip_reason_is_protobuf_not_rot pins that the "
+    "blocker is the package, not code rot",
 )
 def test_moments_stream_tws(spark, tmp_path):
     """ST20: transformWithStateInPandas moments — cross-batch
@@ -1223,3 +1247,79 @@ def test_page_hinkley_stream(spark, tmp_path):
         assert r["alarmed"] == (maxgap > 5_000)
     assert not final[1]["alarmed"]
     assert final[2]["alarmed"]
+
+
+def test_hll_fold_pure():
+    """ST23 core semantics without the streaming runtime: the register
+    fold is idempotent and merge = element-wise MAX, and the exact
+    integer estimate matches the q_hll_audit oracle formula."""
+    regs = [0] * ops.HLLS_REGS
+    # empty sketch: ssum = 64 * 2^50 -> est = 709*4096*2^50 // (1000*64*2^50)
+    assert ops.hll_estimate(regs) == (709 * 4096) // (64 * 1000)
+    regs[3] = 7
+    one = ops.hll_estimate(regs)
+    # idempotent: folding the same (reg, rho) again changes nothing
+    regs2 = list(regs)
+    regs2[3] = max(regs2[3], 7)
+    assert ops.hll_estimate(regs2) == one
+    # merge of two disjoint sketches = element-wise max
+    a = [0] * 64
+    b = [0] * 64
+    a[1], b[2] = 5, 9
+    merged = [max(x, y) for x, y in zip(a, b)]
+    both = [0] * 64
+    both[1], both[2] = 5, 9
+    assert merged == both
+
+
+def test_hll_distinct_stream(spark, tmp_path):
+    """ST23: streaming HLL — batching invariance (3 files vs 1),
+    duplicate invariance (replayed keys change nothing), and register
+    equality with an independent hashlib recomputation of the
+    q_hll_audit spelling."""
+    import hashlib
+
+    d1 = tmp_path / "hll_in_split"
+    d2 = tmp_path / "hll_in_oneshot"
+    d1.mkdir(), d2.mkdir()
+    ddl = "event_id long, ts string, user_id long, event_type string, value double"
+    ts = "2024-01-01 10:00:00"
+    rows = [(i, ts, i % 300, "click", 1.0) for i in range(600)]  # dups!
+
+    def run(dirpath, batches, name):
+        for b in batches:
+            spark.createDataFrame(b, ddl).withColumn(
+                "ts", F.to_timestamp("ts")
+            ).coalesce(1).write.mode("append").parquet(str(dirpath))
+        stream = spark.readStream.schema(EVENTS_DDL).parquet(str(dirpath))
+        out = _run(spark, ops.hll_distinct_stream(stream), name, mode="update")
+        rows_ = out.collect()
+        final = {}
+        for r in rows_:
+            if final.get(r["grp"], (0,))[0] <= r["n_events"]:
+                final[r["grp"]] = (r["n_events"], r["hll_est"], list(r["regs"]))
+        return final
+
+    f_split = run(d1, [rows[:200], rows[200:500], rows[500:]], "hll_split")
+    f_one = run(d2, [rows], "hll_oneshot")
+    assert f_split == f_one  # batching-invariant
+    n_events, est, regs = f_split["click"]
+    assert n_events == 600
+
+    # independent recomputation: hashlib md5, the q_hll_audit spelling
+    want = [0] * ops.HLLS_REGS
+    for k in {str(i % 300) for i in range(600)}:
+        hx = hashlib.md5(k.encode()).hexdigest()
+        reg = int(hx[:15], 16) % 64
+        suf = hx[16:28]
+        lead = len(suf) - len(suf.lstrip("0"))
+        first = suf[lead] if lead < len(suf) else ""
+        nib = {"1": 3, "2": 2, "3": 2, "4": 1, "5": 1, "6": 1, "7": 1}.get(first, 0)
+        rho = min(4 * lead + nib + 1, 49)
+        if rho > want[reg]:
+            want[reg] = rho
+    assert regs == want
+    assert est == ops.hll_estimate(want)
+    # 300 true distinct: raw HLL at m=64 has ~13% std error; assert a
+    # loose 3-sigma envelope so the test pins sanity, not luck
+    assert 180 <= est <= 420
