@@ -67,6 +67,8 @@ def load_all() -> None:
         round5y,
         round5z,
         round6a,
+        round6b,
+        round6c,
         scalars,
         scans,
         setops,

@@ -8,7 +8,7 @@ Design notes shared by the batch:
   share (conv(substring(md5 ..)) / '0x' || substr), so registers and
   the estimate are engine-neutral integers and the DuckDB oracle
   certifies the sketch end-to-end — the HLL member of the audit
-  family X206 (count-min) and X? KMV already anchor. The rows-only
+  family X206 (count-min) and X216 (KMV) already anchor. The rows-only
   approx queries (q_approx_count_distinct, q_wau_hll, q_hll_sketch)
   keep covering Spark's built-in sketches.
 - Graph ops (X350 resource-allocation link prediction, X351 Katz) run

@@ -1065,3 +1065,52 @@ def test_round6a_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
     for name in ("q_char_entropy", "q_katz_centrality"):
         plan = _plan(registry.get(name).fn(spark, sf_dir))
         assert "TakeOrderedAndProject" in plan, name
+
+
+def test_round6b_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
+    """Round-6 batch 2 (X356-X361): no Python nodes, bounded
+    exchanges. The single SinglePartition in wilcoxon/hodges/relabel
+    is the final 1-row (or holistic-percentile) global aggregate —
+    hodges' percentile_disc merge carries the CALENDAR-BOUNDED Walsh
+    relation (~2.9M at sf0.1, a date-domain constant), documented in
+    the docstring. Jackknife/modularity plumbing runs over 5-row /
+    community-count relations."""
+    spark.catalog.clearCache()
+    budgets = {
+        "q_wilcoxon": 5,         # yearly agg + pair join + census + cumsum
+        "q_hodges_lehmann": 4,   # daily agg + pair join + global percentile
+        "q_relabel_test": 4,     # sizes agg + 64-col wide agg + compare
+        "q_jackknife": 13,       # 5-row relation plumbing (broadcast-joined)
+        "q_modularity": 11,      # LP rounds + intra/deg censuses (dim-sized)
+        "q_hop2_census": 3,      # hop2 join + union distinct + census
+    }
+    for name, budget in budgets.items():
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        got = _n_shuffles(plan)
+        assert got <= budget, (name, got, budget)
+    # the hop2 top-k plans as TakeOrdered, never a global sort
+    plan = _plan(registry.get("q_hop2_census").fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_round6c_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
+    """Round-6 batch 3 (X362-X365): no Python nodes, bounded
+    exchanges. Procrustes/eigen are ONE moment aggregate (their single
+    SinglePartition is the 1-row final fold of partial states);
+    Cholesky is one per-group aggregate; effect sizes add the value
+    census + two-pass cumulative."""
+    spark.catalog.clearCache()
+    budgets = {
+        "q_procrustes2d": 1,     # one 7-column moment aggregate
+        "q_eigen2_closed": 1,    # one 6-column moment aggregate
+        "q_cholesky2": 2,        # per-group moments + 3-row sort
+        "q_effect_sizes": 6,     # moments + value census + cumsum
+    }
+    for name, budget in budgets.items():
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        got = _n_shuffles(plan)
+        assert got <= budget, (name, got, budget)
