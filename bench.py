@@ -87,6 +87,17 @@ HEADLINE = [
     # (the Arrow-batched Python cost class, bounded by the blocking)
     "q_dup_spans",
     "q_jaro_pairs",
+    # round 6: the dictionary-decomposed Jaro join replaced the Python
+    # kernel (132 -> ~4 s; q_jaro_pairs above now measures the JVM
+    # broadcast-join + 1.17M-row result path). New cost classes: the
+    # exact-integer HLL sketch audit, the grid-blocked DBSCAN census,
+    # the 32-draw single-scan randomization test (md5-bound — watch
+    # the digest-splitting discipline), and the bounded-quadratic
+    # Walsh-pair median through the two-scan histogram quantile
+    "q_hll_audit",
+    "q_dbscan_core",
+    "q_relabel_test",
+    "q_hodges_lehmann",
 ]
 
 

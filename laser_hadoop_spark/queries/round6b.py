@@ -142,10 +142,19 @@ def q_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
     walsh AS (
         SELECT (a.rev + b.rev) // 2 AS w
         FROM daily a JOIN daily b ON a.d <= b.d
+    ),
+    census AS (SELECT w, COUNT(*) AS c FROM walsh GROUP BY w),
+    tot AS (SELECT SUM(c) AS n FROM census),
+    cum AS (
+        SELECT w, SUM(c) OVER (ORDER BY w) AS cw FROM census
     )
-    SELECT CAST(quantile_disc(w, 0.5) AS BIGINT) AS hl_centi,
-           CAST(COUNT(*) AS BIGINT) AS n_pairs
-    FROM walsh
+    -- lower median spelled explicitly (smallest w with 2*cw >= n):
+    -- no builtin quantile convention to diverge between engines
+    SELECT CAST(MIN(w) AS BIGINT) AS hl_centi,
+           CAST(t.n AS BIGINT) AS n_pairs
+    FROM cum CROSS JOIN tot t
+    WHERE 2 * cw >= t.n
+    GROUP BY t.n
     """,
 )
 def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -160,12 +169,20 @@ def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     Walsh pairs live on the CALENDAR-BOUNDED daily aggregate (~2.4k
     rows at sf0.1 -> ~2.9M pairs — the q_theil_sen bounded-series
     self-join precedent); the pair mean floors exactly (both revs
-    positive), and the median is percentile_disc, an order statistic
-    no float interpolation touches.
+    positive). The median is the EXPLICIT lower order statistic
+    (smallest w with 2*cum >= n) through ordered_weighted_quantile's
+    histogram pruning — the first spelling used percentile_disc, a
+    holistic aggregate that funnelled all 2.9M Walsh rows into one
+    task's sort (measured 9.8 s warm at sf0.1; 2.1 s after).
 
     100 TB: one daily partial aggregate; the quadratic stage is bound
-    by the date domain, never fact rows.
+    by the date domain, never fact rows; the quantile never shuffles
+    the pair relation (two scan-shaped histogram passes).
     """
+    from laser_hadoop_spark.operators.cumulative import (
+        ordered_weighted_quantile,
+    )
+
     o = table(spark, sf_dir, "orders")
     daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev")
@@ -173,13 +190,12 @@ def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = daily.select(F.col("d").alias("da"), F.col("rev").alias("ra"))
     b = daily.select(F.col("d").alias("db"), F.col("rev").alias("rb"))
     walsh = a.join(b, F.col("da") <= F.col("db")).select(
-        F.expr("(ra + rb) DIV 2").alias("w")
+        F.expr("(ra + rb) DIV 2").alias("w"), F.lit(1).alias("one")
     )
-    return walsh.agg(
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY w)")
-        .cast("bigint")
-        .alias("hl_centi"),
-        F.count("*").cast("bigint").alias("n_pairs"),
+    q = ordered_weighted_quantile(walsh, value_col="w", weight_col="one")
+    return q.select(
+        F.col("quantile_value").cast("bigint").alias("hl_centi"),
+        F.col("total_weight").cast("bigint").alias("n_pairs"),
     )
 
 
@@ -189,12 +205,28 @@ _PERM_B = 32
 
 
 def _perm_oracle() -> str:
+    # X218's digest-splitting discipline: 5 independent 24-bit uniforms
+    # per 128-bit digest (hex chars 6*(b%5)+1..+6 of md5(b DIV 5|key))
+    # -> 7 md5s per row for B=32 draws; md5 is the measured bottleneck
+    # (6.5 s/scan for 32 digests at sf0.1). Assignment compares the
+    # uniform against the PRECOMPUTED threshold t = 2^24*na DIV n —
+    # Bernoulli(na/n) to within 2^-24, no modulo bias — and the hashed
+    # CTE guarantees each digest is computed once, not once per
+    # referencing aggregate.
     def h(b: int) -> str:
-        return _md5i_sql(f"'{b}|' || CAST(o_orderkey AS VARCHAR)")
+        j, slot = divmod(b, 5)
+        return (
+            f"CAST(('0x' || substring(m{j}, {6 * slot + 1}, 6)) AS BIGINT)"
+        )
 
+    digests = ", ".join(
+        f"md5(CAST({j} AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR))"
+        f" AS m{j}"
+        for j in range((_PERM_B + 4) // 5)
+    )
     assigns = ",\n               ".join(
-        f"SUM(CASE WHEN {h(b)} % n < na THEN v ELSE 0 END) AS s{b},"
-        f" SUM(CASE WHEN {h(b)} % n < na THEN 1 ELSE 0 END) AS c{b}"
+        f"SUM(CASE WHEN {h(b)} < t THEN v ELSE 0 END) AS s{b},"
+        f" SUM(CASE WHEN {h(b)} < t THEN 1 ELSE 0 END) AS c{b}"
         for b in range(_PERM_B)
     )
     perm_rows = "\n        UNION ALL ".join(
@@ -210,13 +242,17 @@ def _perm_oracle() -> str:
     ),
     sizes AS (
         SELECT COUNT(*) AS n, SUM(ga) AS na,
+               16777216 * SUM(ga) // COUNT(*) AS t,
                SUM(v) AS s, SUM(CASE WHEN ga = 1 THEN v ELSE 0 END) AS sa0
         FROM v
+    ),
+    hashed AS (
+        SELECT v, {digests} FROM v
     ),
     wide AS (
         SELECT n, na, s, sa0,
                {assigns}
-        FROM v CROSS JOIN sizes
+        FROM hashed CROSS JOIN sizes
         GROUP BY n, na, s, sa0
     ),
     perms AS ({perm_rows}),
@@ -277,22 +313,49 @@ def q_relabel_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = v.agg(
         F.count("*").alias("n"),
         F.sum("ga").alias("na"),
+        F.expr("16777216 * SUM(ga) DIV COUNT(*)").alias("t"),
         F.sum("v").alias("s"),
         F.sum(F.when(F.col("ga") == 1, F.col("v")).otherwise(0)).alias("sa0"),
     )
-    vn = v.crossJoin(F.broadcast(sizes))
+    # X218's digest-splitting: 5 independent 24-bit uniforms per md5 ->
+    # 7 digests per row for B=32, projected ONCE before the aggregate
+    # (md5 is the measured bottleneck: 6.5 s/scan for 32 digests at
+    # sf0.1; 12.5 s warm pre-fix, 3.9 s after). Assignment compares
+    # against t = 2^24*na DIV n — Bernoulli(na/n) to within 2^-24,
+    # no modulo bias.
+    digests = [
+        F.md5(
+            F.concat(F.lit(f"{j}|"), F.col("o_orderkey").cast("string"))
+        ).alias(f"m{j}")
+        for j in range((_PERM_B + 4) // 5)
+    ]
+    vn = v.crossJoin(F.broadcast(sizes)).select(
+        "v", "n", "na", "t", "s", "sa0", *digests
+    )
 
     def assign(b: int) -> F.Column:
-        h = _md5i(F.concat(F.lit(f"{b}|"), F.col("o_orderkey").cast("string")))
-        return (h % F.col("n")) < F.col("na")
+        j, slot = divmod(b, 5)
+        h = F.conv(
+            F.substring(F.col(f"m{j}"), 6 * slot + 1, 6), 16, 10
+        ).cast("bigint")
+        return h < F.col("t")
 
+    # booleans projected once: s{b} and c{b} both reference a{b}, so
+    # each 24-bit draw is extracted and compared exactly once per row
+    # (inlining assign(b) into both aggregates doubled the conv work)
+    flagged = vn.select(
+        "v", "n", "na", "s", "sa0",
+        *[assign(b).alias(f"a{b}") for b in range(_PERM_B)],
+    )
     aggs = []
     for b in range(_PERM_B):
         aggs.append(
-            F.sum(F.when(assign(b), F.col("v")).otherwise(0)).alias(f"s{b}")
+            F.sum(F.when(F.col(f"a{b}"), F.col("v")).otherwise(0)).alias(f"s{b}")
         )
-        aggs.append(F.sum(F.when(assign(b), 1).otherwise(0)).alias(f"c{b}"))
-    wide = vn.groupBy("n", "na", "s", "sa0").agg(*aggs)
+        aggs.append(
+            F.sum(F.when(F.col(f"a{b}"), 1).otherwise(0)).alias(f"c{b}")
+        )
+    wide = flagged.groupBy("n", "na", "s", "sa0").agg(*aggs)
     dec = "decimal(38,0)"
     perms = wide.select(
         "n",

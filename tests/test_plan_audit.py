@@ -1078,7 +1078,13 @@ def test_round6b_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
     spark.catalog.clearCache()
     budgets = {
         "q_wilcoxon": 5,         # yearly agg + pair join + census + cumsum
-        "q_hodges_lehmann": 4,   # daily agg + pair join + global percentile
+        # daily agg feeds the pair join TWICE (histogram pass + exact
+        # crossing-bucket pass — ordered_weighted_quantile's two-scan
+        # contract; each pass re-aggregates daily): 2x(daily agg +
+        # walk censuses). The pre-fix percentile_disc spelling was 1
+        # exchange fewer but funnelled 2.9M rows into one task's sort
+        # (9.8 s -> 2.1 s at sf0.1).
+        "q_hodges_lehmann": 9,
         "q_relabel_test": 4,     # sizes agg + 64-col wide agg + compare
         "q_jackknife": 13,       # 5-row relation plumbing (broadcast-joined)
         "q_modularity": 11,      # LP rounds + intra/deg censuses (dim-sized)
