@@ -69,6 +69,7 @@ def load_all() -> None:
         round6a,
         round6b,
         round6c,
+        round6d,
         scalars,
         scans,
         setops,

@@ -1579,3 +1579,129 @@ def hll_distinct_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- ST24: streaming Bloom-filter duplicate screen -----------------------------
+
+BLOOM_M = 1024  # bits (16 longs of state)
+BLOOM_K = 7     # optimal for ~1% FPR at n ~ m/9.6 (q_bloom_advisor's math)
+BLOOM_OUT_SCHEMA = (
+    "grp string, n_events long, n_probable_dups long, bits_set int, "
+    "fp_rate_micro long"
+)
+BLOOM_STATE_SCHEMA = "words array<long>, n_events long, n_dups long"
+
+
+def bloom_fold(words: list[int], positions: list[list[int]]) -> tuple:
+    """Fold per-event bit-position lists into the bitset; returns the
+    updated words plus how many events were PROBABLY duplicates (all k
+    bits already set before their own insert). Pure function — the
+    unit tests drive it directly; insertion is bitwise OR, so the
+    final bitset is batching/replay/duplicate-invariant (the dup
+    COUNT additionally needs the ST16 arrival-order contract, since
+    'already seen' depends on fold order)."""
+    dups = 0
+    for pos in positions:
+        seen = all(words[p >> 6] & (1 << (p & 63)) for p in pos)
+        if seen:
+            dups += 1
+        else:
+            for p in pos:
+                words[p >> 6] |= 1 << (p & 63)
+    return words, dups
+
+
+def bloom_fp_rate_micro(words: list[int], k: int = BLOOM_K) -> int:
+    """Current false-positive estimate (bits_set/m)^k, micro-rounded —
+    the live counterpart of q_bloom_advisor's design-time target."""
+    bits = sum(bin(w & 0xFFFFFFFFFFFFFFFF).count("1") for w in words)
+    return round(1000000 * (bits / BLOOM_M) ** k)
+
+
+def _bloom_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        words, n_events, n_dups = (
+            list(state.get[0]),
+            state.get[1],
+            state.get[2],
+        )
+    else:
+        words, n_events, n_dups = [0] * (BLOOM_M // 64), 0, 0
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        pdf = pdf.sort_values("event_id")  # ST16 determinism contract
+        n_events += len(pdf)
+        positions = [
+            [int(pdf[f"p{i}"].iloc[r]) for i in range(BLOOM_K)]
+            for r in range(len(pdf))
+        ]
+        words, d = bloom_fold(words, positions)
+        n_dups += d
+    state.update((words, int(n_events), int(n_dups)))
+    bits = sum(bin(w & 0xFFFFFFFFFFFFFFFF).count("1") for w in words)
+    yield pd.DataFrame(
+        {
+            "grp": [key[0]],
+            "n_events": [int(n_events)],
+            "n_probable_dups": [int(n_dups)],
+            "bits_set": [int(bits)],
+            "fp_rate_micro": [bloom_fp_rate_micro(words)],
+        }
+    )
+
+
+def bloom_dedup_stream(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """ST24: streaming Bloom-filter duplicate screen — the online
+    consumer of X368's sizing math (m=1024, k=7 here) and the sixth
+    streaming sketch family (decay, Misra-Gries, KMV, count-min, HLL).
+
+    Per group, state is the m-bit filter as 16 longs; insertion is
+    bitwise OR, so the FILTER is batching-, replay- and duplicate-
+    invariant by construction (ST23's idempotent-fold argument). Each
+    trigger reports cumulative events, probable duplicates (all-k-bits
+    pre-set — never a false negative, FP rate self-reported live as
+    (bits/m)^k against the advisor's design target), bits set, and
+    the live FP estimate. Contrast ST3's exact dropDuplicates: that
+    state grows with distinct keys; this is CONSTANT — the trade a
+    100 TB/day dedup inlet makes, with the FP column saying exactly
+    what the trade costs right now.
+
+    Bit positions are md5-derived JVM-side (the engine-neutral idiom),
+    one digest split into seven OVERLAPPING 8-hex (32-bit) windows at stride 4 (documented partial dependence — a screen, not a proof) — Python only
+    folds precomputed integers.
+    """
+    pos_cols = [
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("bl|"), F.col(key_col).cast("string"))),
+                    1 + 4 * i,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % BLOOM_M
+        )
+        .cast("int")
+        .alias(f"p{i}")
+        for i in range(BLOOM_K)
+    ]
+    prepped = events.select(
+        F.col(group_col).alias("grp"), "event_id", *pos_cols
+    )
+    return prepped.groupBy("grp").applyInPandasWithState(
+        _bloom_fn,
+        outputStructType=BLOOM_OUT_SCHEMA,
+        stateStructType=BLOOM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1120,3 +1120,24 @@ def test_round6c_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
         assert "ArrowEvalPython" not in plan, name
         got = _n_shuffles(plan)
         assert got <= budget, (name, got, budget)
+
+
+def test_round6d_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
+    """Round-6 batch 4 (X366-X369): no Python nodes, bounded
+    exchanges. The s-curve audit checkpoints its shingle and signature
+    relations (34 exchanges pre-fix, 6 after); the bloom advisor runs
+    ONE multi-distinct scan; doremi's SinglePartitions are 1-row folds
+    over the tiny domain relation."""
+    spark.catalog.clearCache()
+    budgets = {
+        "q_haar_wavelet": 7,      # daily agg + cumsum + 11-level census
+        "q_lsh_scurve_audit": 7,  # truth join + sigs + bands + buckets
+        "q_bloom_advisor": 3,     # one Expand multi-distinct scan
+        "q_doremi_step": 5,       # per-domain agg + tiny folds
+    }
+    for name, budget in budgets.items():
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        got = _n_shuffles(plan)
+        assert got <= budget, (name, got, budget)

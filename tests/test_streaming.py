@@ -1323,3 +1323,75 @@ def test_hll_distinct_stream(spark, tmp_path):
     # 300 true distinct: raw HLL at m=64 has ~13% std error; assert a
     # loose 3-sigma envelope so the test pins sanity, not luck
     assert 180 <= est <= 420
+
+
+def test_bloom_fold_pure():
+    """ST24 core semantics: OR-fold idempotence (re-inserting a seen
+    key flags a probable dup and changes no bits), no false negatives,
+    and the live FP estimate formula."""
+    words = [0] * (ops.BLOOM_M // 64)
+    posA = [1, 65, 130, 200, 300, 400, 500]
+    posB = [2, 66, 131, 201, 301, 401, 501]
+    words, d = ops.bloom_fold(words, [posA, posB])
+    assert d == 0
+    snapshot = list(words)
+    words, d = ops.bloom_fold(words, [posA])  # exact re-insert
+    assert d == 1 and words == snapshot  # idempotent, flagged
+    # a key sharing SOME but not all bits is not flagged
+    posC = [1, 65, 130, 200, 300, 400, 999]
+    words, d = ops.bloom_fold(words, [posC])
+    assert d == 0
+    bits = sum(bin(w).count("1") for w in words)
+    assert bits == 15  # 14 distinct + 1 new from posC
+    assert ops.bloom_fp_rate_micro(words) == round(
+        1000000 * (15 / ops.BLOOM_M) ** ops.BLOOM_K
+    )
+
+
+def test_bloom_dedup_stream(spark, tmp_path):
+    """ST24: streaming Bloom screen — batching invariance (3 files vs
+    1, identical finals incl. the dup count under the event_id order
+    contract), true duplicates all flagged (no false negatives), and
+    the bitset matches an independent hashlib recomputation."""
+    import hashlib
+
+    ddl = "event_id long, ts string, user_id long, event_type string, value double"
+    ts = "2024-01-01 10:00:00"
+    # 120 distinct users, each seen twice (ids interleaved so dups
+    # arrive after their originals in event_id order)
+    rows = [(i, ts, i % 120, "click", 1.0) for i in range(240)]
+
+    def run(name, batches):
+        d = tmp_path / name
+        d.mkdir()
+        for b in batches:
+            spark.createDataFrame(b, ddl).withColumn(
+                "ts", F.to_timestamp("ts")
+            ).coalesce(1).write.mode("append").parquet(str(d))
+        stream = spark.readStream.schema(EVENTS_DDL).parquet(str(d))
+        out = _run(spark, ops.bloom_dedup_stream(stream), name, mode="update")
+        final = {}
+        for r in out.collect():
+            if final.get(r["grp"], (0,))[0] <= r["n_events"]:
+                final[r["grp"]] = (
+                    r["n_events"], r["n_probable_dups"], r["bits_set"],
+                    r["fp_rate_micro"],
+                )
+        return final
+
+    f_split = run("bl_split", [rows[:100], rows[100:180], rows[180:]])
+    f_one = run("bl_one", [rows])
+    assert f_split == f_one
+    n_events, n_dups, bits, fp = f_split["click"]
+    assert n_events == 240
+    # every true duplicate must be flagged (no false negatives);
+    # possible extra flags are false positives, bounded loosely
+    assert 120 <= n_dups <= 130
+    # independent bitset size check via hashlib
+    want_bits = set()
+    for u in {str(i % 120) for i in range(240)}:
+        hx = hashlib.md5(f"bl|{u}".encode()).hexdigest()
+        for i in range(ops.BLOOM_K):
+            want_bits.add(int(hx[4 * i : 4 * i + 8], 16) % ops.BLOOM_M)
+    assert bits == len(want_bits)
+    assert fp == round(1000000 * (len(want_bits) / ops.BLOOM_M) ** ops.BLOOM_K)
