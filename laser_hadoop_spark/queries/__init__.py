@@ -70,6 +70,7 @@ def load_all() -> None:
         round6b,
         round6c,
         round6d,
+        round6e,
         scalars,
         scans,
         setops,

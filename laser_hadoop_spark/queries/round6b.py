@@ -292,10 +292,12 @@ def q_relabel_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     this one reassigns group labels (its null is exchangeability of
     the two samples); X218's bootstrap resamples for a CI.
 
-    B=32 deterministic relabelings: draw b assigns each order to group
-    A iff md5(b|orderkey) % n < n_A — Bernoulli with p = n_A/n (the
-    Monte Carlo relabeling null; group sizes vary binomially and the
-    statistic comparison handles it exactly). |mean gap| comparisons
+    B=32 deterministic relabelings: draw b assigns an order to group A
+    iff its 24-bit md5 uniform (5 draws per digest — X218's splitting)
+    falls below t = 2^24*n_A DIV n — Bernoulli(n_A/n) to within 2^-24
+    with no modulo bias (the Monte Carlo relabeling null; group sizes
+    vary binomially and the statistic comparison handles it exactly).
+    |mean gap| comparisons
     never divide: |S_A*(n-n_A') - S_B*n_A'| * den_obs >= num_obs *
     den_perm, cross-multiplied in DECIMAL(38) (X75 discipline), so
     the p-value numerator is an exact integer count; p_bp = (1+#ge)*

@@ -1141,3 +1141,23 @@ def test_round6d_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
         assert "ArrowEvalPython" not in plan, name
         got = _n_shuffles(plan)
         assert got <= budget, (name, got, budget)
+
+
+def test_round6e_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
+    """Round-6 batch 5 (X370-X371): no Python nodes, bounded
+    exchanges. Hill's TakeOrdered top-301 executes inside its eager
+    checkpoint (the visible plan is arithmetic over the 301-row
+    relation — its SinglePartitions are that bounded relation's);
+    PSM's grid join is the caliper-blocked 1D equi-join, singles are
+    the final 1-row folds."""
+    spark.catalog.clearCache()
+    budgets = {
+        "q_hill_tail": 3,
+        "q_psm_match": 7,
+    }
+    for name, budget in budgets.items():
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        got = _n_shuffles(plan)
+        assert got <= budget, (name, got, budget)
