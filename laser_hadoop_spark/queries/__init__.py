@@ -71,6 +71,7 @@ def load_all() -> None:
         round6c,
         round6d,
         round6e,
+        round6f,
         scalars,
         scans,
         setops,

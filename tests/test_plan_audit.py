@@ -1161,3 +1161,23 @@ def test_round6e_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
         assert "ArrowEvalPython" not in plan, name
         got = _n_shuffles(plan)
         assert got <= budget, (name, got, budget)
+
+
+def test_round6f_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
+    """Round-6 batch 6 (X372-X373): no Python nodes, bounded
+    exchanges. Imputation is one per-group percentile + a 5-row
+    broadcast; GPD's single SinglePartition is the global percentile's
+    final merge (one holistic pass over the fact column — the
+    documented cost of an exact order-statistic threshold; the moment
+    scan after it is partial-aggregated)."""
+    spark.catalog.clearCache()
+    budgets = {
+        "q_impute_census": 4,
+        "q_gpd_pot": 3,
+    }
+    for name, budget in budgets.items():
+        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        got = _n_shuffles(plan)
+        assert got <= budget, (name, got, budget)
