@@ -53,84 +53,31 @@ def _load_all() -> None:
     queries.load_all()
 
 
-# The driver verifies a 50-entry PREFIX of queries() order (rounds 1-4:
-# each CORRECTNESS_r0N.json is exactly the first 50 entries of that
-# round's ordering), so dict order is a verification budget.
+# The driver verifies a 50-entry PREFIX of queries() order (every
+# CORRECTNESS_r0N.json is exactly the first 50 entries of that round's
+# ordering), so dict order is a verification budget.
 #
-# ROUND-6 ROTATION (VERDICT_r05 "Next round" #1): after round 5's
-# window (CORRECTNESS_r05: 50/50 hash-green), 166 oracle-backed
-# queries remain never-driver-checked — the 27 round-4 stragglers
-# (q_vocab_coverage .. q_minhash_accuracy, exactly as VERDICT_r05
-# directed) plus 139 round-5 registrations. The round-6 window is the
-# 27 stragglers followed by the first 23 round-5 queries in
-# registration order. The 2 rows-only queries (q_compress_ratio,
-# q_wau_hll) stay EXCLUDED from the prefix (a rows-only check would
-# spend a hash-verification slot on a weaker verdict — both stay
-# covered by the local rows>0 gate in tests).
+# ROUND-7 ROTATION (VERDICT_r06 "Next round" #1 + #6): round 6's window
+# verified 50/50 (the 27 round-4 stragglers + 23 round-5 heads); 141
+# oracle-backed queries remain never-driver-checked. Items 1 and 6 of
+# the round-6 verdict jointly shape this window: item 1 asks for the
+# next 50 never-checked (q_qte_deciles onward, registration order),
+# item 6 asks to reserve the final ~5 slots for regression re-checks of
+# the oldest round-1 greens (q_partial_final_agg has not been
+# re-visited since r1). We take 45 never-checked + 5 re-checks: lag
+# 141 -> 96 AND the re-check rotation starts this round, satisfying
+# item 6's hard criterion ("CORRECTNESS_r07 contains >=1 re-check
+# entry") at the cost of 5 window slots against item 1's approximate
+# "lag -> ~93". The 8 rows-only queries stay EXCLUDED from the prefix.
 #
-# After the window: the remaining never-driver-checked round-5
-# queries in registration order (round-7/8/9 windows at 50/round),
-# then regression re-checks verified longest ago (VERDICT_r05 #6:
-# once the lag clears a window's width, ~5 slots/round rotate onto
-# old greens, oldest first). Everything past the window stays covered
-# by the full local oracle corpus (tests/test_oracle_corpus.py +
-# ORACLE_LOCAL_r06.json, 411/411).
+# After the window: remaining never-driver-checked queries in
+# registration order (round-8/9 windows), then the rest of the r1-only
+# greens oldest-first. Everything past the window stays covered by the
+# full local oracle corpus (tests/test_oracle_corpus.py +
+# ORACLE_LOCAL_r06.json, 436/436).
 _DRIVER_PRIORITY = [
-    # -- round-6 driver window: the 27 round-4 stragglers, then the
-    #    first 23 never-driver-checked round-5 queries in
-    #    registration order (all oracle-backed) --------------------
-    "q_vocab_coverage",
-    "q_price_volume_mix",
-    "q_decile_migration",
-    "q_null_safe_join",
-    "q_sprt",
-    "q_cuped",
-    "q_winsorized_mean",
-    "q_longest_streak",
-    "q_mean_family",
-    "q_rolling_mode",
-    "q_cross_source_dupes",
-    "q_knee_point",
-    "q_readability",
-    "q_binary_segmentation",
-    "q_rolling_corr",
-    "q_seasonality_strength",
-    "q_reorder_rate",
-    "q_ingest_drift",
-    "q_funnel_latency",
-    "q_growth_accounting",
-    "q_psi",
-    "q_mood_median_test",
-    "q_lorenz_points",
-    "q_rare_token_exposure",
-    "q_weekday_hour_heatmap",
-    "q_hhi_concentration",
-    "q_minhash_accuracy",
-    "q_grid_spatial_join",
-    "q_record_linkage",
-    "q_countmin_audit",
-    "q_bloom_fpr_audit",
-    "q_embedding_covariance",
-    "q_retrieval_metrics",
-    "q_weighted_sample",
-    "q_kl_divergence",
-    "q_bpe_merges",
-    "q_multisource_reconcile",
-    "q_nearest_hub",
-    "q_kcore_peel",
-    "q_kmv_distinct_audit",
-    "q_luhn_checksum",
-    "q_bootstrap_ci",
-    "q_mann_kendall",
-    "q_revenue_proration",
-    "q_zonemap_audit",
-    "q_dedup_survivors",
-    "q_set_cover",
-    "q_km_survival",
-    "q_itemset_triples",
-    "q_sorted_neighborhood",
-    # -- past the window: remaining never-driver-checked round-5
-    #    queries in registration order (round-7+ windows) ----------
+    # -- round-7 driver window: next 45 never-driver-checked (all
+    #    oracle-backed, registration order) + 5 oldest-r1 re-checks --
     "q_qte_deciles",
     "q_compression_advisor",
     "q_shuffle_skew_planner",
@@ -176,6 +123,15 @@ _DRIVER_PRIORITY = [
     "q_sequence_support",
     "q_trending_parts",
     "q_churn_sensitivity",
+    # -- window slots 46-50: regression re-checks, r1-green, never
+    #    re-visited since (VERDICT_r06 item 6) ----------------------
+    "q_partial_final_agg",
+    "q_count_distinct",
+    "q_dedup_exact",
+    "q_order_limit",
+    "q_semi_join",
+    # -- past the window: remaining never-driver-checked queries in
+    #    registration order (round-8+ windows) ----------------------
     "q_capped_sessions",
     "q_welch_t",
     "q_durbin_watson",
@@ -247,13 +203,31 @@ _DRIVER_PRIORITY = [
     "q_average_precision",
     "q_zip_fit",
     "q_mutual_nn",
-    # -- then regression re-checks, verified-longest-ago first
-    #    (all r1-green, last driver-checked in r01) -------------------
-    "q_partial_final_agg",
-    "q_count_distinct",
-    "q_dedup_exact",
-    "q_order_limit",
-    "q_semi_join",
+    "q_hll_audit",
+    "q_resource_alloc",
+    "q_katz_centrality",
+    "q_dbscan_core",
+    "q_char_entropy",
+    "q_label_prop",
+    "q_var_es",
+    "q_wilcoxon",
+    "q_hodges_lehmann",
+    "q_relabel_test",
+    "q_jackknife",
+    "q_modularity",
+    "q_hop2_census",
+    "q_procrustes2d",
+    "q_eigen2_closed",
+    "q_cholesky2",
+    "q_effect_sizes",
+    "q_haar_wavelet",
+    "q_lsh_scurve_audit",
+    "q_bloom_advisor",
+    "q_doremi_step",
+    "q_hill_tail",
+    "q_psm_match",
+    "q_impute_census",
+    "q_gpd_pot",
     "q_anti_join",
     "q_scalar_consistency",
     "q_large_join_multikey",
