@@ -197,13 +197,22 @@ def minhash_lsh_pairs(
 
 
 def simhash(
-    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_hash: str = "xxhash64(t)",
 ) -> DataFrame:
     """32-bit SimHash sketch per document, entirely in column expressions.
 
-    Each token hashes once (xxhash64, JVM codegen); bit i of the sketch
-    is the majority vote of bit i across token hashes. Near-dup docs
-    differ in few bits -> pair via simhash_pairs.
+    Each token hashes once (default xxhash64, JVM codegen); bit i of
+    the sketch is the majority vote of bit i across token hashes.
+    Near-dup docs differ in few bits -> pair via simhash_pairs.
+    `token_hash` is a SQL fragment over the bound token `t`; pass the
+    cross-engine md5 prefix
+    (`cast(conv(substring(md5(t),1,15),16,10) as bigint)`) when the
+    sketch must be reproducible outside Spark (oracle verification,
+    multi-engine pipelines) — xxhash64 is faster but Spark-only.
 
     Single-pass construction: one aggregate over the token-hash array
     accumulates all 32 bit-counts in an int-array accumulator (vs 32
@@ -215,7 +224,7 @@ def simhash(
     aggregate(
       zip_with(
         aggregate(
-          transform(split({text_col}, ' '), t -> xxhash64(t)),
+          transform(split({text_col}, ' '), t -> {token_hash}),
           array_repeat(0, {SIMHASH_BITS}),
           (acc, h) -> zip_with(
             acc,
@@ -237,6 +246,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 6,
     n_bands: int = 8,
+    token_hash: str = "xxhash64(t)",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
@@ -254,7 +264,7 @@ def simhash_pairs(
         )
     if SIMHASH_BITS % n_bands:
         raise ValueError(f"n_bands={n_bands} must divide {SIMHASH_BITS}")
-    sk = simhash(df, id_col=id_col, text_col=text_col)
+    sk = simhash(df, id_col=id_col, text_col=text_col, token_hash=token_hash)
     band_width = SIMHASH_BITS // n_bands
     bands = sk.select(
         F.col(id_col).alias("doc"),

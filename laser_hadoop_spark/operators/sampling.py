@@ -55,6 +55,38 @@ def stratified_sample_expr(
     return df.where(F.rand(seed) < fraction)
 
 
+def stratified_sample_hash(
+    df: DataFrame,
+    *,
+    key: Column,
+    fraction: Column,
+    salt: str = "42",
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep iff md5-uniform(key) < fraction.
+
+    The row's 24-bit uniform is the first 6 hex chars of
+    md5(key || '|' || salt); the row survives when that integer is
+    below floor(fraction * 2^24). Same plan shape as
+    stratified_sample_expr (one scan, zero shuffles, the mixture rule
+    travels with the scan) but the coin flips are a pure function of
+    the key, so the sample is identical on every engine, every run,
+    any partitioning — reproducible pipelines and DuckDB-verifiable
+    (the round-5 X218 bootstrap technique applied to sampling;
+    `fraction` must be a per-row expression in [0, 1]).
+
+    At 100 TB this matters beyond testing: re-runs and backfills select
+    the SAME rows, so downstream dedup/packing stages are stable across
+    incremental ingests — seeded `rand()` can't promise that once
+    partitioning changes.
+    """
+    u24 = F.conv(
+        F.substring(F.md5(F.concat(key.cast("string"), F.lit("|" + salt))), 1, 6),
+        16,
+        10,
+    ).cast("bigint")
+    return df.where(u24 < F.floor(fraction * F.lit(1 << 24)).cast("bigint"))
+
+
 def quota_sample(
     df: DataFrame,
     *,

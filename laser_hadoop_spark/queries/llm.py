@@ -423,19 +423,65 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_dedup_simhash", oracle=None)  # xxhash64-based bits: rows-only
+@register(
+    "q_dedup_simhash",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents
+    ),
+    th AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h
+        FROM toks
+    ),
+    bits AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE 0 END) AS c,
+               COUNT(*) AS n
+        FROM th CROSS JOIN (SELECT UNNEST(generate_series(0, 31)) AS b) s
+        GROUP BY doc_id, b
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN c * 2 > n THEN (CAST(1 AS BIGINT) << b)
+                             ELSE 0 END) AS BIGINT) AS sh
+        FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 6
+    """,
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 (bit-sketch form): 32-bit SimHash fingerprints per document.
+    """L2 (bit-sketch form): SimHash near-dup pairs, hamming <= 6.
 
-    Token hashes via xxhash64 (JVM, codegen) folded into a sign-vector
-    sketch entirely with array/bitwise expressions — no Python. DuckDB
-    has no xxhash64 -> rows-only; pair extraction by hamming distance is
-    pytest-verified in operators/dedup.py.
+    Token hashes fold into a 32-bit majority-vote sketch entirely with
+    array/bitwise expressions — no Python. Candidate pairs come from
+    8-way bit-banding (pigeonhole: a pair within hamming 6 < 8 bands
+    must agree exactly on >= 2 bands), so only band-collisions are
+    compared — never the O(n^2) scan. Pinned from rows-only to a full
+    oracle (round-6 VERDICT item 2): tokens hash via the 60-bit md5
+    prefix both engines spell (`conv(substr(md5,1,15),16,10)` /
+    `'0x'-cast`), and the oracle computes the same sketches then the
+    QUADRATIC hamming join — hash equality certifies the banding
+    lossless against the brute-force definition (the q_dbscan_core
+    certification pattern). The xxhash64 default in
+    operators/dedup.simhash stays for Spark-only speed;
+    `token_hash` selects the portable digest.
     """
-    from laser_hadoop_spark.operators.dedup import simhash
+    from laser_hadoop_spark.operators.dedup import simhash_pairs
 
     d = table(spark, sf_dir, "documents")
-    return simhash(d, id_col="doc_id", text_col="text")
+    pairs = simhash_pairs(
+        d,
+        id_col="doc_id",
+        text_col="text",
+        max_hamming=6,
+        n_bands=8,
+        token_hash="cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)",
+    )
+    return pairs.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 # --- embedding similarity ----------------------------------------------------
@@ -861,24 +907,40 @@ def q_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_sample_stratified", oracle=None)  # seeded Bernoulli: rows-only
+@register(
+    "q_sample_stratified",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 6))
+               AS BIGINT)
+          < CASE WHEN CAST(('0x' || substring(md5(source), 1, 15)) AS BIGINT)
+                      % 2 = 0
+                 THEN 8388608 ELSE 3355443 END
+    """,
+)
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-mixture weights: seeded per-source Bernoulli sampling.
+    """Training-mixture weights: deterministic per-source Bernoulli sample.
 
-    Sampling decisions are per-row coin flips against a fraction
-    DERIVED per-row from the stratum value (even source-hash -> 0.5,
-    odd -> 0.2) — no distinct-collect of the strata, no count pass, no
-    shuffle; the mixture rule travels with the scan. Fractions are
-    approximate (binomial), so the check is rows-only + a pytest
-    tolerance test.
+    Sampling decisions are per-row md5-threshold coin flips against a
+    fraction DERIVED per-row from the stratum value (even source-hash
+    -> 0.5, odd -> 0.2) — no distinct-collect of the strata, no count
+    pass, no shuffle; the mixture rule travels with the scan. Pinned
+    from rows-only to a full oracle (round-6 VERDICT item 2) by
+    replacing the engine-seeded `rand(42)` with the X218 md5-uniform
+    threshold (keep iff the 24-bit digest prefix of md5(doc_id||'|42')
+    is below floor(frac * 2^24): 8388608 for 0.5, 3355443 for 0.2);
+    the stratum parity rule moves from xxhash64 (Spark-only) to a
+    60-bit md5 prefix both engines spell. Same binomial semantics,
+    but reproducible across engines/runs/partitionings — the property
+    a 100 TB backfill actually needs. The pytest binomial-tolerance
+    test stays as a secondary distributional check.
     """
-    from laser_hadoop_spark.operators.sampling import stratified_sample_expr
+    from laser_hadoop_spark.operators.sampling import stratified_sample_hash
 
     d = table(spark, sf_dir, "documents")
-    frac = F.when(
-        F.pmod(F.xxhash64("source"), F.lit(2)) == 0, F.lit(0.5)
-    ).otherwise(F.lit(0.2))
-    return stratified_sample_expr(d, fraction=frac, seed=42)
+    src_hash = F.conv(F.substring(F.md5("source"), 1, 15), 16, 10).cast("bigint")
+    frac = F.when(src_hash % 2 == 0, F.lit(0.5)).otherwise(F.lit(0.2))
+    return stratified_sample_hash(d, key=F.col("doc_id"), fraction=frac, salt="42")
 
 
 @register(

@@ -448,9 +448,10 @@ def q_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     32-bit SimHash per document from the md5 hash both engines share
     (the q_minhash_signatures trick applied to SimHash): each distinct
     token votes +1/-1 per bit position, the sign of the per-bit sum
-    sets the bit, ties (sum = 0) resolve to 0. This converts the
-    SimHash family from rows-only (q_dedup_simhash's banding is
-    driver-checked but unverifiable) to bit-for-bit oracle-verified.
+    sets the bit, ties (sum = 0) resolve to 0. This converted the
+    SimHash family from rows-only to bit-for-bit oracle-verified;
+    round 7 finished the job by pinning q_dedup_simhash's banded PAIR
+    extraction to a quadratic-hamming oracle with the same md5 digest.
 
     Shape (reworked after the r04 sf0.1 bench showed the x32 bit
     explode at 4.0 s): the per-bit votes are 32 conditional-sum
