@@ -47,6 +47,42 @@ ENGINE_CONF: dict[str, str] = {
 }
 
 
+def ensure_vendored_protobuf() -> bool:
+    """Put the repo's vendored pure-Python protobuf on the import path.
+
+    transformWithStateInPandas speaks a protobuf wire protocol between
+    the Python worker and the JVM state server; pyspark ships only the
+    generated module, not the runtime. This container has no PyPI
+    access, so ``vendor/google/protobuf`` carries the public
+    BSD-licensed pure-Python runtime (see vendor/.../runtime_version.py
+    for the one-line version-gate note). Both sys.path (driver) and
+    PYTHONPATH (inherited by executor Python workers — call BEFORE the
+    JVM starts) are extended. Returns True when protobuf is importable.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    vendor = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "vendor")
+    if not os.path.isdir(os.path.join(vendor, "google", "protobuf")):
+        return False
+    import sys
+
+    if vendor not in sys.path:
+        sys.path.insert(0, vendor)
+    prior = os.environ.get("PYTHONPATH", "")
+    if vendor not in prior.split(os.pathsep):
+        os.environ["PYTHONPATH"] = vendor + (os.pathsep + prior if prior else "")
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def get_spark(
     app_name: str = "laser_hadoop_spark",
     master: str | None = None,
@@ -58,6 +94,7 @@ def get_spark(
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
     cluster pass None and submit through spark-submit, which sets master.
     """
+    ensure_vendored_protobuf()
     builder = SparkSession.builder.appName(app_name)
     if master is None and "SPARK_MASTER" not in os.environ:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")

@@ -7,6 +7,13 @@ import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
+# Resolve the vendored protobuf runtime BEFORE test collection (skipif
+# predicates) and before any JVM starts (executor workers inherit
+# PYTHONPATH) — enables the transformWithStateInPandas e2e drive.
+from laser_hadoop_spark.session import ensure_vendored_protobuf  # noqa: E402
+
+ensure_vendored_protobuf()
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
