@@ -5,7 +5,7 @@ Four tiers, cheapest to most robust:
   fingerprint_dedup    — group on md5 of normalized text (16-byte shuffle)
   ngram_jaccard_pairs  — exact near-dup pairs via shingle equi-join
   minhash_lsh_pairs    — LSH-banded candidates (pyspark.ml), the 100 TB path
-  simhash / simhash_pairs — 32-bit bit-sketch + hamming-distance pairs
+  simhash / simhash_pairs — 32/64-bit bit-sketch + hamming-distance pairs
 
 Everything except the MinHashLSH model is pure column expressions.
 """
@@ -202,8 +202,9 @@ def simhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     token_hash: str = "xxhash64(t)",
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
-    """32-bit SimHash sketch per document, entirely in column expressions.
+    """SimHash sketch per document, entirely in column expressions.
 
     Each token hashes once (default xxhash64, JVM codegen); bit i of
     the sketch is the majority vote of bit i across token hashes.
@@ -214,24 +215,38 @@ def simhash(
     sketch must be reproducible outside Spark (oracle verification,
     multi-engine pipelines) — xxhash64 is faster but Spark-only.
 
+    `bits` (32 or 64): sketch width. 32 keeps the oracle-facing
+    queries compact; 64 is the PRODUCTION width (Manku, Jain & Das
+    Sarma, WWW'07 — Google's web-scale near-dup setting) and the one
+    that scales: band keys are bits/n_bands wide, so a 32-bit sketch
+    in 8 bands has 4-bit keys = 16 buckets per band and candidate
+    generation degrades to ~n²/16 per band as the corpus grows; 64-bit
+    keys give 256 buckets at 8 bands (or 65k at 4) and keep buckets
+    shuffle-partition sized. The sign bit is safe: bit 63's addend is
+    min-long, every partial sum stays in int64 (subset sums of
+    distinct powers of two), and band extraction masks after the
+    arithmetic shift.
+
     Single-pass construction: one aggregate over the token-hash array
-    accumulates all 32 bit-counts in an int-array accumulator (vs 32
+    accumulates all bit-counts in an int-array accumulator (vs `bits`
     filter passes re-walking the array per bit — ~2x slower). Written
     as a SQL higher-order expression because shiftright takes an
     expression operand there, which the Python DSL disallows.
     """
+    if bits not in (32, 64):
+        raise ValueError(f"bits must be 32 or 64, got {bits}")
     sketch = f"""
     aggregate(
       zip_with(
         aggregate(
           transform(split({text_col}, ' '), t -> {token_hash}),
-          array_repeat(0, {SIMHASH_BITS}),
+          array_repeat(0, {bits}),
           (acc, h) -> zip_with(
             acc,
-            transform(sequence(0, {SIMHASH_BITS - 1}), i -> int(shiftright(h, i) & 1L)),
+            transform(sequence(0, {bits - 1}), i -> int(shiftright(h, i) & 1L)),
             (a, b) -> a + b)
         ),
-        sequence(0, {SIMHASH_BITS - 1}),
+        sequence(0, {bits - 1}),
         (c, i) -> IF(c * 2 > size(split({text_col}, ' ')), shiftleft(1L, i), 0L)
       ),
       0L, (a, b) -> a + b)
@@ -247,6 +262,7 @@ def simhash_pairs(
     max_hamming: int = 6,
     n_bands: int = 8,
     token_hash: str = "xxhash64(t)",
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
@@ -256,16 +272,26 @@ def simhash_pairs(
     the round-1 defaults 6/4 silently missed pairs whose differing bits
     spread across all bands), so only band-collisions are compared — no
     O(n^2) scan.
+
+    Scale note (measured, PERF_NOTES round 7): band-key cardinality is
+    2^(bits/n_bands). At the 32-bit default with 8 bands that is 16
+    buckets per band — fine at test scale, but buckets grow O(n/16) on
+    a large corpus and candidate generation degrades toward quadratic.
+    For production corpora pass bits=64 (the WWW'07 web-scale
+    setting): 256 buckets at 8 bands, 65k at 4, keeping buckets
+    shuffle-partition sized. The hamming filter runs BEFORE the
+    distinct so the dedup exchange carries only true near-dup pairs,
+    not every band collision.
     """
     if max_hamming >= n_bands:
         raise ValueError(
             f"pigeonhole guarantee needs max_hamming < n_bands, got "
             f"max_hamming={max_hamming}, n_bands={n_bands}"
         )
-    if SIMHASH_BITS % n_bands:
-        raise ValueError(f"n_bands={n_bands} must divide {SIMHASH_BITS}")
-    sk = simhash(df, id_col=id_col, text_col=text_col, token_hash=token_hash)
-    band_width = SIMHASH_BITS // n_bands
+    if bits % n_bands:
+        raise ValueError(f"n_bands={n_bands} must divide {bits}")
+    sk = simhash(df, id_col=id_col, text_col=text_col, token_hash=token_hash, bits=bits)
+    band_width = bits // n_bands
     bands = sk.select(
         F.col(id_col).alias("doc"),
         "simhash",
@@ -292,13 +318,13 @@ def simhash_pairs(
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
+        .where(hamming <= max_hamming)
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
             hamming.alias("hamming"),
         )
         .distinct()
-        .where(F.col("hamming") <= max_hamming)
     )
 
 

@@ -120,6 +120,35 @@ def test_simhash_near_dups(spark, docs):
     assert len(exact & got) / len(exact) >= 0.8
 
 
+def test_simhash_64bit_banding_lossless(spark, docs):
+    """The production width (bits=64, WWW'07): banding with
+    max_hamming < n_bands must return EXACTLY the pairs the quadratic
+    hamming definition does (pigeonhole makes candidate generation
+    lossless, not approximate), and the sign bit must be handled (bit
+    63's addend is min-long; band 7's key masks the arithmetic
+    shift's sign extension)."""
+    sk = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, bits=64).collect()}
+    assert any(v < 0 for v in sk.values()) or len(sk) < 8, (
+        "expected at least one sketch with bit 63 set on a non-tiny corpus"
+    )
+    ids = sorted(sk)
+    truth = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((sk[a] ^ sk[b]) & ((1 << 64) - 1)).count("1") <= 6
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_pairs(docs, max_hamming=6, n_bands=8, bits=64).collect()
+    }
+    assert got == truth
+    # 64-bit band keys are 8 bits wide: no key may exceed 255 and the
+    # top band must be sign-mask-clean
+    with pytest.raises(ValueError):
+        dedup.simhash_pairs(docs, max_hamming=6, n_bands=7, bits=64)
+
+
 # --- similarity --------------------------------------------------------------
 
 
