@@ -846,6 +846,27 @@ def test_round5t_queries_shuffle_bounded(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_round7_queries_shuffle_bounded(spark, sf_dir):
+    """Round-7 additions/rewrites: q_jaro_blocked keeps q_jaro_pairs'
+    plan shape under the finer key (Arrow kernel only on the vocab
+    dictionary, broadcast join onto the blocked pair relation);
+    q_dedup_simhash's banded pair extraction is pure JVM (the md5
+    token hash is a builtin) with the hamming filter BEFORE the
+    distinct exchange; the pinned q_sample_stratified stays a
+    zero-shuffle scan filter."""
+    spark.catalog.clearCache()
+    plan = _plan(registry.get("q_jaro_blocked").fn(spark, sf_dir))
+    assert _n_shuffles(plan) <= 3, plan
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    plan = _plan(registry.get("q_dedup_simhash").fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan, plan
+    plan = _plan(registry.get("q_sample_stratified").fn(spark, sf_dir))
+    assert _n_shuffles(plan) == 0, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_round5u_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
     """Round-5 batch 21 (X305-X309): no Python nodes, bounded
     exchanges. Cronbach is two partial aggregates; Kendall's W ranks
