@@ -621,3 +621,59 @@ def test_genetics_population_stats(spark, fx):
         r = got_ibs[(s1, s2)]
         assert r["n_shared"] == cnt
         assert r["ibs_bp"] == 10000 * tot // (2 * cnt)
+
+
+# --- S20: Python DataSource API (Spark 4) ------------------------------------
+
+
+def test_python_datasource_seq_parity(spark, fx):
+    """spark.read.format("laser_seq") returns EXACTLY read_seq's
+    relation on the same gz fixture (same schema, same row multiset),
+    with one input partition per file — the reference's
+    one-task-per-gzip-file scheduling expressed through the planner."""
+    from laser_hadoop_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    via_ds = spark.read.format("laser_seq").load(fx["seq"])
+    via_fn = readers.read_seq(spark, fx["seq"])
+    # same names and types (nullability may differ: size() is non-null)
+    assert [(f.name, f.dataType) for f in via_ds.schema] == [
+        (f.name, f.dataType) for f in via_fn.schema
+    ]
+    key = lambda r: (r["pop_id"], r["ind_id"], r["n_fields"], tuple(map(tuple, r["loci"])))  # noqa: E731
+    assert sorted(map(key, via_ds.collect())) == sorted(map(key, via_fn.collect()))
+
+
+def test_python_datasource_partition_per_file(spark, fx, tmp_path):
+    """A glob over k files plans k input partitions (gzip is not
+    splittable; parallelism must equal file count, never 1)."""
+    import gzip as _gz
+    import shutil
+
+    from laser_hadoop_spark.sources import pydatasource
+
+    d = tmp_path / "many"
+    d.mkdir()
+    for i in range(3):
+        shutil.copy(fx["seq"], d / f"part{i}.gz")
+    (d / "plain.seq").write_text("popX indX 1.0 2.0 3.0\n")  # mixed gz+plain
+    pydatasource.register(spark)
+    df = spark.read.format("laser_seq").load(str(d / "*"))
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 3 * 30 + 1
+    loci = df.where(F.col("pop_id") == "popX").first()["loci"]
+    assert [tuple(x) for x in loci] == [(1.0, 2.0, 3.0)]
+
+
+def test_python_datasource_arity_surfaces(spark, tmp_path):
+    """Malformed rows surface via n_fields (validation-gate contract,
+    LASERInputCheckMapper semantics) instead of failing the scan."""
+    from laser_hadoop_spark.sources import pydatasource
+
+    p = tmp_path / "bad.seq"
+    p.write_text("pop1 ind1 1 2 3\npop2\npop3 ind3 1 2\n")
+    pydatasource.register(spark)
+    rows = {r["pop_id"]: r for r in spark.read.format("laser_seq").load(str(p)).collect()}
+    assert rows["pop1"]["n_fields"] == 5 and len(rows["pop1"]["loci"]) == 1
+    assert rows["pop2"]["n_fields"] == 1 and rows["pop2"]["ind_id"] is None
+    assert rows["pop3"]["n_fields"] == 4 and rows["pop3"]["loci"] == []
