@@ -440,6 +440,14 @@ def ann_lsh_topk(
     Tuning: more planes/table -> smaller buckets -> less pairwise work,
     lower per-table recall; more tables buys the recall back at the
     cost of candidate-union size. Deterministic for a fixed seed.
+
+    Scale rule (the round-7 simhash band-width finding applies here
+    verbatim): bucket count per table is 2^n_planes, so the random
+    candidate floor is ~n²/2^n_planes per table. The n_planes=2
+    default (4 buckets) is an ORACLE-SCALE setting; at corpus size n
+    set n_planes ≈ log2(n / target_bucket_rows) so buckets stay
+    shuffle-partition sized (e.g. n=1e9, 10k-row buckets -> ~17
+    planes), then raise n_tables until recall recovers.
     """
     first = df.select(vec_col).first()
     dim = len(first[0])
