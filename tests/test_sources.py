@@ -677,3 +677,43 @@ def test_python_datasource_arity_surfaces(spark, tmp_path):
     assert rows["pop1"]["n_fields"] == 5 and len(rows["pop1"]["loci"]) == 1
     assert rows["pop2"]["n_fields"] == 1 and rows["pop2"]["ind_id"] is None
     assert rows["pop3"]["n_fields"] == 4 and rows["pop3"]["loci"] == []
+
+
+def test_python_datasource_streaming_exactly_once(spark, tmp_path):
+    """The laser_seq SimpleDataSourceStreamReader: a drop-dir is a
+    Structured Streaming source with exactly-once file consumption —
+    restart from the checkpoint consumes ONLY files landed since the
+    last committed offset (the reference's SFTP-landing ingest loop as
+    a planner-managed source)."""
+    from laser_hadoop_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    out = str(tmp_path / "out")
+
+    def run_batch():
+        # parquet sink: recoverable from the checkpoint (memory sink is
+        # not), so each run appends exactly the delta past the offset
+        q = (
+            spark.readStream.format("laser_seq")
+            .load(str(drop))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        return sorted(r["pop_id"] for r in spark.read.parquet(out).collect())
+
+    (drop / "0001.seq").write_text("popA ind1 1 2 3\npopB ind2 4 5 6\n")
+    assert run_batch() == ["popA", "popB"]
+    # restart from the checkpoint with a new file: ONLY the delta is
+    # consumed — 0001.seq is never re-read (exactly-once, 3 total rows)
+    (drop / "0002.seq").write_text("popC ind3 7 8 9\n")
+    assert run_batch() == ["popA", "popB", "popC"]
+    # and a restart with NO new files appends nothing
+    assert run_batch() == ["popA", "popB", "popC"]
