@@ -484,6 +484,78 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+@register(
+    "q_dedup_simhash64",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents
+    ),
+    th AS (
+        SELECT doc_id,
+               CAST(CAST(('0x' || substring(md5(t), 9, 8)) AS BIGINT) AS HUGEINT)
+                   * 4294967296
+                   + CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT) AS h
+        FROM toks
+    ),
+    bits AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE 0 END) AS c,
+               COUNT(*) AS n
+        FROM th CROSS JOIN (SELECT UNNEST(generate_series(0, 63)) AS b) s
+        GROUP BY doc_id, b
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN c * 2 > n THEN (CAST(1 AS HUGEINT) << b)
+                             ELSE CAST(0 AS HUGEINT) END)
+                    - CASE WHEN SUM(CASE WHEN c * 2 > n AND b = 63 THEN 1
+                                         ELSE 0 END) = 1
+                           THEN (CAST(1 AS HUGEINT) << 64) ELSE 0 END
+                    AS BIGINT) AS sh
+        FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """,
+)
+def q_dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 at PRODUCTION width: 64-bit SimHash pairs, hamming <= 3,
+    4 bands — the WWW'07 web-scale configuration, oracle-verified.
+
+    The r7 probe showed this is the configuration that scales (32-bit
+    banding funnels into 16-value band keys on a dup-dense corpus;
+    64-bit/4-band ran the same corpus at exponent 1.06); this query
+    pins it cross-engine. The 64-bit token hash both engines spell is
+    two md5 32-bit halves: Spark `shiftleft(hi,32)|lo` (bitwise —
+    shifts never overflow-check), DuckDB `hi::HUGEINT*2^32+lo` with
+    the sketch accumulated in HUGEINT then converted to signed BIGINT
+    by subtracting 2^64 when bit 63 is set — the one spelling whose
+    sign semantics match Spark's long exactly. The quadratic-hamming
+    oracle again certifies the banding lossless at this width (the
+    pytest proves the same set-equality against Spark's own quadratic
+    definition; this adds the independent engine).
+    """
+    from laser_hadoop_spark.operators.dedup import simhash_pairs
+
+    d = table(spark, sf_dir, "documents")
+    h64 = (
+        "(shiftleft(cast(conv(substring(md5(t), 9, 8), 16, 10) as bigint), 32)"
+        " | cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"
+    )
+    pairs = simhash_pairs(
+        d,
+        id_col="doc_id",
+        text_col="text",
+        max_hamming=3,
+        n_bands=4,
+        bits=64,
+        token_hash=h64,
+    )
+    return pairs.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 # --- embedding similarity ----------------------------------------------------
 
 _COSINE_THRESHOLD = 0.35
