@@ -535,9 +535,10 @@ def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM vals)
     SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
-           CAST(SUM(CAST(c1 + c2 AS HUGEINT)
+           CAST(CAST(SUM(CAST(c1 + c2 AS HUGEINT)
                     * (cum1 * t.n2 - cum2 * t.n1)
                     * (cum1 * t.n2 - cum2 * t.n1)) AS DECIMAL(38, 0))
+                AS VARCHAR)
                AS t_scaled
     FROM cum CROSS JOIN tot t
     GROUP BY t.n1, t.n2
@@ -553,8 +554,11 @@ def q_cvm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Evaluated over distinct values with multiplicity: t_scaled =
     sum over v of (c1+c2) * (cum1*n2 - cum2*n1)^2, an exact
     DECIMAL(38) integer = omega^2 * n1^2 * n2^2 * N (no division, no
-    float, hash-identical across engines; X174's DECIMAL38 power-sum
-    discipline for products beyond bigint).
+    float; the accumulation is DECIMAL38/HUGEINT but the OUTPUT is
+    VARCHAR — X133/X174/X364's wide-integer emission discipline, so
+    the driver's hash never sees a Decimal-typed cell whose
+    canonicalization differs across engines; driver-red in r07 when
+    emitted as DECIMAL(38,0)).
 
     100 TB shape: same plan as KS — one distinct-value aggregate, the
     range-partitioned two-pass cumulative, a broadcast 1-row total;
@@ -580,6 +584,7 @@ def q_cvm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * diff.cast("decimal(38,0)")
             )
             .cast("decimal(38,0)")
+            .cast("string")
             .alias("t_scaled")
         )
         .select(

@@ -57,81 +57,37 @@ def _load_all() -> None:
 # CORRECTNESS_r0N.json is exactly the first 50 entries of that round's
 # ordering), so dict order is a verification budget.
 #
-# ROUND-7 ROTATION (VERDICT_r06 "Next round" #1 + #6): round 6's window
-# verified 50/50 (the 27 round-4 stragglers + 23 round-5 heads); 141
-# oracle-backed queries remain never-driver-checked. Items 1 and 6 of
-# the round-6 verdict jointly shape this window: item 1 asks for the
-# next 50 never-checked (q_qte_deciles onward, registration order),
-# item 6 asks to reserve the final ~5 slots for regression re-checks of
-# the oldest round-1 greens (q_partial_final_agg has not been
-# re-visited since r1). We take 45 never-checked + 5 re-checks: lag
-# 141 -> 96 AND the re-check rotation starts this round, satisfying
-# item 6's hard criterion ("CORRECTNESS_r07 contains >=1 re-check
-# entry") at the cost of 5 window slots against item 1's approximate
-# "lag -> ~93". The 8 rows-only queries stay EXCLUDED from the prefix.
+# ROUND-8 ROTATION (VERDICT_r07 "Next round" #1 + #4): round 7's window
+# came back 49/50 — the one red, q_cvm_test, is fixed this round
+# (t_scaled now VARCHAR on both engines, the X133/X174/X364
+# wide-integer discipline; pinned at its exact sf0.01 value in
+# tests/test_decimal_outputs.py) and LEADS the window so CORRECTNESS_r08
+# records its driver-green. Slots 2-5: the four r7 additions/pins the
+# frozen r7 prefix couldn't reach (q_sample_stratified and
+# q_dedup_simhash had only r3 rows-only checks before their r7 oracle
+# pins; q_dedup_simhash64 and q_jaro_blocked are new). Slots 6-45: the
+# next 40 never-driver-checked in registration order (q_capped_sessions
+# onward; 98 oracle-backed remained at r7 close -> 56 after this
+# window). Slots 46-50: regression re-checks of the five OLDEST
+# r1-vintage greens never re-visited (registration order; r7 re-checked
+# the first five, all still green). The 6 rows-only queries stay
+# EXCLUDED from the prefix.
 #
 # After the window: remaining never-driver-checked queries in
-# registration order (round-8/9 windows), then the rest of the r1-only
+# registration order (round-9/10 windows), then the rest of the r1-only
 # greens oldest-first. Everything past the window stays covered by the
 # full local oracle corpus (tests/test_oracle_corpus.py +
-# ORACLE_LOCAL_r06.json, 436/436).
+# ORACLE_LOCAL_r08.json at the driver's own sf0.01, 438/438).
 _DRIVER_PRIORITY = [
-    # -- round-7 driver window: next 45 never-driver-checked (all
-    #    oracle-backed, registration order) + 5 oldest-r1 re-checks --
-    "q_qte_deciles",
-    "q_compression_advisor",
-    "q_shuffle_skew_planner",
-    "q_hierarchical_share",
-    "q_watermark_audit",
-    "q_snapshot_asof_diff",
-    "q_gini_features",
-    "q_position_attribution",
-    "q_diff_in_diff",
-    "q_fd_miner",
-    "q_percentile_quarantine",
-    "q_cohens_kappa",
-    "q_bh_fdr",
-    "q_js_divergence",
-    "q_transition_entropy",
+    # -- slot 1: the r7 red, fixed (VERDICT_r07 item 1) --------------
     "q_cvm_test",
-    "q_allen_census",
-    "q_permutation_test",
-    "q_neyman_allocation",
-    "q_capture_recapture",
-    "q_simpson_reversals",
-    "q_hits_scores",
-    "q_clustering_coefficient",
-    "q_cochran_armitage",
-    "q_covariate_balance",
-    "q_runs_test",
-    "q_heaps_fit",
-    "q_inventory_turns",
-    "q_qini_deciles",
-    "q_circular_hours",
-    "q_srm_detector",
-    "q_kruskal_wallis",
-    "q_eta_squared",
-    "q_sequence_match",
-    "q_acf",
-    "q_chi2_residuals",
-    "q_g_test",
-    "q_profile_shape_cosine",
-    "q_haversine_join",
-    "q_double_fire_census",
-    "q_backlog_aging",
-    "q_page_hinkley",
-    "q_sequence_support",
-    "q_trending_parts",
-    "q_churn_sensitivity",
-    # -- window slots 46-50: regression re-checks, r1-green, never
-    #    re-visited since (VERDICT_r06 item 6) ----------------------
-    "q_partial_final_agg",
-    "q_count_distinct",
-    "q_dedup_exact",
-    "q_order_limit",
-    "q_semi_join",
-    # -- past the window: remaining never-driver-checked queries in
-    #    registration order (round-8+ windows) ----------------------
+    # -- slots 2-5: r7 oracle pins/additions, never hash-checked ----
+    "q_sample_stratified",
+    "q_dedup_simhash",
+    "q_dedup_simhash64",
+    "q_jaro_blocked",
+    # -- slots 6-45: next 40 never-driver-checked (registration
+    #    order, all oracle-backed) ----------------------------------
     "q_capped_sessions",
     "q_welch_t",
     "q_durbin_watson",
@@ -172,6 +128,15 @@ _DRIVER_PRIORITY = [
     "q_temperature_mixture",
     "q_pack_boundaries",
     "q_ngram_continuations",
+    # -- window slots 46-50: regression re-checks — the five oldest
+    #    r1-vintage greens never re-visited (VERDICT_r07 item 4) -----
+    "q_grouped_counts",
+    "q_rollup",
+    "q_cube",
+    "q_percentile",
+    "q_collect_agg",
+    # -- past the window: remaining never-driver-checked queries in
+    #    registration order (round-9+ windows) ----------------------
     "q_sign_sketch_fidelity",
     "q_stl_decompose",
     "q_fixed_effects",
@@ -235,10 +200,7 @@ _DRIVER_PRIORITY = [
     "q_range_join",
     "q_asof_join",
     "q_salted_join",
-    "q_rollup",
-    "q_cube",
     "q_grouping_sets",
-    "q_percentile",
     "q_text_wordcount",
     "q_dedup_ngram_jaccard",
     "q_exists_subquery",
@@ -251,7 +213,6 @@ _DRIVER_PRIORITY = [
     "q_histogram",
     "q_edit_distance_join",
     "q_recursive_cte",
-    "q_grouped_counts",
     "q_scalar_subquery",
     "q_cohort_retention",
     "q_funnel",

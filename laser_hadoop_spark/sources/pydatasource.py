@@ -112,8 +112,10 @@ class LaserSeqReader(DataSourceReader):
     def read(self, partition: _SeqFilePartition) -> Iterator[tuple]:
         with _open_maybe_gzip(partition.path) as f:
             for line in f:
-                if line.strip():
-                    yield _parse_line(line)
+                # blank lines are EMITTED (pop_id='', n_fields=1), not
+                # skipped — exact relation parity with read_seq, whose
+                # spark.read.text produces a row per blank line too
+                yield _parse_line(line)
 
 
 class LaserSeqStreamReader(SimpleDataSourceStreamReader):
@@ -121,14 +123,19 @@ class LaserSeqStreamReader(SimpleDataSourceStreamReader):
 
     The reference's ingest loop polls an SFTP landing directory and
     consumes whole files (SURVEY §2.1 S6/S13); this is that contract as
-    a Structured Streaming SOURCE: the offset is the COUNT of files
-    consumed in lexicographic order, so the drop-dir convention is
-    monotone file names (timestamp/sequence prefixes — the convention
-    every landing zone already follows; the chunked gzip sink's
-    part-numbered output satisfies it). `read` consumes everything past
-    the checkpointed count; `readBetweenOffsets` replays an exact file
-    slice after restart, giving exactly-once delivery from a plain
-    directory with no side database.
+    a Structured Streaming SOURCE. The offset is the NAME of the last
+    consumed file (the lexicographic high-water mark), not a positional
+    count: a batch consumes exactly the files strictly greater than the
+    checkpointed name, so a file landing with an earlier name than the
+    mark can never SHIFT the slice (the positional scheme silently
+    skipped one file and double-read another on replay — round-8 fix).
+    Late earlier-named files are deterministically ignored instead; the
+    drop-dir contract is monotone file names (timestamp/sequence
+    prefixes — the convention every landing zone already follows; the
+    chunked gzip sink's part-numbered output satisfies it).
+    `readBetweenOffsets` replays the exact (start, end] name interval
+    after restart, giving exactly-once delivery from a plain directory
+    with no side database.
     """
 
     def __init__(self, options: dict):
@@ -140,34 +147,35 @@ class LaserSeqStreamReader(SimpleDataSourceStreamReader):
         import os
 
         return sorted(
-            os.path.join(self._dir, f)
-            for f in os.listdir(self._dir)
-            if not f.startswith(("_", "."))
+            f for f in os.listdir(self._dir) if not f.startswith(("_", "."))
         )
 
     def initialOffset(self) -> dict:
-        return {"pos": 0}
+        return {"last": ""}
 
-    def _rows(self, paths: list[str]) -> list[tuple]:
+    def _rows(self, names: list[str]) -> list[tuple]:
         # materialized (not a generator): the simple-stream contract
         # pickles the batch for replay-on-failure; SimpleDataSourceStreamReader
         # reads on the driver by design, sized for control-plane-rate
         # sources (file drops), not firehoses
+        import os
+
         out: list[tuple] = []
-        for p in paths:
-            with _open_maybe_gzip(p) as f:
-                out.extend(_parse_line(line) for line in f if line.strip())
+        for name in names:
+            with _open_maybe_gzip(os.path.join(self._dir, name)) as f:
+                out.extend(_parse_line(line) for line in f)
         return out
 
     def read(self, start: dict):
-        files = self._files()
-        new = files[start["pos"] :]
+        new = [n for n in self._files() if n > start["last"]]
+        end = {"last": new[-1]} if new else dict(start)
         # a LIST iterator: the runner advances it (iterator contract)
         # AND pickles it into the prefetch cache (generators can't)
-        return iter(self._rows(new)), {"pos": len(files)}
+        return iter(self._rows(new)), end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        return iter(self._rows(self._files()[start["pos"] : end["pos"]]))
+        names = [n for n in self._files() if start["last"] < n <= end["last"]]
+        return iter(self._rows(names))
 
 
 class LaserSeqDataSource(DataSource):

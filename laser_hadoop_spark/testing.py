@@ -70,7 +70,24 @@ def _canon(v: Any, float_col: bool = False) -> Any:
     if isinstance(v, (bool, np.bool_)):
         return ("b", bool(v))
     if isinstance(v, Decimal):
-        v = float(v)
+        # Decimal-STRICT (round 8, VERDICT_r07 item 3): a Decimal cell
+        # canonicalizes on its own axis ("d", normalized digits), never
+        # via float(). r07's q_cvm_test was driver-red on a
+        # DECIMAL(38,0) output column that this harness — which then
+        # collapsed Decimal to float64 — could not distinguish from the
+        # oracle's value. Decimal-typed OUTPUT columns are now banned
+        # corpus-wide (tests/test_decimal_outputs.py); this branch
+        # exists so any future violation FAILS locally instead of
+        # escaping to the driver. A Decimal inside a float-typed pandas
+        # column never reaches here (already float64 by fetch time).
+        if v.is_nan():
+            return ("f", "NaN")
+        if float_col:
+            v = float(v)  # pandas column coercion wins; fall through
+        elif v == v.to_integral_value():
+            return ("d", str(int(v)))
+        else:
+            return ("d", format(v, "f").rstrip("0").rstrip("."))
     if isinstance(v, (int, np.integer)) and not isinstance(v, bool):
         return ("f", float(v) + 0.0) if float_col else ("i", int(v))
     if isinstance(v, (float, np.floating)):
@@ -122,7 +139,10 @@ def _spark_fetch(sdf) -> tuple[list[str], list[tuple], set[int]]:
     float_cols: set[int] = set()
     int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     for i, f in enumerate(sdf.schema.fields):
-        if isinstance(f.dataType, (T.FloatType, T.DoubleType, T.DecimalType)):
+        # DecimalType deliberately NOT a float column (round 8): Decimal
+        # cells canonicalize strictly so decimal-typed outputs fail
+        # loudly here before the driver sees them.
+        if isinstance(f.dataType, (T.FloatType, T.DoubleType)):
             float_cols.add(i)
         elif isinstance(f.dataType, int_types) and any(r[i] is None for r in rows):
             float_cols.add(i)

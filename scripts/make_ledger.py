@@ -22,14 +22,24 @@ import re
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def build_ledger(root: str = ROOT) -> dict:
+def build_ledger(root: str = ROOT, only_rounds: list[int] | None = None) -> dict:
+    """Merge the CORRECTNESS files under ``root`` into the ledger dict.
+
+    ``only_rounds`` restricts the merge to those round numbers — used by
+    tests/test_ledger.py to decide, by CONTENT, whether a committed
+    ledger is merely pre-boundary (rebuilding from exactly its
+    ``rounds_merged`` reproduces it) or genuinely stale.
+    """
     rounds: dict[int, dict] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
+        n = int(m.group(1))
+        if only_rounds is not None and n not in only_rounds:
+            continue
         with open(path) as f:
-            rounds[int(m.group(1))] = json.load(f)
+            rounds[n] = json.load(f)
 
     queries: dict[str, dict] = {}
     for rnd in sorted(rounds):

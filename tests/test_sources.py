@@ -717,3 +717,62 @@ def test_python_datasource_streaming_exactly_once(spark, tmp_path):
     assert run_batch() == ["popA", "popB", "popC"]
     # and a restart with NO new files appends nothing
     assert run_batch() == ["popA", "popB", "popC"]
+
+
+def test_python_datasource_blank_line_parity(spark, tmp_path):
+    """ADVICE r7: blank lines must produce the SAME rows via the batch
+    Python DataSource as via read_seq (spark.read.text emits a row per
+    blank line; the DataSource used to skip them, so the claimed exact
+    relation parity held only on blank-free fixtures)."""
+    from laser_hadoop_spark.sources import pydatasource
+
+    p = tmp_path / "blanks.seq"
+    p.write_text("popA ind1 1 2 3\n\npopB ind2 4 5 6\n")
+    pydatasource.register(spark)
+    via_ds = spark.read.format("laser_seq").load(str(p))
+    via_fn = readers.read_seq(spark, str(p))
+    key = lambda r: (r["pop_id"], r["ind_id"], r["n_fields"], tuple(map(tuple, r["loci"])))  # noqa: E731
+    ds_rows = sorted(map(key, via_ds.collect()))
+    assert ds_rows == sorted(map(key, via_fn.collect()))
+    assert len(ds_rows) == 3  # the blank line IS a row: ('', None, 1, ())
+    assert ("", None, 1, ()) in ds_rows
+
+
+def test_python_datasource_streaming_offset_is_filename(spark, tmp_path):
+    """ADVICE r7: the stream offset is the last consumed FILENAME, not a
+    positional count — a file landing with a lexicographically EARLIER
+    name than the high-water mark can no longer shift the slice (the
+    positional offset silently skipped the next file and double-read on
+    replay). Late earlier-named files are deterministically ignored;
+    later-named files are consumed exactly once."""
+    from laser_hadoop_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_batch():
+        q = (
+            spark.readStream.format("laser_seq")
+            .load(str(drop))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        return sorted(r["pop_id"] for r in spark.read.parquet(out).collect())
+
+    (drop / "0005.seq").write_text("popE ind5 1 2 3\n")
+    assert run_batch() == ["popE"]
+    # a LATE file with an earlier name + a genuinely new file: the new
+    # file is consumed exactly once, the stale-named one is ignored
+    # (never shifts the slice into skip/double-read territory)
+    (drop / "0001.seq").write_text("popLATE ind1 9 9 9\n")
+    (drop / "0007.seq").write_text("popG ind7 4 5 6\n")
+    assert run_batch() == ["popE", "popG"]
+    # idempotent restart: nothing new, nothing re-read
+    assert run_batch() == ["popE", "popG"]
