@@ -98,6 +98,15 @@ HEADLINE = [
     "q_dbscan_core",
     "q_relabel_test",
     "q_hodges_lehmann",
+    # round 8 (VERDICT_r07 item 6): the two r7 probe findings promoted
+    # to tracked headline numbers — the production (brand,size)-blocked
+    # Jaro join (probe exponent 0.35 vs the coarse key's 1.75) and the
+    # production 64-bit WWW'07 SimHash banding (probe exponent 1.06
+    # where the 32-bit banding funneled). Expected total shift:
+    # +~1 s at sf0.1 (0.79 s jaro_blocked + ~8 s simhash64 wait — see
+    # PERF_NOTES round 8 for the measured split).
+    "q_jaro_blocked",
+    "q_dedup_simhash64",
 ]
 
 

@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Run every registered query against its DuckDB oracle and report.
 
-Usage: python scripts/check_oracles.py [--json OUT.json] [sf_dir] [query ...]
+Usage: python scripts/check_oracles.py [--json OUT.json] [--window] [sf_dir] [query ...]
+(--window = exactly the driver's 50-entry verification prefix)
 Defaults to /root/testdata/sf0.01 (the driver's correctness scale).
 
 --json writes the per-query verdicts as a committed artifact
@@ -38,8 +39,16 @@ def main() -> int:
         i = args.index("--json")
         json_out = args[i + 1]
         del args[i : i + 2]
+    window = "--window" in args
+    if window:
+        args.remove("--window")
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     names = args[1:] if args and os.path.isdir(args[0]) else args
+    if window:
+        # exactly the driver's verification prefix — the first 50
+        # entries of queries() order (no copy-paste drift between the
+        # registry rotation and its dry-run)
+        names = list(registry.all_queries())[:50] + names
     spark = get_spark("check_oracles")
     if os.environ.get("SPARK_GRAFT_ADVERSARIAL"):
         spark.conf.set("spark.sql.ansi.enabled", "true")

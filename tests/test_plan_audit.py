@@ -1202,3 +1202,41 @@ def test_round6f_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
         assert "ArrowEvalPython" not in plan, name
         got = _n_shuffles(plan)
         assert got <= budget, (name, got, budget)
+
+
+def test_dedup_simhash64_plan_clean(spark, sf_dir):
+    """X478 (round-8 bench promotion): the production 64-bit SimHash
+    banding — codifying the round-7 judge's manual plan audit: zero
+    CartesianProduct, zero single-partition exchange, zero Python
+    nodes, and the 4-band candidate join is a BroadcastHashJoin."""
+    spark.catalog.clearCache()
+    plan = _plan(registry.get("q_dedup_simhash64").fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_jaro_blocked_plan_shape(spark, sf_dir):
+    """X477 (round-8 bench promotion): the (brand,size)-blocked Jaro
+    join. The Arrow kernel (expected Python node) scores only the
+    vocab^2 dictionary; the corpus-scale pair relation must stay JVM:
+    the scored dictionary joins back via BroadcastHashJoin and nothing
+    funnels through a single partition except the final ORDER BY's
+    range exchange (which rangepartitioning handles)."""
+    spark.catalog.clearCache()
+    plan = _plan(registry.get("q_jaro_blocked").fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    # Arrow evals only in the dictionary subtree: Spark plans the
+    # kernel twice (projection + the >=threshold filter it extracts
+    # from the join), both over the vocab^2 relation that ends in a
+    # BroadcastExchange — never a per-corpus-pair kernel, which would
+    # also show as a Python node on the probe side of the big join
+    import re as _re
+
+    n_arrow = len(_re.findall(r"ArrowEvalPython", plan))
+    assert 1 <= n_arrow <= 2, plan
+    # the corpus-side blocked pair join itself is a (broadcast) hash
+    # join with the k1<k2 residual — no CartesianProduct anywhere
+    assert "CartesianProduct" not in plan, plan
