@@ -177,7 +177,17 @@ def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: one daily partial aggregate; the quadratic stage is bound
     by the date domain, never fact rows; the quantile never shuffles
-    the pair relation (two scan-shaped histogram passes).
+    the pair relation (two scan-shaped histogram passes). Although
+    daily is referenced four times downstream (both self-join sides x
+    the quantile's two passes), AQE exchange reuse largely
+    deduplicates it (3 ReusedExchange in the final plan) — probed
+    round 8: an eager localCheckpoint here was NO faster at
+    10x-orders-same-calendar (3.57 -> 3.52 s end-to-end) and 49%
+    SLOWER at sf0.1 (1.35 -> 2.01 s, the blocking materialization
+    defeats pipelining), so the declarative spelling stands
+    (probe_round8.py; contrast q_isotonic_fit, whose checkpoint IS
+    load-bearing — its bin table feeds a triple self-join AQE cannot
+    dedupe across).
     """
     from laser_hadoop_spark.operators.cumulative import (
         ordered_weighted_quantile,
