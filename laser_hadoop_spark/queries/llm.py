@@ -366,7 +366,13 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
     )
-    wide = minhash_mins(spark, sf_dir)
+    # signature relation materialized before the band self-join (round
+    # 8, the simhash_pairs discipline): (doc_id, 8x32-hex) is
+    # sketch-scale while its lineage — 8 md5 array-mins over every
+    # shingle — is corpus-scale; without the checkpoint the self-join
+    # recomputed it per side (measured 1.62 -> 1.08 s candidate stage
+    # at sf0.1)
+    wide = minhash_mins(spark, sf_dir).localCheckpoint(eager=True)
     bands = wide.select(
         "doc_id",
         F.expr(

@@ -78,3 +78,15 @@ def test_local_oracle_artifact_covers_registry():
     )
     bad = sorted(n for n, v in artifact.items() if not v["ok"])
     assert not bad, f"locally failing queries recorded: {bad}"
+
+
+def test_driver_window_prefix_is_fully_oracle_backed():
+    """The driver hash-verifies the FIRST 50 entries of queries()
+    order; a rows-only query accidentally rotated into that prefix
+    would silently burn a verification slot on a weaker check."""
+    import __spark_entry__ as entry
+
+    window = list(entry.queries())[:50]
+    oracles = entry.oracle_sql()
+    missing = [n for n in window if n not in oracles]
+    assert not missing, f"rows-only queries inside the driver window: {missing}"
