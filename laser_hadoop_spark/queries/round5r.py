@@ -586,7 +586,14 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.col("idx") + 1).alias("pos"),
         F.xxhash64("gram").alias("gram_h"),
-    )
+    ).hint("shuffle_hash")
+    # ^ round 8: without the hint the dup-gram semi-join BROADCASTS the
+    # duplicate-hash set (millions of 8-byte keys at sf0.1 — measured
+    # 5.59 -> 3.91 s from the hint alone), and at corpus scale that
+    # broadcast is impossible anyway; the hint pins the scale-correct
+    # shuffle plan at every sf (no plan cliff at the autoBroadcast
+    # threshold). A collect-positions one-pass spelling was measured
+    # SLOWER (4.2 s) and adds a hot-gram list-skew hazard — rejected.
     dup = (
         grams.groupBy("gram_h")
         .agg(F.count_distinct("doc_id").alias("nd"))
