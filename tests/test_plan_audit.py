@@ -1240,3 +1240,21 @@ def test_jaro_blocked_plan_shape(spark, sf_dir):
     # the corpus-side blocked pair join itself is a (broadcast) hash
     # join with the k1<k2 residual — no CartesianProduct anywhere
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dup_spans_no_broadcast_of_dup_gram_set(spark, sf_dir):
+    """X294 (round-8 fix): the duplicate-gram semi-join must be a
+    SHUFFLE join — broadcasting the multi-million-key dup-hash set was
+    the measured 1.43x regression at sf0.1 and is impossible at corpus
+    scale. The window stages stay partitioned by doc_id (no
+    single-partition exchange)."""
+    spark.catalog.clearCache()
+    plan = _plan(registry.get("q_dup_spans").fn(spark, sf_dir))
+    import re as _re
+
+    # the gram_h semi-join must shuffle; the one remaining broadcast is
+    # the benign final doc-count-scale n_chars join, never a LeftSemi
+    assert _re.search(r"ShuffledHashJoin \[gram_h\S*\], \[gram_h", plan), plan
+    assert "BroadcastHashJoin" not in plan or "LeftSemi, BuildRight" not in \
+        _re.sub(r"ShuffledHashJoin.*", "", plan), plan
+    assert "Exchange SinglePartition" not in plan, plan
