@@ -412,27 +412,53 @@ def _damerau(s1: str, s2: str) -> int:
     return d[l1 + 1][l2 + 1]
 
 
-def _brand_pairs(
-    spark: SparkSession, sf_dir: str, blocking_cols: tuple[str, ...] = ("p_brand",)
+def _scored_blocked_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    scored: DataFrame,
+    blocking_cols: tuple[str, ...] = ("p_brand",),
 ) -> DataFrame:
-    """Candidate part-name pairs under an equi-join blocking key.
+    """Blocked pair relation pruned THROUGH the scored dictionary.
 
     `blocking_cols` is the record-linkage blocking discipline as a
     parameter: every listed part column becomes an equi-join key, so
-    candidates are quadratic in BLOCK size, not corpus size. The
-    round-6 probe showed brand-only blocks (~800 rows/block at sf0.1)
-    make the OUTPUT itself the cost — the production answer is a finer
-    key: adding p_size cuts avg block 800 -> 16 and candidate pairs
-    ~2500x (sum of block² drops from 25x800² to 1250x16²). The
-    quadratic stage is bounded exactly like X35/X79; at 10x data with
-    realistic attribute diversity the finer key's block size stays
-    constant, so candidates — and time — grow linearly (see
-    scripts/probe_round7.py + PERF_NOTES round 7)."""
+    candidates are quadratic in BLOCK size, not corpus size; when
+    blocks are too big, add independent attributes to the key (the
+    round-7 probe: brand-only blocks ~800 rows at sf0.1 vs 16 under
+    (brand, size), candidate pairs down ~2500x, growth exponent 1.75
+    vs 0.35 — see PERF_NOTES).
+
+    Round-8 restructure of the `pairs ⨝ broadcast(scored)` shape: the
+    left side expands against the broadcast ≥/≤-threshold dictionary
+    slice FIRST (each record grows only to its qualifying partner
+    names), and only then equi-joins the right side on
+    (blocking_cols…, s2=p_name). The all-candidate pair relation —
+    sum-of-block² rows that the old spelling streamed through the
+    broadcast probe just to discard — never exists; every joined row
+    already passes the similarity threshold, so the second join's
+    output IS the answer (modulo the k1<k2 dedup residual). The join
+    key also gains the name column: (brand) 25 distinct keys →
+    (brand, name) ~1600, so block skew drops and parallelism rises.
+    Measured sf0.1 (PERF_NOTES round 8): q_jaro_pairs compute 4.9 →
+    1.8 s noop-sink (2.8x); part-x10 probe constant 2.6x down at the
+    same output-bound exponent.
+
+    100 TB: the dictionary stays broadcast-size (vocab² slice); both
+    part-scale sides meet in one shuffle equi-join on
+    (blocking_cols…, name) whose output is threshold-pruned by
+    construction. When the name vocabulary ever grows corpus-like,
+    project distinct names off the blocked relation first (see
+    _name_vocab_pairs) — the decomposition, not this join, is what
+    assumes a dictionary."""
     p = table(spark, sf_dir, "part")
     cols = list(blocking_cols)
     a = p.select(*cols, F.col("p_partkey").alias("k1"), F.col("p_name").alias("s1"))
     b = p.select(*cols, F.col("p_partkey").alias("k2"), F.col("p_name").alias("s2"))
-    return a.join(b, cols).where(F.col("k1") < F.col("k2"))
+    return (
+        a.join(F.broadcast(scored), "s1")
+        .join(b, cols + ["s2"])
+        .where(F.col("k1") < F.col("k2"))
+    )
 
 
 def _name_vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -482,12 +508,12 @@ def q_jaro_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: the kernel scores only the vocab² dictionary (corpus-size-
     independent, see _name_vocab_pairs); the blocked pair relation —
-    the part that grows — is pure JVM: one brand equi-join plus one
-    broadcast hash join against the ≥-threshold slice of the scored
-    dictionary, which prunes sub-threshold pairs inside the join.
-    Residual scaling is the OUTPUT itself (within-block matches are
-    inherently quadratic in block size); see PERF_NOTES for the
-    measured bound.
+    the part that grows — is pure JVM and pruned BEFORE it expands:
+    each record joins the broadcast ≥-threshold dictionary slice to
+    its qualifying partner names, then one (brand, name) equi-join
+    materializes only true matches (_scored_blocked_pairs). Residual
+    scaling is the OUTPUT itself (within-block matches are inherently
+    quadratic in block size); see PERF_NOTES for the measured bound.
     """
 
     @F.pandas_udf(LongType())
@@ -501,9 +527,8 @@ def q_jaro_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s1", "s2", jaro_udf("s1", "s2").alias("jaro_micro"))
         .where(F.col("jaro_micro") >= _JARO_MIN_MICRO)
     )
-    pairs = _brand_pairs(spark, sf_dir)
     return (
-        pairs.join(F.broadcast(scored), ["s1", "s2"])
+        _scored_blocked_pairs(spark, sf_dir, scored)
         .select("k1", "k2", "jaro_micro")
         .orderBy("k1", "k2")
     )
@@ -528,8 +553,8 @@ def q_jaro_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     the round-6 verdict's blocking_cols demo (item 5).
 
     Same Arrow dictionary kernel and threshold as q_jaro_pairs; the
-    only change is the blocking key, passed through _brand_pairs'
-    blocking_cols parameter. Standard record-linkage discipline: when
+    only change is the blocking key, passed through
+    _scored_blocked_pairs' blocking_cols parameter. Standard record-linkage discipline: when
     blocks are too big, add independent attributes to the key until
     block sizes are bounded — true duplicate part listings agree on
     size, so (brand, size) trades a little recall for a ~2500x cut in
@@ -556,9 +581,10 @@ def q_jaro_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s1", "s2", jaro_udf("s1", "s2").alias("jaro_micro"))
         .where(F.col("jaro_micro") >= _JARO_MIN_MICRO)
     )
-    pairs = _brand_pairs(spark, sf_dir, blocking_cols=("p_brand", "p_size"))
     return (
-        pairs.join(F.broadcast(scored), ["s1", "s2"])
+        _scored_blocked_pairs(
+            spark, sf_dir, scored, blocking_cols=("p_brand", "p_size")
+        )
         .select("k1", "k2", "jaro_micro")
         .orderBy("k1", "k2")
     )
@@ -589,10 +615,11 @@ def q_damerau_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     keystrokes that plain levenshtein (X35) over-penalizes. The
     oracle is DuckDB's independent builtin.
 
-    100 TB: same dictionary decomposition as X302 — the DP kernel
-    runs vocab² times (corpus-size-independent), the growing pair
-    relation is JVM-only (brand equi-join + broadcast hash join on the
-    ≤-threshold dictionary slice).
+    100 TB: same dictionary decomposition and pruned-expansion join as
+    X302 — the DP kernel runs vocab² times (corpus-size-independent),
+    the growing pair relation is JVM-only and expands through the
+    broadcast ≤-threshold dictionary slice before the (brand, name)
+    equi-join (_scored_blocked_pairs).
     """
 
     @F.pandas_udf(IntegerType())
@@ -606,9 +633,8 @@ def q_damerau_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s1", "s2", dl_udf("s1", "s2").alias("dl"))
         .where(F.col("dl") <= _DAMERAU_MAX)
     )
-    pairs = _brand_pairs(spark, sf_dir)
     return (
-        pairs.join(F.broadcast(scored), ["s1", "s2"])
+        _scored_blocked_pairs(spark, sf_dir, scored)
         .select("k1", "k2", F.col("dl").cast("bigint").alias("dl"))
         .orderBy("k1", "k2")
     )

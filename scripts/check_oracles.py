@@ -1,8 +1,13 @@
 #!/usr/bin/env python
 """Run every registered query against its DuckDB oracle and report.
 
-Usage: python scripts/check_oracles.py [--json OUT.json] [--window] [sf_dir] [query ...]
-(--window = exactly the driver's 50-entry verification prefix)
+Usage: python scripts/check_oracles.py [--json OUT.json] [--window]
+       [--skip name]... [sf_dir] [query ...]
+(--window = exactly the driver's 50-entry verification prefix;
+ --skip = drop a query from the run, for above-driver-scale sweeps
+ where a specific ORACLE is intractable — e.g. q_damerau_pairs' DuckDB
+ side runs the O(len²) DP per candidate pair, ~40 min at sf0.1, while
+ the Spark side is dictionary-bounded and stays in the bench)
 Defaults to /root/testdata/sf0.01 (the driver's correctness scale).
 
 --json writes the per-query verdicts as a committed artifact
@@ -42,6 +47,11 @@ def main() -> int:
     window = "--window" in args
     if window:
         args.remove("--window")
+    skips: set[str] = set()
+    while "--skip" in args:
+        i = args.index("--skip")
+        skips.add(args[i + 1])
+        del args[i : i + 2]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     names = args[1:] if args and os.path.isdir(args[0]) else args
     if window:
@@ -59,6 +69,9 @@ def main() -> int:
     specs = registry.specs()
     if names:
         specs = {n: specs[n] for n in names}
+    if skips:
+        specs = {n: s for n, s in specs.items() if n not in skips}
+        print(f"skipping {len(skips)}: {sorted(skips)}")
     failures = 0
     results: dict[str, dict] = {}
     for name, spec in sorted(specs.items()):
