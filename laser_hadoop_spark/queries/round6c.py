@@ -396,9 +396,13 @@ def q_cholesky2(spark: SparkSession, sf_dir: str) -> DataFrame:
                        / (m.na + m.nb - 2))
                 * (1 - 3.0 / (4 * (m.na + m.nb) - 9))) AS BIGINT)
                AS hedges_g_micro,
+           -- HUGEINT // (truncating, matches Spark DIV); DECIMAL //
+           -- degrades to double division + a ROUNDING bigint cast
+           -- (the X349 probe) — caught live by the round-8 sf0.1
+           -- sweep: quotient 1897.64 hashed 1898 vs Spark's 1897
            CAST(1000000 * (2 * c.conc + c.ties
-                           - CAST(m.na AS DECIMAL(38,0)) * m.nb)
-                // (CAST(m.na AS DECIMAL(38,0)) * m.nb) AS BIGINT)
+                           - CAST(m.na AS HUGEINT) * m.nb)
+                // (CAST(m.na AS HUGEINT) * m.nb) AS BIGINT)
                AS cliffs_delta_micro
     FROM mom m CROSS JOIN cliff c
     """,

@@ -74,3 +74,70 @@ def test_vendored_protobuf_does_not_shadow_google_namespace(tmp_path):
     )
     assert res.returncode == 0, res.stderr
     assert res.stdout.strip() == "ok"
+
+
+# --- DECIMAL // oracle-division discipline (round-8 sf0.1 sweep catch) ------
+
+# Oracles verified BY HAND to use // only on integer/HUGEINT operands
+# (DECIMAL appears elsewhere in the SQL, never beside a //): q_gpd_pot's
+# s is a HUGEINT SUM; the others carry in-SQL comments from the X349
+# probe. Any NEW entry here needs the same by-hand operand check.
+DECIMAL_NEAR_DIV_WHITELIST = {
+    "q_hll_audit",
+    "q_relabel_test",
+    "q_procrustes2d",
+    "q_haar_wavelet",
+    "q_doremi_step",
+    "q_gpd_pot",
+}
+
+
+def test_duckdb_decimal_floordiv_semantics_pinned():
+    """Pin the DuckDB behavior the discipline exists for: // on DECIMAL
+    operands degrades to true (double) division — NOT integer division
+    — while integer/HUGEINT // truncates toward zero like Spark DIV.
+    The round-8 sf0.1 sweep caught q_effect_sizes hashing 1898 vs
+    Spark's 1897 exactly because CAST(double AS BIGINT) then ROUNDS."""
+    import duckdb
+
+    con = duckdb.connect()
+    assert con.sql("SELECT CAST(7 AS DECIMAL(38,0)) // 2").fetchone()[0] == 3.5
+    assert con.sql("SELECT 7 // 2").fetchone()[0] == 3
+    assert con.sql("SELECT -7 // 2").fetchone()[0] == -3  # trunc, like DIV
+    assert (
+        con.sql("SELECT CAST(-7 AS HUGEINT) // CAST(2 AS HUGEINT)").fetchone()[0]
+        == -3
+    )
+    # the rounding cast that turns the degraded quotient into an
+    # off-by-one hash mismatch
+    assert con.sql("SELECT CAST(1897.64 AS BIGINT)").fetchone()[0] == 1898
+
+
+def test_no_decimal_operands_near_oracle_floordiv():
+    """Mechanical corpus audit: flag any oracle where DECIMAL appears
+    within 200 chars of a // (the textual radius that caught
+    q_effect_sizes), minus the by-hand-verified whitelist. Integer
+    division in oracle SQL must run on BIGINT/HUGEINT operands."""
+    import re
+
+    from laser_hadoop_spark import registry
+
+    offenders: dict[str, list[str]] = {}
+    for name, spec in sorted(registry.specs().items()):
+        sql = spec.oracle
+        if not sql or "//" not in sql or name in DECIMAL_NEAR_DIV_WHITELIST:
+            continue
+        # audit the executable text only (-- comments may legitimately
+        # NAME the DECIMAL hazard right beside a correct HUGEINT //)
+        sql = re.sub(r"--[^\n]*", "", sql)
+        hits = []
+        for m in re.finditer(r"//", sql):
+            ctx = sql[max(0, m.start() - 200) : m.end() + 200]
+            if "DECIMAL" in ctx.upper():
+                hits.append(" ".join(ctx.split())[:120])
+        if hits:
+            offenders[name] = hits
+    assert not offenders, (
+        "oracle // with DECIMAL nearby (degrades to double + rounding "
+        f"cast in DuckDB — use HUGEINT operands): {offenders}"
+    )
