@@ -693,11 +693,18 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-query surface itself (iteration depth = n/batch, fine for
     descriptor generation; data-scale recursion belongs to the
     iterative operators, X12/X33).
+
+    Depth is n/batch — DATA-proportional, so the recursion bound must
+    be declared: Spark 4 defaults MAX RECURSION LEVEL to 100, which the
+    round-8 sf0.1 sweep blew through live (15k customers / 100 = 117
+    levels; RECURSION_LEVEL_LIMIT_EXCEEDED). 100k levels covers every
+    local corpus; a depth that can exceed it is the signal to switch to
+    the closed-form q_ntile_batching spelling, not to raise it again.
     """
     register_views(spark, sf_dir, names=("customer",))
     return spark.sql(
         f"""
-        WITH RECURSIVE batches(start_i, n_ind) AS (
+        WITH RECURSIVE batches(start_i, n_ind) MAX RECURSION LEVEL 100000 AS (
             SELECT 1 AS start_i, (SELECT COUNT(*) FROM customer) AS n_ind
             UNION ALL
             SELECT start_i + {BATCH_SIZE_RCTE}, n_ind FROM batches
