@@ -401,17 +401,41 @@ def ivf_topk(
         f"{id_col} long, {vec_col} {vec_type}, cell int, probe_cells array<int>",
     )
     a = assigned.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        F.explode("probe_cells").alias("cell"),
+        F.col(id_col).alias("id_a"), F.explode("probe_cells").alias("cell")
     )
-    b = assigned.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cell")
-    sim = cosine_expr(F.col("va"), F.col("vb"))
-    w = Window.partitionBy("id_a").orderBy(F.col("cosine_sim").desc(), F.col("id_b"))
-    return (
+    b = assigned.select(F.col(id_col).alias("id_b"), "cell")
+    # id-only candidate dedup, vectors joined back from the source
+    # relation on id (round 8 — see ann_lsh_topk_pinned's shuffle-
+    # discipline note): the cell join and the union-over-probes dedup
+    # shuffle 16-byte rows, never the embedding payload. No a<b mirror
+    # here: the relation is ASYMMETRIC ((x,y) needs y's home cell in
+    # x's probe set — not implied the other way), unlike the LSH
+    # variants where both sides bucket identically.
+    pairs = (
         a.join(b, on="cell")
         .where(F.col("id_a") != F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])  # union over probed cells
+        .select("id_a", "id_b")
+        .dropDuplicates()  # union over probed cells
+    )
+    # norms hoisted to the per-VECTOR side: the pair expression keeps
+    # cosine_expr's exact structure dot/(na*nb) — same operands, same
+    # op order, bit-identical floats — but the norm aggregates run n
+    # times, not |candidates| times
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm_expr(F.col(vec_col)).alias("norm_a"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm_expr(F.col(vec_col)).alias("norm_b"),
+    )
+    sim = dot_expr(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))
+    w = Window.partitionBy("id_a").orderBy(F.col("cosine_sim").desc(), F.col("id_b"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .select("id_a", "id_b", F.round(sim, 4).alias("cosine_sim"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -463,25 +487,44 @@ def ann_lsh_topk(
         ]
     )
     bucketed = df.select(
-        F.col(id_col), F.col(vec_col), F.explode(bucket_entries).alias("tb")
-    ).select(id_col, vec_col, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
-    a = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "table", "bucket"
-    )
-    b = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "table", "bucket"
-    )
-    candidates = (
+        F.col(id_col), F.explode(bucket_entries).alias("tb")
+    ).select(id_col, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    a = bucketed.select(F.col(id_col).alias("id_a"), "table", "bucket")
+    b = bucketed.select(F.col(id_col).alias("id_b"), "table", "bucket")
+    # id-only candidates scored once per unordered pair, mirrored by
+    # projection (round 8 — see ann_lsh_topk_pinned's note)
+    pairs = (
         a.join(b, on=["table", "bucket"])
-        .where(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
-        .dropDuplicates(["id_a", "id_b"])  # union over tables
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()  # union over tables
     )
-    sim = cosine_expr(F.col("va"), F.col("vb"))
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm_expr(F.col(vec_col)).alias("norm_a"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm_expr(F.col(vec_col)).alias("norm_b"),
+    )
+    sim = dot_expr(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))
+    half = (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(sim, 4).alias("cosine_sim"))
+    )
+    scored = half.unionByName(
+        half.select(
+            F.col("id_b").alias("id_a"),
+            F.col("id_a").alias("id_b"),
+            "cosine_sim",
+        )
+    )
     w = Window.partitionBy("id_a").orderBy(F.col("cosine_sim").desc(), F.col("id_b"))
     return (
-        candidates.select("id_a", "id_b", F.round(sim, 4).alias("cosine_sim"))
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
 
@@ -537,6 +580,21 @@ def ann_lsh_topk_pinned(
     as tiebreaker, so no float ordering ever decides a row.
 
     Output: (id_a, id_b, cosine_micro, rnk), rnk <= k per id_a.
+
+    Shuffle discipline (round 8): candidates are generated, deduped and
+    SCORED as ID PAIRS ONLY, once per unordered pair (id_a < id_b), and
+    the scored rows are mirrored by projection — the vectors join back
+    on id just before scoring, so the bucket join and the union-over-
+    tables dedup shuffle 16-byte rows, never the embedding payload
+    (carrying two 64-dim arrays through the candidate stream was
+    measured at 32 s vs ~7 s end-to-end at sf0.1 — the shuffled bytes,
+    not the cosine math, were the cost). The mirror is exact:
+    dot(va,vb) == dot(vb,va) bit-for-bit (elementwise products commute,
+    summation order unchanged), and the hoisted per-vector norms keep
+    cosine_expr's dot/(na*nb) structure — same operands, same op order
+    — while running the norm aggregates n times, not |candidates|
+    times. At corpus scale the join-back is one shuffle hash join per
+    side on id.
     """
     first = df.select(vec_col).first()
     dim = len(first[0])
@@ -551,30 +609,47 @@ def ann_lsh_topk_pinned(
         ]
     )
     bucketed = df.select(
-        F.col(id_col), F.col(vec_col), F.explode(bucket_entries).alias("tb")
+        F.col(id_col), F.explode(bucket_entries).alias("tb")
     ).select(
         id_col,
-        vec_col,
         F.col("tb.table").alias("table"),
         F.col("tb.bucket").alias("bucket"),
     )
-    a = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "table", "bucket"
-    )
-    b = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "table", "bucket"
-    )
-    candidates = (
+    a = bucketed.select(F.col(id_col).alias("id_a"), "table", "bucket")
+    b = bucketed.select(F.col(id_col).alias("id_b"), "table", "bucket")
+    pairs = (
         a.join(b, on=["table", "bucket"])
-        .where(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
-        .dropDuplicates(["id_a", "id_b"])  # union over tables
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()  # union over tables; 16-byte rows
     )
-    micro = F.round(cosine_expr(F.col("va"), F.col("vb")) * 1000000).cast("bigint")
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm_expr(F.col(vec_col)).alias("norm_a"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm_expr(F.col(vec_col)).alias("norm_b"),
+    )
+    cos = dot_expr(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))
+    micro = F.round(cos * 1000000).cast("bigint")
+    half = (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", micro.alias("cosine_micro"))
+    )
+    scored = half.unionByName(
+        half.select(
+            F.col("id_b").alias("id_a"),
+            F.col("id_a").alias("id_b"),
+            "cosine_micro",
+        )
+    )
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine_micro"), F.col("id_b"))
     return (
-        candidates.select("id_a", "id_b", micro.alias("cosine_micro"))
-        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .where(F.col("rnk") <= k)
     )
 
