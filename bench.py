@@ -107,6 +107,11 @@ HEADLINE = [
     # PERF_NOTES round 8 for the measured split).
     "q_jaro_blocked",
     "q_dedup_simhash64",
+    # round 8 (continuation): the md5-oracle-verified LSH ANN line —
+    # candidate streams restructured to id-only pairs with the vectors
+    # joined back at scoring (32 -> ~7 s at sf0.1); tracked so the
+    # embedding-payload-in-shuffle class can't regress silently
+    "q_ann_lsh",
 ]
 
 
