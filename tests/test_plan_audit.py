@@ -1258,3 +1258,46 @@ def test_dup_spans_no_broadcast_of_dup_gram_set(spark, sf_dir):
     assert "BroadcastHashJoin" not in plan or "LeftSemi, BuildRight" not in \
         _re.sub(r"ShuffledHashJoin.*", "", plan), plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_round8_ann_candidate_shuffles_are_id_only(spark, sf_dir):
+    """Round-8 ANN restructure: the candidate union-over-tables dedup
+    must aggregate (and therefore shuffle) ID PAIRS ONLY — the
+    embedding payload joins back on id after dedup. Carrying the
+    vectors through the candidate stream was the measured 32 s -> 7 s
+    difference at sf0.1. Also pins the symmetric-pair discipline for
+    the LSH variant (a<b residual + mirror Union) and the runtime AQE
+    exchange reuse that makes the mirror a pure projection."""
+    spark.catalog.clearCache()
+    df = registry.get("q_ann_lsh").fn(spark, sf_dir)
+    plan = _plan(df)
+    # dedup aggregate carries exactly the two id columns, nothing else
+    assert re.search(
+        r"HashAggregate\(keys=\[id_a#\d+L, id_b#\d+L\], functions=\[\], "
+        r"output=\[id_a#\d+L, id_b#\d+L\]\)",
+        plan,
+    ), plan
+    # no exchange partitions on (or carries) the embedding column
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "embedding" not in ln, ln
+    # unordered-pair residual + mirror union, no cartesian anywhere
+    assert re.search(r"\(id_a#\d+L < id_b#\d+L\)", plan), plan
+    assert "Union" in plan and "CartesianProduct" not in plan, plan
+    # the mirror's second branch must be deduped by AQE at runtime
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final
+
+    # IVF: same id-only dedup; ordered pairs kept (probe-cell
+    # candidacy is asymmetric), so no mirror union is expected
+    plan = _plan(registry.get("q_ann_ivf").fn(spark, sf_dir))
+    assert re.search(
+        r"HashAggregate\(keys=\[id_a#\d+L, id_b#\d+L\], functions=\[\], "
+        r"output=\[id_a#\d+L, id_b#\d+L\]\)",
+        plan,
+    ), plan
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "embedding" not in ln, ln
+    assert "CartesianProduct" not in plan, plan

@@ -141,3 +141,59 @@ def test_no_decimal_operands_near_oracle_floordiv():
         "oracle // with DECIMAL nearby (degrades to double + rounding "
         f"cast in DuckDB — use HUGEINT operands): {offenders}"
     )
+
+
+def test_scored_blocked_pairs_equals_naive_spelling(spark, tmp_path):
+    """The round-8 pruned-expansion join (_scored_blocked_pairs) must
+    produce exactly the naive all-candidates-then-filter relation on
+    data the committed fixtures don't cover: random vocab-named parts
+    across several seeds, scored by a plain levenshtein dictionary (the
+    helper is kernel-agnostic — any scored (s1, s2) relation works)."""
+    from pyspark.sql import functions as F
+
+    from laser_hadoop_spark.queries.round5t import _scored_blocked_pairs
+
+    vocab = ["alpha", "alpah", "beta", "betta", "gamma", "gama", "delta", "detla"]
+    for seed in (1, 2, 3):
+        rows = [
+            (
+                i,
+                f"Brand#{(i * seed) % 4}",
+                (i * 7 + seed) % 6,
+                vocab[(i * 13 + seed) % len(vocab)],
+            )
+            for i in range(60)
+        ]
+        p = spark.createDataFrame(
+            rows, "p_partkey long, p_brand string, p_size int, p_name string"
+        )
+        d = str(tmp_path / f"s{seed}")
+        p.write.mode("overwrite").parquet(f"{d}/part.parquet")
+        names = p.select(F.col("p_name").alias("s1")).distinct()
+        scored = (
+            names.crossJoin(names.select(F.col("s1").alias("s2")))
+            .select("s1", "s2", F.levenshtein("s1", "s2").alias("dist"))
+            .where(F.col("dist") <= 2)
+        )
+        for cols in (("p_brand",), ("p_brand", "p_size")):
+            got = sorted(
+                tuple(r)
+                for r in _scored_blocked_pairs(
+                    spark, d, scored, blocking_cols=cols
+                ).select("k1", "k2", "dist").collect()
+            )
+            a = p.select(
+                *cols, F.col("p_partkey").alias("k1"), F.col("p_name").alias("s1")
+            )
+            b = p.select(
+                *cols, F.col("p_partkey").alias("k2"), F.col("p_name").alias("s2")
+            )
+            naive = sorted(
+                tuple(r)
+                for r in a.join(b, list(cols))
+                .where(F.col("k1") < F.col("k2"))
+                .join(scored, ["s1", "s2"])
+                .select("k1", "k2", "dist")
+                .collect()
+            )
+            assert got == naive and len(got) > 0, (seed, cols, len(got))
