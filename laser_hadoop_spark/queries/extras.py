@@ -1458,23 +1458,40 @@ def q_hamming_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SymSpell proper: the undeleted string is a key too (array_union
     # also dedups repeated deletion keys from runs of equal chars)
     keys = F.array_union(F.array(F.col("c_name")), del_keys)
-    blocked = c.select("c_custkey", "c_name", F.explode(keys).alias("key"))
+    blocked = c.select("c_custkey", F.explode(keys).alias("key"))
     a, b = blocked.alias("a"), blocked.alias("b")
+    # round-8 shuffle discipline (the ANN-candidate class): candidates
+    # dedup as ID PAIRS — names are functionally determined by the keys
+    # and join back for the verify — and the symmetric relation is
+    # generated once per unordered pair, then mirrored by projection
+    # after the levenshtein verify (levenshtein is symmetric)
     cand = (
         a.join(
             b,
             (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.c_custkey") != F.col("b.c_custkey")),
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
         )
         .select(
             F.col("a.c_custkey").alias("custkey"),
-            F.col("a.c_name").alias("name_a"),
             F.col("b.c_custkey").alias("neighbor"),
-            F.col("b.c_name").alias("name_b"),
         )
         .distinct()
     )
-    verified = cand.where(F.levenshtein("name_a", "name_b") <= 1)
+    na = c.select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name_a"))
+    nb = c.select(
+        F.col("c_custkey").alias("neighbor"), F.col("c_name").alias("name_b")
+    )
+    half = (
+        cand.join(na, "custkey")
+        .join(nb, "neighbor")
+        .where(F.levenshtein("name_a", "name_b") <= 1)
+        .select("custkey", "neighbor")
+    )
+    verified = half.unionByName(
+        half.select(
+            F.col("neighbor").alias("custkey"), F.col("custkey").alias("neighbor")
+        )
+    )
     return verified.groupBy("custkey").agg(
         F.count("*").alias("n_neighbors"),
         F.min("neighbor").cast("bigint").alias("nearest_key"),

@@ -284,7 +284,11 @@ def test_round3_queries_stay_jvm_side_and_shuffle_bounded(spark, sf_dir):
                                   # two-pass rank (r4 verdict #3): the extra
                                   # shuffle moves per-partition offset rows,
                                   # and retires the single-partition funnel
-        "q_hamming_neighbors": 2,     # deletion-key self-join, one exchange pair
+        "q_hamming_neighbors": 3,     # deletion-key self-join + id-pair
+                                      # distinct + census; the mirror
+                                      # union re-PRINTS the distinct's
+                                      # exchange (AQE reuses it at run
+                                      # time — round-8 id-only shape)
         "q_top_paths": 2
     }
     for name, budget in budgets.items():
