@@ -696,7 +696,7 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Depth is n/batch — DATA-proportional, so the recursion bound must
     be declared: Spark 4 defaults MAX RECURSION LEVEL to 100, which the
-    round-8 sf0.1 sweep blew through live (15k customers / 100 = 117
+    round-8 sf0.1 sweep blew through live (15k customers / 100 = 150
     levels; RECURSION_LEVEL_LIMIT_EXCEEDED). 100k levels covers every
     local corpus; a depth that can exceed it is the signal to switch to
     the closed-form q_ntile_batching spelling, not to raise it again.

@@ -29,21 +29,52 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None  # DuckDB SQL, or None for rows-only check
     doc: str = ""
+    # semantic tags ("pairs" = generates candidate pairs via a blocked
+    # self-join + dedup — the payload-carry audit class; tagging here
+    # makes scripts/audit_pair_shuffles.py and the binding plan test
+    # cover future additions BY CONSTRUCTION, VERDICT_r08 item 4)
+    tags: frozenset = frozenset()
+    # bounded sweep variant for scales where the full DuckDB oracle is
+    # intractable (VERDICT_r08 item 3): BOTH sides restricted to the
+    # same deterministic subset so the hash check stays exact. Used by
+    # scripts/check_oracles.py --bounded; never by the driver.
+    bounded_fn: QueryFn | None = None
+    bounded_oracle: str | None = None
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def register(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    bounded_fn: QueryFn | None = None,
+    bounded_oracle: str | None = None,
+) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a declared query (and optional DuckDB oracle)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query registration: {name}")
-        _REGISTRY[name] = QuerySpec(name, fn, oracle, doc=(fn.__doc__ or "").strip())
+        _REGISTRY[name] = QuerySpec(
+            name,
+            fn,
+            oracle,
+            doc=(fn.__doc__ or "").strip(),
+            tags=frozenset(tags),
+            bounded_fn=bounded_fn,
+            bounded_oracle=bounded_oracle,
+        )
         return fn
 
     return deco
+
+
+def tagged(tag: str) -> list[str]:
+    """Names of registered queries carrying `tag`, registration order."""
+    _load_all()
+    return [n for n, s in _REGISTRY.items() if tag in s.tags]
 
 
 def _load_all() -> None:
@@ -57,37 +88,106 @@ def _load_all() -> None:
 # CORRECTNESS_r0N.json is exactly the first 50 entries of that round's
 # ordering), so dict order is a verification budget.
 #
-# ROUND-8 ROTATION (VERDICT_r07 "Next round" #1 + #4): round 7's window
-# came back 49/50 — the one red, q_cvm_test, is fixed this round
-# (t_scaled now VARCHAR on both engines, the X133/X174/X364
-# wide-integer discipline; pinned at its exact sf0.01 value in
-# tests/test_decimal_outputs.py) and LEADS the window so CORRECTNESS_r08
-# records its driver-green. Slots 2-5: the four r7 additions/pins the
-# frozen r7 prefix couldn't reach (q_sample_stratified and
-# q_dedup_simhash had only r3 rows-only checks before their r7 oracle
-# pins; q_dedup_simhash64 and q_jaro_blocked are new). Slots 6-45: the
-# next 40 never-driver-checked in registration order (q_capped_sessions
-# onward; 98 oracle-backed remained at r7 close -> 56 after this
-# window). Slots 46-50: regression re-checks of the five OLDEST
-# r1-vintage greens never re-visited (registration order; r7 re-checked
-# the first five, all still green). The 6 rows-only queries stay
-# EXCLUDED from the prefix.
+# ROUND-9 ROTATION (VERDICT_r08 "Next round" #1): round 8's window came
+# back 50/50 green. Slots 1-2: the two flagship similarity operators
+# whose pinned md5 oracles have never been driver-checked — the driver
+# last saw q_dedup_near and q_ann_lsh at r3 as rows-only, BEFORE their
+# r5/r6 oracle pins (both local-oracle hash-green at sf0.01 AND sf0.1
+# in ORACLE_LOCAL_r08/ORACLE_SF01_r08). Slots 3-5: the three queries
+# already in the committed bench headline but never driver-checked
+# (q_dbscan_core, q_relabel_test, q_hodges_lehmann — VERDICT_r08 "What's
+# wrong" #1, bench-before-verify). Slots 6-48: the next 43 never-driver-
+# checked in registration order (q_sign_sketch_fidelity onward; 56
+# oracle-backed never-checked remained at r8 close -> 10 after this
+# window, meeting the "lag <= 10" goal). Slots 49-50: regression
+# re-checks of the two OLDEST r1-vintage greens never re-visited
+# (q_anti_join, q_scalar_consistency; r7/r8 re-checked the ten before
+# them, all still green). The 6 rows-only queries stay EXCLUDED from
+# the prefix.
 #
-# After the window: remaining never-driver-checked queries in
-# registration order (round-9/10 windows), then the rest of the r1-only
-# greens oldest-first. Everything past the window stays covered by the
-# full local oracle corpus (tests/test_oracle_corpus.py +
-# ORACLE_LOCAL_r08.json at the driver's own sf0.01, 438/438).
+# After the window: the 10 remaining never-driver-checked queries in
+# registration order (the round-10 window), then the rest of the
+# r1-only greens oldest-first. Everything past the window stays covered
+# by the full local oracle corpus (tests/test_oracle_corpus.py +
+# ORACLE_LOCAL_r09.json at the driver's own sf0.01, plain AND
+# adversarial, plus ORACLE_SF01_r09.json one scale above).
 _DRIVER_PRIORITY = [
-    # -- slot 1: the r7 red, fixed (VERDICT_r07 item 1) --------------
+    # -- slots 1-2: flagship dedup/ANN, oracle pinned but never
+    #    driver-hash-checked (VERDICT_r08 item 1) --------------------
+    "q_dedup_near",
+    "q_ann_lsh",
+    # -- slots 3-5: benched-but-never-driver-checked trio ------------
+    "q_dbscan_core",
+    "q_relabel_test",
+    "q_hodges_lehmann",
+    # -- slots 6-48: next 43 never-driver-checked (registration
+    #    order, all oracle-backed) ----------------------------------
+    "q_sign_sketch_fidelity",
+    "q_stl_decompose",
+    "q_fixed_effects",
+    "q_cem_ate",
+    "q_weibull_fit",
+    "q_control_chart",
+    "q_bradley_terry",
+    "q_gumbel_fit",
+    "q_huber_location",
+    "q_geometric_median",
+    "q_ess_weights",
+    "q_doc_stitch",
+    "q_canopy_census",
+    "q_rle_advisor",
+    "q_volatility",
+    "q_corr_matrix",
+    "q_ipf_raking",
+    "q_cochran_q",
+    "q_friedman",
+    "q_wasserstein_1d",
+    "q_anderson_darling",
+    "q_shapley_attribution",
+    "q_l_moments",
+    "q_chao1_richness",
+    "q_fifo_cogs",
+    "q_hash_collision_audit",
+    "q_krippendorff_alpha",
+    "q_rmst",
+    "q_average_precision",
+    "q_zip_fit",
+    "q_mutual_nn",
+    "q_hll_audit",
+    "q_resource_alloc",
+    "q_katz_centrality",
+    "q_char_entropy",
+    "q_label_prop",
+    "q_var_es",
+    "q_wilcoxon",
+    "q_jackknife",
+    "q_modularity",
+    "q_hop2_census",
+    "q_procrustes2d",
+    "q_eigen2_closed",
+    # -- window slots 49-50: regression re-checks — the two oldest
+    #    r1-vintage greens never re-visited --------------------------
+    "q_anti_join",
+    "q_scalar_consistency",
+    # -- past the window: the 10 remaining never-driver-checked
+    #    queries in registration order (the round-10 window) ---------
+    "q_cholesky2",
+    "q_effect_sizes",
+    "q_haar_wavelet",
+    "q_lsh_scurve_audit",
+    "q_bloom_advisor",
+    "q_doremi_step",
+    "q_hill_tail",
+    "q_psm_match",
+    "q_impute_census",
+    "q_gpd_pot",
+    # -- then r8-window queries (all driver-green r8) and the rest of
+    #    the r1-only greens oldest-first -----------------------------
     "q_cvm_test",
-    # -- slots 2-5: r7 oracle pins/additions, never hash-checked ----
     "q_sample_stratified",
     "q_dedup_simhash",
     "q_dedup_simhash64",
     "q_jaro_blocked",
-    # -- slots 6-45: next 40 never-driver-checked (registration
-    #    order, all oracle-backed) ----------------------------------
     "q_capped_sessions",
     "q_welch_t",
     "q_durbin_watson",
@@ -128,73 +228,11 @@ _DRIVER_PRIORITY = [
     "q_temperature_mixture",
     "q_pack_boundaries",
     "q_ngram_continuations",
-    # -- window slots 46-50: regression re-checks — the five oldest
-    #    r1-vintage greens never re-visited (VERDICT_r07 item 4) -----
     "q_grouped_counts",
     "q_rollup",
     "q_cube",
     "q_percentile",
     "q_collect_agg",
-    # -- past the window: remaining never-driver-checked queries in
-    #    registration order (round-9+ windows) ----------------------
-    "q_sign_sketch_fidelity",
-    "q_stl_decompose",
-    "q_fixed_effects",
-    "q_cem_ate",
-    "q_weibull_fit",
-    "q_control_chart",
-    "q_bradley_terry",
-    "q_gumbel_fit",
-    "q_huber_location",
-    "q_geometric_median",
-    "q_ess_weights",
-    "q_doc_stitch",
-    "q_canopy_census",
-    "q_rle_advisor",
-    "q_volatility",
-    "q_corr_matrix",
-    "q_ipf_raking",
-    "q_cochran_q",
-    "q_friedman",
-    "q_wasserstein_1d",
-    "q_anderson_darling",
-    "q_shapley_attribution",
-    "q_l_moments",
-    "q_chao1_richness",
-    "q_fifo_cogs",
-    "q_hash_collision_audit",
-    "q_krippendorff_alpha",
-    "q_rmst",
-    "q_average_precision",
-    "q_zip_fit",
-    "q_mutual_nn",
-    "q_hll_audit",
-    "q_resource_alloc",
-    "q_katz_centrality",
-    "q_dbscan_core",
-    "q_char_entropy",
-    "q_label_prop",
-    "q_var_es",
-    "q_wilcoxon",
-    "q_hodges_lehmann",
-    "q_relabel_test",
-    "q_jackknife",
-    "q_modularity",
-    "q_hop2_census",
-    "q_procrustes2d",
-    "q_eigen2_closed",
-    "q_cholesky2",
-    "q_effect_sizes",
-    "q_haar_wavelet",
-    "q_lsh_scurve_audit",
-    "q_bloom_advisor",
-    "q_doremi_step",
-    "q_hill_tail",
-    "q_psm_match",
-    "q_impute_census",
-    "q_gpd_pot",
-    "q_anti_join",
-    "q_scalar_consistency",
     "q_large_join_multikey",
     "q_outer_join",
     "q_range_join",

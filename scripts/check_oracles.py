@@ -70,6 +70,12 @@ def main() -> int:
     if names:
         specs = {n: specs[n] for n in names}
     if skips:
+        # an explicitly requested query must never vanish silently:
+        # naming it positionally AND in --skip is a contradiction
+        conflict = sorted(skips & set(names))
+        if conflict:
+            print(f"ERROR: listed both positionally and in --skip: {conflict}")
+            return 2
         specs = {n: s for n, s in specs.items() if n not in skips}
         print(f"skipping {len(skips)}: {sorted(skips)}")
     failures = 0
