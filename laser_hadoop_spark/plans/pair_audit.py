@@ -1,0 +1,87 @@
+"""Payload-carry audit for pair-generating queries (round-8 class).
+
+The round-8 ANN finding, generalized: when a query generates candidate
+PAIRS (self-join on a blocking key, then dedup), the dedup/distinct
+exchange must carry ids and hashes — never the payload column the
+kernel scores (embeddings, names, text). Carrying two 64-dim arrays
+through q_ann_lsh's candidate stream was 32 s vs 7 s at sf0.1; the same
+shape in q_hamming_neighbors (two name strings through a 1.9M-row
+distinct) was 8.2 s vs 2.2 s.
+
+The audited set is a REGISTRY PROPERTY (VERDICT_r08 item 4): every
+query registered with ``tags=("pairs",)`` is audited, so a future
+pair-generating query is covered by construction rather than by
+remembering to extend a hand-list. ``MIN_PAIR_QUERIES`` is the round-8
+hand-list kept as a minimum-coverage assertion — if a rename or tag
+removal ever drops one of these from the tagged set, the audit fails
+loudly instead of silently shrinking.
+
+Consumers: scripts/audit_pair_shuffles.py (review aid, prints flagged
+exchanges) and tests/test_plan_audit.py (binding — CLEAN required).
+"""
+
+from __future__ import annotations
+
+import re
+
+from laser_hadoop_spark import registry
+
+# payload-ish column-name patterns; `gram_h`/`sig_h`-style HASH columns
+# are the discipline, not a violation, so a trailing `_h` is excluded
+PAYLOADISH = (
+    r"text",
+    r"embedding",
+    r"sig(?!_h)",
+    r"name",
+    r"tokens",
+    r"vec(?!_id)",
+    r"gram(?!_h)",
+    r"body",
+)
+
+MIN_PAIR_QUERIES = frozenset(
+    [
+        "q_ann_lsh",
+        "q_ann_ivf",
+        "q_dedup_near",
+        "q_minhash_band_pairs",
+        "q_containment_pairs",
+        "q_prefix_filter_pairs",
+        "q_record_linkage",
+        "q_dedup_simhash",
+        "q_dedup_simhash64",
+        "q_contamination",
+        "q_audience_jaccard",
+        "q_grid_spatial_join",
+        "q_semantic_dedup",
+        "q_dup_spans",
+        "q_edit_distance_join",
+        "q_hamming_neighbors",
+        "q_jaro_pairs",
+        "q_jaro_blocked",
+        "q_damerau_pairs",
+    ]
+)
+
+
+def pair_queries() -> list[str]:
+    """Registry-derived audited set, with the hand-list as a floor."""
+    names = registry.tagged("pairs")
+    missing = MIN_PAIR_QUERIES - set(names)
+    if missing:
+        raise AssertionError(
+            f"registry 'pairs' tag lost known pair queries: {sorted(missing)}"
+        )
+    return names
+
+
+def flag_payload_exchanges(plan: str) -> list[tuple[list[str], str]]:
+    """(patterns hit, exchange line) for every hash exchange whose
+    partition keys mention a payload-ish column name."""
+    flagged: list[tuple[list[str], str]] = []
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            hits = [p for p in PAYLOADISH if re.search(p, ln)]
+            if hits:
+                flagged.append((hits, ln.strip()[:140]))
+    return flagged

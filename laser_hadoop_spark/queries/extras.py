@@ -631,6 +631,7 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_edit_distance_join",
+    tags=("pairs",),
     oracle="""
     SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
            levenshtein(a.c_name, b.c_name) AS edit_dist
@@ -1414,6 +1415,7 @@ def q_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_hamming_neighbors",
+    tags=("pairs",),
     oracle="""
     SELECT a.c_custkey AS custkey,
            COUNT(*) AS n_neighbors,

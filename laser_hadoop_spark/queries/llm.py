@@ -263,6 +263,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dedup_near",
+    tags=("pairs",),
     oracle="""
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -431,6 +432,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dedup_simhash",
+    tags=("pairs",),
     oracle="""
     WITH toks AS (
         SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents
@@ -492,6 +494,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dedup_simhash64",
+    tags=("pairs",),
     oracle="""
     WITH toks AS (
         SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents
@@ -713,7 +716,7 @@ def _ann_lsh_oracle() -> str:
     """
 
 
-@register("q_ann_lsh", oracle=_ann_lsh_oracle())
+@register("q_ann_lsh", oracle=_ann_lsh_oracle(), tags=("pairs",))
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4 (scale path): LSH-bucketed approximate nearest neighbors —
     fully oracle-pinned (round-5 verdict item 5).
@@ -750,7 +753,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_ann_ivf", oracle=None)  # seeded k-means cells: rows-only
+@register("q_ann_ivf", oracle=None, tags=("pairs",))  # seeded k-means cells: rows-only
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4 (scale path, IVF form): inverted-file approximate neighbors.
 
@@ -1023,6 +1026,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_contamination",
+    tags=("pairs",),
     oracle="""
     WITH corpus AS (
         SELECT * FROM documents WHERE source <> 'src0'
@@ -1160,6 +1164,7 @@ def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_semantic_dedup",
+    tags=("pairs",),
     oracle="""
     WITH e AS (
         SELECT vec_id, label,
@@ -1597,6 +1602,7 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_prefix_filter_pairs",
+    tags=("pairs",),
     oracle="""
     WITH tok AS (
         SELECT DISTINCT doc_id AS doc, token FROM (

@@ -846,6 +846,7 @@ def q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_audience_jaccard",
+    tags=("pairs",),
     oracle="""
     WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
     sizes AS (SELECT event_type, COUNT(*) AS n_users FROM ut GROUP BY event_type),

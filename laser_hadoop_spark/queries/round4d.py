@@ -368,7 +368,7 @@ def _minhash_band_sql() -> str:
     """
 
 
-@register("q_minhash_band_pairs", oracle=_minhash_band_sql())
+@register("q_minhash_band_pairs", oracle=_minhash_band_sql(), tags=("pairs",))
 def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X135: MinHash LSH banding, exactly verified end-to-end.
 

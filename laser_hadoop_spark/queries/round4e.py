@@ -352,6 +352,7 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_containment_pairs",
+    tags=("pairs",),
     oracle="""
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents

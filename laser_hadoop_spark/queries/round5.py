@@ -55,6 +55,7 @@ def _xy_spark(key: str):
 
 @register(
     "q_grid_spatial_join",
+    tags=("pairs",),
     oracle=f"""
     WITH pts AS (
         SELECT c_custkey AS id,
@@ -140,6 +141,7 @@ _LINK_THRESHOLD = 30
 
 @register(
     "q_record_linkage",
+    tags=("pairs",),
     oracle=f"""
     WITH recs AS (
         SELECT c_custkey AS id, c_nationkey AS nk, c_mktsegment AS seg,

@@ -500,6 +500,7 @@ _SPAN_TOP = 25
 
 @register(
     "q_dup_spans",
+    tags=("pairs",),
     oracle=f"""
     WITH grams AS (
         SELECT doc_id, g.i AS pos,

@@ -484,6 +484,7 @@ _JARO_MIN_MICRO = 750000
 
 @register(
     "q_jaro_pairs",
+    tags=("pairs",),
     oracle=f"""
     SELECT a.p_partkey AS k1, b.p_partkey AS k2,
            CAST(ROUND(1000000 * jaro_similarity(a.p_name, b.p_name))
@@ -536,6 +537,7 @@ def q_jaro_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_jaro_blocked",
+    tags=("pairs",),
     oracle=f"""
     SELECT a.p_partkey AS k1, b.p_partkey AS k2,
            CAST(ROUND(1000000 * jaro_similarity(a.p_name, b.p_name))
@@ -595,6 +597,7 @@ _DAMERAU_MAX = 4
 
 @register(
     "q_damerau_pairs",
+    tags=("pairs",),
     oracle=f"""
     SELECT a.p_partkey AS k1, b.p_partkey AS k2,
            CAST(damerau_levenshtein(a.p_name, b.p_name) AS BIGINT) AS dl

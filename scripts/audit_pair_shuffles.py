@@ -9,13 +9,18 @@ through q_ann_lsh's candidate stream was 32 s vs 7 s at sf0.1; the
 same shape in q_hamming_neighbors (two name strings through a 1.9M-row
 distinct) was 8.2 s vs 2.2 s.
 
-This script prints, for every listed pair-generating query, each
+This script prints, for every pair-generating query, each
 `Exchange hashpartitioning` whose partition keys mention a payload-ish
 column name. Partition keys listing only ids/hashes => CLEAN. It is a
 REVIEW aid (plan text shows keys, not the full row payload); the
 binding guarantees live in tests/test_plan_audit.py
-(test_round8_ann_candidate_shuffles_are_id_only and the per-query
-shuffle budgets).
+(test_pair_query_shuffles_carry_no_payload over the same registry-
+derived set, plus the per-query shuffle budgets).
+
+The audited set comes from the registry's ``tags=("pairs",)`` marker
+(VERDICT_r08 item 4) via laser_hadoop_spark/plans/pair_audit.py — a
+future pair query is covered by tagging it at registration, and the
+round-8 hand-list is enforced there as a minimum-coverage floor.
 
 Usage: python scripts/audit_pair_shuffles.py [sf_dir]
 """
@@ -28,49 +33,15 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 from laser_hadoop_spark import registry
+from laser_hadoop_spark.plans.pair_audit import flag_payload_exchanges, pair_queries
 from laser_hadoop_spark.session import get_spark
-
-PAIR_QUERIES = [
-    "q_ann_lsh",
-    "q_ann_ivf",
-    "q_dedup_near",
-    "q_minhash_band_pairs",
-    "q_containment_pairs",
-    "q_prefix_filter_pairs",
-    "q_record_linkage",
-    "q_dedup_simhash",
-    "q_dedup_simhash64",
-    "q_contamination",
-    "q_audience_jaccard",
-    "q_grid_spatial_join",
-    "q_semantic_dedup",
-    "q_dup_spans",
-    "q_edit_distance_join",
-    "q_hamming_neighbors",
-    "q_jaro_pairs",
-    "q_jaro_blocked",
-    "q_damerau_pairs",
-]
-
-# payload-ish column-name patterns; `gram_h`/`sig_h`-style HASH columns
-# are the discipline, not a violation, so a trailing `_h` is excluded
-PAYLOADISH = (
-    r"text",
-    r"embedding",
-    r"sig(?!_h)",
-    r"name",
-    r"tokens",
-    r"vec(?!_id)",
-    r"gram(?!_h)",
-    r"body",
-)
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("audit_pair_shuffles")
     dirty = 0
-    for name in PAIR_QUERIES:
+    for name in pair_queries():
         try:
             df = registry.specs()[name].fn(spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
@@ -78,21 +49,15 @@ def main() -> int:
             print(f"{name}: ERROR {type(exc).__name__}: {exc}")
             dirty += 1
             continue
-        import re
-
-        flagged = []
-        for ln in plan.splitlines():
-            if "Exchange hashpartitioning" in ln:
-                hits = [p for p in PAYLOADISH if re.search(p, ln)]
-                if hits:
-                    flagged.append((hits, ln.strip()[:140]))
+        flagged = flag_payload_exchanges(plan)
         if flagged:
+            dirty += 1
             print(f"{name}: REVIEW ({len(flagged)} exchanges key on payload-ish columns)")
             for hits, ln in flagged:
                 print(f"    {hits} {ln}")
         else:
             print(f"{name}: CLEAN")
-    return 0
+    return 1 if dirty else 0
 
 
 if __name__ == "__main__":
