@@ -2,12 +2,18 @@
 """Run every registered query against its DuckDB oracle and report.
 
 Usage: python scripts/check_oracles.py [--json OUT.json] [--window]
-       [--skip name]... [sf_dir] [query ...]
+       [--bounded] [--skip name]... [sf_dir] [query ...]
 (--window = exactly the driver's 50-entry verification prefix;
- --skip = drop a query from the run, for above-driver-scale sweeps
- where a specific ORACLE is intractable — e.g. q_damerau_pairs' DuckDB
- side runs the O(len²) DP per candidate pair, ~40 min at sf0.1, while
- the Spark side is dictionary-bounded and stays in the bench)
+ --bounded = for queries registered with a bounded sweep variant,
+ compare the variant instead of the full (fn, oracle) pair — for
+ above-driver-scale sweeps where the full ORACLE is intractable, e.g.
+ q_damerau_pairs' DuckDB side runs the O(len²) DP per candidate pair,
+ ~40 min at sf0.1; the variant restricts BOTH engines to the same
+ deterministic md5 sample so the hash check stays exact, and the JSON
+ records kind "oracle-bounded" so the artifact is honest about what
+ was checked;
+ --skip = drop a query from the run entirely — last resort, prefer
+ registering a bounded variant)
 Defaults to /root/testdata/sf0.01 (the driver's correctness scale).
 
 --json writes the per-query verdicts as a committed artifact
@@ -47,6 +53,9 @@ def main() -> int:
     window = "--window" in args
     if window:
         args.remove("--window")
+    bounded = "--bounded" in args
+    if bounded:
+        args.remove("--bounded")
     skips: set[str] = set()
     while "--skip" in args:
         i = args.index("--skip")
@@ -81,27 +90,31 @@ def main() -> int:
     failures = 0
     results: dict[str, dict] = {}
     for name, spec in sorted(specs.items()):
+        fn, oracle = spec.fn, spec.oracle
+        kind = "oracle" if oracle else "rows-only"
+        if bounded and spec.bounded_fn is not None:
+            fn, oracle = spec.bounded_fn, spec.bounded_oracle
+            kind = "oracle-bounded"
         t0 = time.time()
         try:
-            res = compare_query(spark, con, name, spec.fn, spec.oracle, sf_dir)
+            res = compare_query(spark, con, name, fn, oracle, sf_dir)
         except Exception as exc:  # noqa: BLE001
             failures += 1
             print(f"FAIL  {name}: EXCEPTION {type(exc).__name__}: {exc}")
             results[name] = {
                 "ok": False,
-                "kind": "oracle" if spec.oracle else "rows-only",
+                "kind": kind,
                 "error": f"{type(exc).__name__}: {exc}",
             }
             continue
         dt = time.time() - t0
         results[name] = {
             "ok": bool(res.ok),
-            "kind": "oracle" if spec.oracle else "rows-only",
+            "kind": kind,
             "rows": res.spark_rows,
             "secs": round(dt, 1),
         }
         if res.ok:
-            kind = "rows-only" if spec.oracle is None else "oracle"
             print(f"ok    {name} [{kind}] rows={res.spark_rows} ({dt:.1f}s)")
         else:
             failures += 1

@@ -90,3 +90,20 @@ def test_driver_window_prefix_is_fully_oracle_backed():
     oracles = entry.oracle_sql()
     missing = [n for n in window if n not in oracles]
     assert not missing, f"rows-only queries inside the driver window: {missing}"
+
+
+BOUNDED = sorted(n for n, s in SPECS.items() if s.bounded_fn is not None)
+
+
+@pytest.mark.parametrize("name", BOUNDED)
+def test_bounded_sweep_variant_matches_bounded_oracle(spark, con, sf_dir, name):
+    """VERDICT_r08 item 3: a registered bounded sweep variant (used by
+    check_oracles --bounded at above-driver scales where the full
+    DuckDB oracle is intractable) must itself be hash-exact — both
+    engines restricted to the same deterministic md5 sample."""
+    spec = SPECS[name]
+    assert spec.bounded_oracle is not None, f"{name}: bounded_fn without oracle"
+    res = compare_query(
+        spark, con, f"{name}[bounded]", spec.bounded_fn, spec.bounded_oracle, sf_dir
+    )
+    assert res.ok, f"{name}[bounded]: {res.mismatches}"
