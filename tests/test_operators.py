@@ -747,6 +747,30 @@ def test_brute_force_blocked_delegates_above_gate(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in plan  # grid kernel, not mapInPandas
 
 
+def test_brute_force_blocked_sizing_gate_runs_no_job_with_n_rows(spark, sf_dir):
+    """r8 VERDICT nit: the broadcast-vs-grid gate must not cost a scan
+    when the caller supplies the cardinality — with n_rows above the
+    gate the call is pure plan construction (the grid path is lazy),
+    and without n_rows the probe is a LIMIT-bounded count, never an
+    unconditional full df.count()."""
+    import inspect
+
+    emb = table(spark, sf_dir, "embeddings").limit(80)
+    sc = spark.sparkContext
+    sc.setJobGroup("bfp-gate-audit", "gate sizing audit")
+    try:
+        delegated = similarity.brute_force_pairs_blocked(
+            emb, id_col="vec_id", vec_col="embedding", threshold=0.3,
+            max_collect_rows=0, n_rows=10**9,
+        )
+        delegated.schema  # analysis only
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(sc.statusTracker().getJobIdsForGroup("bfp-gate-audit")) == 0
+    src = inspect.getsource(similarity.brute_force_pairs_blocked)
+    assert "df.count()" not in src  # the unbounded gate must not return
+
+
 def test_stratified_sample_expr_rule_based(spark, sf_dir):
     """Per-row fraction expression: deterministic for a fixed seed and
     within binomial tolerance of the rule's expected keep rate."""
