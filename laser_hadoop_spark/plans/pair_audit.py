@@ -85,3 +85,29 @@ def flag_payload_exchanges(plan: str) -> list[tuple[list[str], str]]:
             if hits:
                 flagged.append((hits, ln.strip()[:140]))
     return flagged
+
+
+def looks_pair_shaped(plan: str) -> bool:
+    """Mechanical pair-shape detector (VERDICT_r08 item 4's alternative):
+    does this physical plan SELF-JOIN a base table and then dedup?
+
+    Heuristic, for DISCOVERY not for binding audits: a plan is
+    pair-shaped when (a) some parquet location is scanned at least
+    twice (the self-join's two sides; ReusedExchange hides one scan,
+    so exchange reuse is counted too) and (b) a duplicate-collapsing
+    aggregate runs afterwards (a no-function HashAggregate — the
+    physical form of dropDuplicates/distinct — or a SortAggregate with
+    no functions). Used by scripts/audit_pair_shuffles.py --discover
+    to surface queries that SHOULD carry tags=("pairs",) but don't;
+    known-benign shapes (1-row scalar crossjoins, dimension reuse) are
+    expected false positives a human adjudicates once.
+    """
+    scans: dict[str, int] = {}
+    for m in re.finditer(r"Location: InMemoryFileIndex(?:\(\d+ paths\))?\[([^\],]+)", plan):
+        loc = m.group(1)
+        scans[loc] = scans.get(loc, 0) + 1
+    self_scanned = any(c >= 2 for c in scans.values())
+    if not self_scanned and "ReusedExchange" not in plan and "ReusedSubquery" not in plan:
+        return False
+    dedup_agg = re.search(r"(?:Hash|Sort)Aggregate\(keys=\[[^\]]+\], functions=\[\]", plan)
+    return bool(dedup_agg)

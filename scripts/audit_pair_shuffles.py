@@ -22,7 +22,13 @@ The audited set comes from the registry's ``tags=("pairs",)`` marker
 future pair query is covered by tagging it at registration, and the
 round-8 hand-list is enforced there as a minimum-coverage floor.
 
-Usage: python scripts/audit_pair_shuffles.py [sf_dir]
+Usage: python scripts/audit_pair_shuffles.py [--discover] [sf_dir]
+(--discover: instead of auditing the tagged set, build EVERY registered
+ query's plan and flag untagged queries whose physical plan is
+ pair-shaped — self-scan of a table + a no-function dedup aggregate
+ (plans/pair_audit.looks_pair_shaped). Discovery output is for human
+ adjudication: benign shapes (dimension reuse + distinct) show up too;
+ a real finding gets tags=("pairs",) at its registration.)
 """
 
 from __future__ import annotations
@@ -37,9 +43,36 @@ from laser_hadoop_spark.plans.pair_audit import flag_payload_exchanges, pair_que
 from laser_hadoop_spark.session import get_spark
 
 
+def discover(spark, sf_dir: str) -> int:
+    """Flag untagged queries whose plan looks pair-shaped."""
+    from laser_hadoop_spark.plans.pair_audit import looks_pair_shaped
+
+    tagged = set(pair_queries())
+    found = 0
+    for name, spec in registry.specs().items():
+        if name in tagged:
+            continue
+        try:
+            plan = spec.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001
+            print(f"{name}: ERROR {type(exc).__name__}: {exc}")
+            continue
+        if looks_pair_shaped(plan):
+            found += 1
+            print(f"{name}: PAIR-SHAPED but untagged — adjudicate")
+    print(f"\n{found} untagged pair-shaped candidates")
+    return 0
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    args = [a for a in sys.argv[1:]]
+    do_discover = "--discover" in args
+    if do_discover:
+        args.remove("--discover")
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
     spark = get_spark("audit_pair_shuffles")
+    if do_discover:
+        return discover(spark, sf_dir)
     dirty = 0
     for name in pair_queries():
         try:

@@ -1330,3 +1330,15 @@ def test_pair_query_shuffles_carry_no_payload(spark, sf_dir):
         if flagged:
             dirty[name] = flagged
     assert not dirty, dirty
+
+
+def test_pair_shape_detector_separates_known_shapes(spark, sf_dir):
+    """looks_pair_shaped (the --discover heuristic) must fire on a known
+    pair-generating plan (self-scan + no-function dedup aggregate) and
+    stay quiet on a plain single-scan aggregate."""
+    from laser_hadoop_spark.plans.pair_audit import looks_pair_shaped
+
+    pair_plan = _plan(registry.get("q_jaro_pairs").fn(spark, sf_dir))
+    assert looks_pair_shaped(pair_plan), pair_plan
+    agg_plan = _plan(registry.get("q_grouped_counts").fn(spark, sf_dir))
+    assert not looks_pair_shaped(agg_plan), agg_plan
