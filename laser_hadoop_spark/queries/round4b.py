@@ -634,6 +634,7 @@ def q_boxplot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_copurchase_degree",
+    tags=("pairs",),
     oracle="""
     WITH pairs AS (
         SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

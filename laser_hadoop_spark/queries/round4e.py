@@ -128,6 +128,7 @@ def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_negative_pairs",
+    tags=("pairs",),
     oracle="""
     WITH ranked AS (
         SELECT doc_id,

@@ -422,6 +422,7 @@ def q_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_degree_assortativity",
+    tags=("pairs",),
     oracle="""
     WITH pairs AS (
         SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

@@ -28,6 +28,7 @@ from laser_hadoop_spark.tables import table
 
 @register(
     "q_knn_classify",
+    tags=("pairs",),
     oracle="""
     WITH e AS (
         SELECT vec_id, label,

@@ -273,6 +273,7 @@ def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_itemset_triples",
+    tags=("pairs",),
     oracle="""
     WITH ob AS (
         SELECT DISTINCT l_orderkey AS ok, p_brand AS b

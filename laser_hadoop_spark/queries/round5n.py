@@ -147,6 +147,7 @@ _GAP_PATTERNS = [
 
 @register(
     "q_sequence_support",
+    tags=("pairs",),
     oracle=f"""
     WITH seqs AS (
         SELECT user_id,

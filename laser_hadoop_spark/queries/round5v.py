@@ -63,6 +63,7 @@ _CONTAM_COS_MICRO = 350000
 
 @register(
     "q_embedding_contamination",
+    tags=("pairs",),
     oracle="WITH "
     + _EMB_MILLI_SQL
     + f""",

@@ -506,6 +506,7 @@ def q_zip_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_mutual_nn",
+    tags=("pairs",),
     oracle="""
     WITH e AS (
         SELECT vec_id, label,

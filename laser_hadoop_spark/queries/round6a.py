@@ -406,6 +406,7 @@ _DB_TOP = 200
 
 @register(
     "q_dbscan_core",
+    tags=("pairs",),
     oracle=f"""
     WITH pts AS (
         SELECT c_custkey AS id,

@@ -125,6 +125,7 @@ _PSM_CALIPER = 20000  # centi (one acctbal band of $200)
 
 @register(
     "q_psm_match",
+    tags=("pairs",),
     oracle="""
     WITH cust AS (
         SELECT c.c_custkey AS id,
