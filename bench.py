@@ -115,6 +115,52 @@ HEADLINE = [
 ]
 
 
+# Pinned quiet-host canary bands (VERDICT_r09 "Next round" #2). Sources:
+# PERF_NOTES.md "Bench canary re-baseline (round-5 verdict item 3)"
+# (py_single ~0.36 s, spark_parallel ~0.31 s post-warmup, streaming
+# 70-90k rows/s) widened by the measured quiet-host spread observed
+# r5-r9 (py_single 0.34-0.46, spark_parallel 0.27-0.51, streaming up to
+# 124k). A run with any canary OUTSIDE its band was measured on a
+# contended host: its totals are host noise, not code, and canary_ok
+# is emitted false so the artifact can never read as a regression
+# without the prose (the r9 101 s-vs-52 s episode is the motivating
+# evidence). Bands are (min, max); None = unbounded on that side.
+CANARY_BANDS = {
+    "py_single_sec": (None, 0.50),
+    "spark_parallel_sec": (None, 0.60),
+    "streaming_rows_per_sec": (65_000.0, None),
+}
+
+
+def canary_verdict(canary_start: dict, canary_end: dict, streaming: dict) -> dict:
+    """Adjudicate this run's canaries against CANARY_BANDS.
+
+    The per-core canaries must sit in-band at START and END (a host
+    that loads up mid-run contaminates the tail queries); streaming
+    throughput is one mid-run sample. Returns the machine-readable
+    verdict embedded in the bench JSON."""
+    failures = []
+    for label, sample in (("start", canary_start), ("end", canary_end)):
+        for key in ("py_single_sec", "spark_parallel_sec"):
+            lo, hi = CANARY_BANDS[key]
+            val = sample.get(key)
+            if val is None:
+                failures.append(f"{label}.{key}: missing")
+            elif (lo is not None and val < lo) or (hi is not None and val > hi):
+                failures.append(f"{label}.{key}={val} outside ({lo}, {hi})")
+    lo, hi = CANARY_BANDS["streaming_rows_per_sec"]
+    rps = streaming.get("rows_per_sec")
+    if rps is None:
+        failures.append("streaming.rows_per_sec: missing")
+    elif (lo is not None and rps < lo) or (hi is not None and rps > hi):
+        failures.append(f"streaming.rows_per_sec={rps} outside ({lo}, {hi})")
+    return {
+        "canary_ok": not failures,
+        "canary_bands": {k: list(v) for k, v in CANARY_BANDS.items()},
+        "canary_failures": failures,
+    }
+
+
 def host_canary(spark) -> dict:
     """Fixed-work host-contention canary (round-5 verdict item 3).
 
@@ -192,6 +238,7 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         streaming = {"error": f"{type(exc).__name__}: {exc}"}
     canary_end = host_canary(spark)
+    verdict = canary_verdict(canary_start, canary_end, streaming)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
@@ -202,6 +249,7 @@ def main() -> None:
                 "queries": timings,
                 "streaming": streaming,
                 "canary": {"start": canary_start, "end": canary_end},
+                **verdict,
                 **({"warehouse_error": warehouse_error} if warehouse_error else {}),
                 "sf": float(sf) if sf else None,
             }

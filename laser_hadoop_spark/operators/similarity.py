@@ -95,16 +95,33 @@ def brute_force_pairs_blocked(
     (~1M x 128 dims = 0.5 GB), so inputs above `max_collect_rows` are
     delegated to :func:`brute_force_pairs_grid` (identical output
     schema and semantics, nothing on the driver). Callers that already
-    know the cardinality pass `n_rows` and the gate costs nothing;
-    otherwise the gate counts a LIMIT max_collect_rows+1 slice — a job
-    whose work is bounded by the threshold itself, never a full scan
-    of a 100 TB input (the r8 VERDICT's unconditional-count nit).
+    know the cardinality pass `n_rows`: above the gate that costs
+    nothing (pure plan construction); at-or-below the gate the claim
+    is verified with a LIMIT n_rows+1 probe before anything is
+    collected (ADVICE r9 — an undercount must not OOM the driver), so
+    the worst a wrong claim costs is one bounded job and the grid
+    fallback. Without `n_rows` the gate counts a LIMIT
+    max_collect_rows+1 slice — bounded, never a full scan of a 100 TB
+    input (the r8 VERDICT's unconditional-count nit).
     """
     import pandas as pd
 
     caller_counted = n_rows is not None
     if n_rows is None:
         n_rows = df.limit(max_collect_rows + 1).count()
+    elif n_rows <= max_collect_rows:
+        # ADVICE r9: a caller-supplied UNDERCOUNT would send a huge
+        # input down the driver-collect broadcast path. Before trusting
+        # it, probe with the same LIMIT-clamped count (bounded job,
+        # never a full scan); a stale/wrong cardinality claim falls
+        # through to the distributed grid path instead of OOMing the
+        # driver. Callers whose count is correct pay one cheap
+        # limit+count job; callers routing to the grid path (n_rows >
+        # max_collect_rows) pay nothing, as before.
+        probed = df.limit(int(n_rows) + 1).count()
+        if probed > n_rows:
+            caller_counted = False
+            n_rows = max_collect_rows + 1  # force the grid path; it re-sizes
     if n_rows > max_collect_rows:
         # a LIMIT-clamped gate count underestimates huge inputs, so only
         # a caller-supplied cardinality may size the grid's shards

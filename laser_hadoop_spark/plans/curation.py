@@ -41,7 +41,7 @@ class CurationResult:
     stage_counts: dict[str, int] = field(default_factory=dict)
 
 
-def curation_plan(
+def curation_stage_prefixes(
     documents: DataFrame,
     *,
     id_col: str = "doc_id",
@@ -52,12 +52,18 @@ def curation_plan(
     max_punct_ratio: float = 0.2,
     allowed_langs: tuple[str, ...] = ("en",),
     dedup_strategy: str = "window",
-) -> DataFrame:
-    """Stages 1-3 as one lazy plan (no action): the SQL-expressible core.
+) -> dict[str, DataFrame]:
+    """Ordered lazy prefixes of the curation plan, one per stage.
 
-    Kept separate from curate_documents so the oracle-checked query can
-    register exactly this DataFrame, and callers can append their own
-    stages before triggering execution.
+    The SINGLE source of the stage construction (ADVICE r9:
+    scripts/probe_round9.py hand-duplicated these slices and would
+    silently drift if the plan changed): curation_plan returns the
+    last prefix of THIS dict, so a per-stage probe and the registered
+    pipeline are the same computation by construction. Keys:
+
+    - ``s1_fingerprint_dedup`` — after exact dedup (stage 1)
+    - ``s2_quality_filters``   — after length/stopword/punct (stage 2)
+    - ``s3_langid_filter``     — the full plan (stage 3 == curation_plan)
 
     dedup_strategy picks the stage-1 physical shape (results identical):
 
@@ -105,12 +111,49 @@ def curation_plan(
     stop_ok = T.marker_ratio(text_col, words_col=w) >= min_stopword_ratio
     punct_ok = T.punct_ratio(text_col) <= max_punct_ratio
     lang = T.predict_lang(text_col, words_col=w)
-    return (
-        with_words.where(length_ok & stop_ok & punct_ok)
-        .withColumn("predicted_lang", lang)
+    filtered = with_words.where(length_ok & stop_ok & punct_ok)
+    full = (
+        filtered.withColumn("predicted_lang", lang)
         .where(F.col("predicted_lang").isin(*allowed_langs))
         .drop("__w")
     )
+    return {
+        "s1_fingerprint_dedup": deduped,
+        "s2_quality_filters": filtered.drop("__w"),
+        "s3_langid_filter": full,
+    }
+
+
+def curation_plan(
+    documents: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 50,
+    max_chars: int = 10_000,
+    min_stopword_ratio: float = 0.02,
+    max_punct_ratio: float = 0.2,
+    allowed_langs: tuple[str, ...] = ("en",),
+    dedup_strategy: str = "window",
+) -> DataFrame:
+    """Stages 1-3 as one lazy plan (no action): the SQL-expressible core.
+
+    Kept separate from curate_documents so the oracle-checked query can
+    register exactly this DataFrame, and callers can append their own
+    stages before triggering execution. Exactly the last prefix of
+    curation_stage_prefixes — one construction site, no drift.
+    """
+    return curation_stage_prefixes(
+        documents,
+        id_col=id_col,
+        text_col=text_col,
+        min_chars=min_chars,
+        max_chars=max_chars,
+        min_stopword_ratio=min_stopword_ratio,
+        max_punct_ratio=max_punct_ratio,
+        allowed_langs=allowed_langs,
+        dedup_strategy=dedup_strategy,
+    )["s3_langid_filter"]
 
 
 def curate_documents(

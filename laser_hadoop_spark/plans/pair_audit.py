@@ -27,17 +27,34 @@ import re
 from laser_hadoop_spark import registry
 
 # payload-ish column-name patterns; `gram_h`/`sig_h`-style HASH columns
-# are the discipline, not a violation, so a trailing `_h` is excluded
-PAYLOADISH = (
+# are the discipline, not a violation, so a trailing `_h` is excluded.
+# Every stem is anchored on identifier-token boundaries (ADVICE r9:
+# the bare substrings false-flagged 'design'/'assign' via `sig` and
+# any '*name*' column via `name`): a stem matches only when it starts
+# at a word/underscore boundary AND ends at one, so `c_name`, `name#5`
+# and `chunk_text` hit while `designator`/`signature_ok`/`renamed` miss.
+_STEMS = (
     r"text",
     r"embedding",
-    r"sig(?!_h)",
+    r"sig(?!_h\b)",
     r"name",
     r"tokens",
-    r"vec(?!_id)",
-    r"gram(?!_h)",
+    r"vec(?!_id\b)",
+    r"gram(?!_h\b)",
     r"body",
 )
+PAYLOADISH = tuple(rf"(?:\b|_){stem}(?:\b|_)" for stem in _STEMS)
+
+# Adjudicated-benign exchange lines (ADVICE r9: the escape hatch that
+# keeps a future false positive from being "fixed" by weakening a
+# pattern). Keyed by query name; each value is a tuple of regexes — an
+# exchange line matching one of them is excused for that query only.
+# Every entry must carry a WHY comment.
+ALLOWLIST: dict[str, tuple[str, ...]] = {
+    # (empty at r10 — the tagged sweep is CLEAN with the anchored
+    # patterns and the widened Exchange filter; add entries here with
+    # justification rather than loosening PAYLOADISH)
+}
 
 MIN_PAIR_QUERIES = frozenset(
     [
@@ -75,14 +92,30 @@ def pair_queries() -> list[str]:
     return names
 
 
-def flag_payload_exchanges(plan: str) -> list[tuple[list[str], str]]:
-    """(patterns hit, exchange line) for every hash exchange whose
-    partition keys mention a payload-ish column name."""
+# every physical exchange variant that moves rows between tasks or to
+# the driver-side broadcast build (ADVICE r9: hashpartitioning-only
+# scope let rangepartitioning/orderBy and BroadcastExchange lines that
+# key on payload columns escape the audit)
+_EXCHANGE_MARKERS = (
+    "Exchange hashpartitioning",
+    "Exchange rangepartitioning",
+    "Exchange SinglePartition",
+    "BroadcastExchange",
+)
+
+
+def flag_payload_exchanges(
+    plan: str, *, allow: tuple[str, ...] = ()
+) -> list[tuple[list[str], str]]:
+    """(patterns hit, exchange line) for every exchange — hash, range,
+    single-partition, or broadcast — whose key expressions mention a
+    payload-ish column name. `allow` holds adjudicated-benign line
+    regexes (see ALLOWLIST)."""
     flagged: list[tuple[list[str], str]] = []
     for ln in plan.splitlines():
-        if "Exchange hashpartitioning" in ln:
+        if any(marker in ln for marker in _EXCHANGE_MARKERS):
             hits = [p for p in PAYLOADISH if re.search(p, ln)]
-            if hits:
+            if hits and not any(re.search(a, ln) for a in allow):
                 flagged.append((hits, ln.strip()[:140]))
     return flagged
 

@@ -38,7 +38,7 @@ class PretrainResult:
     source_stats: DataFrame = field(repr=False)
 
 
-def pretrain_plan(
+def pretrain_stage_prefixes(
     documents: DataFrame,
     benchmark: DataFrame,
     *,
@@ -50,12 +50,19 @@ def pretrain_plan(
     chunk_size: int = 64,
     chunk_stride: int = 48,
     **curation_kwargs,
-) -> PretrainResult:
-    """Compose curation → decontamination → sampling → chunking lazily.
+) -> dict[str, DataFrame]:
+    """Ordered lazy prefixes of the pretrain pipeline, one per stage.
 
-    Returns the chunk table (one row per training chunk) and the
-    per-source accounting aggregate; nothing executes until the caller
-    acts. Benchmark docs must NOT appear in `documents`.
+    The SINGLE source of the stage construction (ADVICE r9: the probe
+    script hand-duplicated these slices): pretrain_plan is assembled
+    from the last prefixes of THIS dict, so a per-stage probe and the
+    registered pipeline are the same computation by construction. Keys:
+
+    - ``p1_curation``      — curation_plan output (stage 1)
+    - ``p2_decontaminate`` — after the benchmark-overlap anti-join
+    - ``p3_quota_sample``  — after the per-source quota sample
+    - ``p4_chunking``      — the chunk table (PretrainResult.chunks)
+    - ``p5_source_stats``  — the accounting aggregate (.source_stats)
     """
     curated = curation_plan(
         documents, id_col=id_col, text_col=text_col, **curation_kwargs
@@ -88,4 +95,28 @@ def pretrain_plan(
         F.count("*").alias("n_chunks"),
         F.sum(token_count_ws("chunk_text")).alias("n_tokens"),
     )
-    return PretrainResult(chunks=chunks, source_stats=stats)
+    return {
+        "p1_curation": curated,
+        "p2_decontaminate": clean,
+        "p3_quota_sample": sampled,
+        "p4_chunking": chunks,
+        "p5_source_stats": stats,
+    }
+
+
+def pretrain_plan(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    **kwargs,
+) -> PretrainResult:
+    """Compose curation → decontamination → sampling → chunking lazily.
+
+    Returns the chunk table (one row per training chunk) and the
+    per-source accounting aggregate; nothing executes until the caller
+    acts. Benchmark docs must NOT appear in `documents`. Assembled
+    from pretrain_stage_prefixes — one construction site, no drift.
+    """
+    stages = pretrain_stage_prefixes(documents, benchmark, **kwargs)
+    return PretrainResult(
+        chunks=stages["p4_chunking"], source_stats=stages["p5_source_stats"]
+    )

@@ -88,91 +88,28 @@ def _load_all() -> None:
 # CORRECTNESS_r0N.json is exactly the first 50 entries of that round's
 # ordering), so dict order is a verification budget.
 #
-# ROUND-9 ROTATION (VERDICT_r08 "Next round" #1): round 8's window came
-# back 50/50 green. Slots 1-2: the two flagship similarity operators
-# whose pinned md5 oracles have never been driver-checked — the driver
-# last saw q_dedup_near and q_ann_lsh at r3 as rows-only, BEFORE their
-# r5/r6 oracle pins (both local-oracle hash-green at sf0.01 AND sf0.1
-# in ORACLE_LOCAL_r08/ORACLE_SF01_r08). Slots 3-5: the three queries
-# already in the committed bench headline but never driver-checked
-# (q_dbscan_core, q_relabel_test, q_hodges_lehmann — VERDICT_r08 "What's
-# wrong" #1, bench-before-verify). Slots 6-48: the next 43 never-driver-
-# checked in registration order (q_sign_sketch_fidelity onward; 56
-# oracle-backed never-checked remained at r8 close -> 10 after this
-# window, meeting the "lag <= 10" goal). Slots 49-50: regression
-# re-checks of the two OLDEST r1-vintage greens never re-visited
-# (q_anti_join, q_scalar_consistency; r7/r8 re-checked the ten before
-# them, all still green). The 6 rows-only queries stay EXCLUDED from
-# the prefix.
+# ROUND-10 ROTATION (VERDICT_r09 "Next round" #1): round 9's window came
+# back 50/50 green and dropped the never-driver-checked lag 58 -> 12
+# (10 oracle-backed + 2 rows-only). Slots 1-10: those 10 — this closes
+# driver coverage to 100% of the 432 oracle-backed corpus.
+# q_effect_sizes leads (its oracle carries the r8 DECIMAL-`//` fix and
+# deserves driver proof, per the verdict). Slots 11-39: the 29
+# r1-vintage greens whose LATEST driver check is still round 1 — the
+# oldest unrevisited rows in the whole corpus (regression re-checks;
+# r7/r8/r9 already re-verified the twelve older joins/scalars ahead of
+# them). Slots 40-50: the 11 oldest r2-vintage greens in the same
+# latest-check-then-registration order. The 6 rows-only queries
+# (q_ann_ivf, q_approx_count_distinct, q_approx_percentile, q_pagerank,
+# q_compress_ratio, q_wau_hll) stay EXCLUDED from the prefix — each is
+# accuracy-gated in pytest with a hash-verified exact sibling.
 #
-# After the window: the 10 remaining never-driver-checked queries in
-# registration order (the round-10 window), then the rest of the
-# r1-only greens oldest-first. Everything past the window stays covered
-# by the full local oracle corpus (tests/test_oracle_corpus.py +
-# ORACLE_LOCAL_r09.json at the driver's own sf0.01, plain AND
-# adversarial, plus ORACLE_SF01_r09.json one scale above).
+# After the window: the rest of the r2-vintage greens in vintage order
+# (pre-queueing the r11 window), then registration order via _ordered().
 _DRIVER_PRIORITY = [
-    # -- slots 1-2: flagship dedup/ANN, oracle pinned but never
-    #    driver-hash-checked (VERDICT_r08 item 1) --------------------
-    "q_dedup_near",
-    "q_ann_lsh",
-    # -- slots 3-5: benched-but-never-driver-checked trio ------------
-    "q_dbscan_core",
-    "q_relabel_test",
-    "q_hodges_lehmann",
-    # -- slots 6-48: next 43 never-driver-checked (registration
-    #    order, all oracle-backed) ----------------------------------
-    "q_sign_sketch_fidelity",
-    "q_stl_decompose",
-    "q_fixed_effects",
-    "q_cem_ate",
-    "q_weibull_fit",
-    "q_control_chart",
-    "q_bradley_terry",
-    "q_gumbel_fit",
-    "q_huber_location",
-    "q_geometric_median",
-    "q_ess_weights",
-    "q_doc_stitch",
-    "q_canopy_census",
-    "q_rle_advisor",
-    "q_volatility",
-    "q_corr_matrix",
-    "q_ipf_raking",
-    "q_cochran_q",
-    "q_friedman",
-    "q_wasserstein_1d",
-    "q_anderson_darling",
-    "q_shapley_attribution",
-    "q_l_moments",
-    "q_chao1_richness",
-    "q_fifo_cogs",
-    "q_hash_collision_audit",
-    "q_krippendorff_alpha",
-    "q_rmst",
-    "q_average_precision",
-    "q_zip_fit",
-    "q_mutual_nn",
-    "q_hll_audit",
-    "q_resource_alloc",
-    "q_katz_centrality",
-    "q_char_entropy",
-    "q_label_prop",
-    "q_var_es",
-    "q_wilcoxon",
-    "q_jackknife",
-    "q_modularity",
-    "q_hop2_census",
-    "q_procrustes2d",
-    "q_eigen2_closed",
-    # -- window slots 49-50: regression re-checks — the two oldest
-    #    r1-vintage greens never re-visited --------------------------
-    "q_anti_join",
-    "q_scalar_consistency",
-    # -- past the window: the 10 remaining never-driver-checked
-    #    queries in registration order (the round-10 window) ---------
-    "q_cholesky2",
+    # -- slots 1-10: the 10 never-driver-checked oracle-backed
+    #    queries — closes driver coverage to 432/432 ----------------
     "q_effect_sizes",
+    "q_cholesky2",
     "q_haar_wavelet",
     "q_lsh_scurve_audit",
     "q_bloom_advisor",
@@ -181,58 +118,8 @@ _DRIVER_PRIORITY = [
     "q_psm_match",
     "q_impute_census",
     "q_gpd_pot",
-    # -- then r8-window queries (all driver-green r8) and the rest of
-    #    the r1-only greens oldest-first -----------------------------
-    "q_cvm_test",
-    "q_sample_stratified",
-    "q_dedup_simhash",
-    "q_dedup_simhash64",
-    "q_jaro_blocked",
-    "q_capped_sessions",
-    "q_welch_t",
-    "q_durbin_watson",
-    "q_sax_symbols",
-    "q_brown_forsythe",
-    "q_power_analysis",
-    "q_point_in_polygon",
-    "q_odds_ratio",
-    "q_grubbs",
-    "q_tokenizer_fertility",
-    "q_theil_index",
-    "q_rake_keywords",
-    "q_hampel_filter",
-    "q_good_turing",
-    "q_qq_table",
-    "q_fk_integrity",
-    "q_kendall_tau",
-    "q_mcnemar",
-    "q_logrank",
-    "q_ndcg",
-    "q_dup_spans",
-    "q_isotonic_fit",
-    "q_l_diversity",
-    "q_dp_noisy_counts",
-    "q_silhouette",
-    "q_ecod_outliers",
-    "q_lttb_downsample",
-    "q_matrix_profile",
-    "q_jaro_pairs",
-    "q_damerau_pairs",
-    "q_triangle_support",
-    "q_cronbach_alpha",
-    "q_kendalls_w",
-    "q_geohash_census",
-    "q_mantel_haenszel",
-    "q_jonckheere",
-    "q_embedding_contamination",
-    "q_temperature_mixture",
-    "q_pack_boundaries",
-    "q_ngram_continuations",
-    "q_grouped_counts",
-    "q_rollup",
-    "q_cube",
-    "q_percentile",
-    "q_collect_agg",
+    # -- slots 11-39: r1-vintage regression re-checks (latest
+    #    driver check = round 1, oldest first by registration) ------
     "q_large_join_multikey",
     "q_outer_join",
     "q_range_join",
@@ -251,9 +138,69 @@ _DRIVER_PRIORITY = [
     "q_histogram",
     "q_edit_distance_join",
     "q_recursive_cte",
-    "q_scalar_subquery",
     "q_cohort_retention",
     "q_funnel",
+    "q_percent_rank_ntile",
+    "q_order_distribution",
+    "q_rolling_avg_range",
+    "q_profile_stats",
+    "q_scd2_intervals",
+    "q_text_tokens",
+    "q_text_quality",
+    "q_text_langid",
+    "q_text_fingerprint",
+    # -- slots 40-50: oldest r2-vintage regression re-checks --------
+    "q_scalar_subquery",
+    "q_count_conditional",
+    "q_null_semantics",
+    "q_cumulative_distinct",
+    "q_sessionize_batch",
+    "q_variant_json",
+    "q_broadcast_inner_join",
+    "q_embedding_topk",
+    "q_embedding_threshold",
+    "q_curation_pipeline",
+    "q_text_chunks",
+    # -- past the window: remaining r2-vintage greens in vintage
+    #    order (the r11 window head), then registration order -------
+    "q_text_tfidf",
+    "q_dedup_clusters",
+    "q_sample_quota",
+    "q_semantic_dedup",
+    "q_pretrain_pipeline",
+    "q_pricing_summary",
+    "q_shipping_priority",
+    "q_local_supplier_volume",
+    "q_shipmode_priority",
+    "q_promo_revenue",
+    "q_inactive_customers",
+    "q_string_funcs",
+    "q_string_key_concat",
+    "q_math_funcs",
+    "q_date_funcs",
+    "q_array_funcs",
+    "q_map_funcs",
+    "q_pivot",
+    "q_scan_project_filter",
+    "q_filter_compound",
+    "q_having_threshold",
+    "q_route_by_arity",
+    "q_json_extract",
+    "q_union_all",
+    "q_intersect",
+    "q_except",
+    "q_tumbling_window_agg",
+    "q_sliding_window_agg",
+    "q_session_window",
+    "q_grouped_map_normalize",
+    "q_scalar_udf",
+    "q_grouped_agg_udf",
+    "q_python_udtf",
+    "q_row_number_chunking",
+    "q_ntile_batching",
+    "q_rank_topk_per_group",
+    "q_window_running_sum",
+    "q_lag_lead",
 ]
 
 

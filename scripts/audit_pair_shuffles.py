@@ -39,12 +39,21 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 from laser_hadoop_spark import registry
-from laser_hadoop_spark.plans.pair_audit import flag_payload_exchanges, pair_queries
+from laser_hadoop_spark.plans.pair_audit import (
+    ALLOWLIST,
+    flag_payload_exchanges,
+    pair_queries,
+)
 from laser_hadoop_spark.session import get_spark
 
 
-def discover(spark, sf_dir: str) -> int:
-    """Flag untagged queries whose plan looks pair-shaped."""
+def discover(spark, sf_dir: str, *, strict: bool = False) -> int:
+    """Flag untagged queries whose plan looks pair-shaped.
+
+    With --strict (ADVICE r9: discover always exited 0, so it could
+    never gate CI), a nonzero exit when any untagged pair-shaped query
+    is found; without it, advisory-only (the detector's known-benign
+    false positives make strict mode opt-in)."""
     from laser_hadoop_spark.plans.pair_audit import looks_pair_shaped
 
     tagged = set(pair_queries())
@@ -61,7 +70,7 @@ def discover(spark, sf_dir: str) -> int:
             found += 1
             print(f"{name}: PAIR-SHAPED but untagged — adjudicate")
     print(f"\n{found} untagged pair-shaped candidates")
-    return 0
+    return 1 if (strict and found) else 0
 
 
 def main() -> int:
@@ -69,10 +78,13 @@ def main() -> int:
     do_discover = "--discover" in args
     if do_discover:
         args.remove("--discover")
+    strict = "--strict" in args
+    if strict:
+        args.remove("--strict")
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     spark = get_spark("audit_pair_shuffles")
     if do_discover:
-        return discover(spark, sf_dir)
+        return discover(spark, sf_dir, strict=strict)
     dirty = 0
     for name in pair_queries():
         try:
@@ -82,7 +94,7 @@ def main() -> int:
             print(f"{name}: ERROR {type(exc).__name__}: {exc}")
             dirty += 1
             continue
-        flagged = flag_payload_exchanges(plan)
+        flagged = flag_payload_exchanges(plan, allow=ALLOWLIST.get(name, ()))
         if flagged:
             dirty += 1
             print(f"{name}: REVIEW ({len(flagged)} exchanges key on payload-ish columns)")

@@ -45,63 +45,42 @@ DST = sf_probe.DST
 
 
 def _curation_stages(spark, sf_dir):
-    """Lazy prefixes of curation_plan (window dedup strategy)."""
-    from pyspark.sql import Window
-
-    from laser_hadoop_spark.operators import text as T
+    """Lazy prefixes of curation_plan, from the plan module itself
+    (ADVICE r9: the hand-duplicated stage slices here would silently
+    drift from plans/curation.py; curation_stage_prefixes is now the
+    single construction site and curation_plan returns its last
+    prefix, so s3 IS the registered pipeline's core by construction)."""
+    from laser_hadoop_spark.plans.curation import curation_stage_prefixes
 
     d = table(spark, sf_dir, "documents")
-    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
-    withfp = d.withColumn("__fp", F.xxhash64(norm))
-    keep = F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("__fp"))
-    s1 = withfp.withColumn("__keep", keep).where("__keep").drop("__fp", "__keep")
-    length_ok = (F.length("text") >= 50) & (F.length("text") <= 10_000)
-    with_words = s1.withColumn("__w", T.words("text"))
-    w = F.col("__w")
-    stop_ok = T.marker_ratio("text", words_col=w) >= 0.02
-    punct_ok = T.punct_ratio("text") <= 0.2
-    s2 = with_words.where(length_ok & stop_ok & punct_ok).drop("__w")
-    from laser_hadoop_spark.plans.curation import curation_plan
-
-    s3 = curation_plan(d)
+    st = curation_stage_prefixes(d)
     full = registry.get("q_curation_pipeline").fn(spark, sf_dir)
     return {
-        "s1_fingerprint_dedup": s1.select("doc_id"),
-        "s2_quality_filters": s2.select("doc_id"),
-        "s3_langid_filter": s3.select("doc_id", "predicted_lang"),
+        "s1_fingerprint_dedup": st["s1_fingerprint_dedup"].select("doc_id"),
+        "s2_quality_filters": st["s2_quality_filters"].select("doc_id"),
+        "s3_langid_filter": st["s3_langid_filter"].select(
+            "doc_id", "predicted_lang"
+        ),
         "s4_full_query": full,
     }
 
 
 def _pretrain_stages(spark, sf_dir):
-    """Lazy prefixes of pretrain_plan (corpus = source<>src0)."""
-    from laser_hadoop_spark.operators.dedup import contamination_overlap
-    from laser_hadoop_spark.operators.sampling import quota_sample
-    from laser_hadoop_spark.operators.text import token_chunks
-    from laser_hadoop_spark.plans.curation import curation_plan
+    """Lazy prefixes of pretrain_plan, from the plan module itself
+    (ADVICE r9 — see _curation_stages; pretrain_plan is assembled from
+    the same pretrain_stage_prefixes dict probed here)."""
+    from laser_hadoop_spark.plans.pretrain import pretrain_stage_prefixes
 
     d = table(spark, sf_dir, "documents")
     corpus = d.where(F.col("source") != "src0")
     bench = d.where(F.col("source") == "src0")
-    curated = curation_plan(corpus)
-    contaminated = contamination_overlap(
-        curated, bench, id_col="doc_id", text_col="text", min_overlap=0.2
-    ).select("doc_id")
-    clean = curated.join(contaminated, on="doc_id", how="left_anti")
-    sampled = quota_sample(
-        clean, strata_col="source", n_per_stratum=20, order_col="doc_id"
-    )
-    chunks = sampled.select(
-        "doc_id",
-        "source",
-        F.explode(token_chunks("text", size=64, stride=48)).alias("c"),
-    )
+    st = pretrain_stage_prefixes(corpus, bench)
     full = registry.get("q_pretrain_pipeline").fn(spark, sf_dir)
     return {
-        "p1_curation": curated.select("doc_id"),
-        "p2_decontaminate": clean.select("doc_id"),
-        "p3_quota_sample": sampled.select("doc_id"),
-        "p4_chunking": chunks.select("doc_id"),
+        "p1_curation": st["p1_curation"].select("doc_id"),
+        "p2_decontaminate": st["p2_decontaminate"].select("doc_id"),
+        "p3_quota_sample": st["p3_quota_sample"].select("doc_id"),
+        "p4_chunking": st["p4_chunking"].select("doc_id"),
         "p5_full_query": full,
     }
 

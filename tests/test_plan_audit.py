@@ -1309,13 +1309,16 @@ def test_round8_ann_candidate_shuffles_are_id_only(spark, sf_dir):
 
 def test_pair_query_shuffles_carry_no_payload(spark, sf_dir):
     """VERDICT_r08 item 4, binding form of scripts/audit_pair_shuffles:
-    every query the registry tags as pair-generating must keep its hash
-    exchanges free of payload-ish partition keys (ids + hashes only) —
+    every query the registry tags as pair-generating must keep its
+    exchanges (hash, range, single-partition, AND broadcast — widened
+    per ADVICE r9) free of payload-ish partition keys (ids + hashes
+    only) —
     the round-8 32 s -> 7 s class. The set is registry-DERIVED, so a
     future tags=("pairs",) registration is audited by construction;
     pair_queries() itself enforces the round-8 hand-list as the
     minimum-coverage floor."""
     from laser_hadoop_spark.plans.pair_audit import (
+        ALLOWLIST,
         MIN_PAIR_QUERIES,
         flag_payload_exchanges,
         pair_queries,
@@ -1326,7 +1329,7 @@ def test_pair_query_shuffles_carry_no_payload(spark, sf_dir):
     dirty = {}
     for name in names:
         plan = _plan(registry.get(name).fn(spark, sf_dir))
-        flagged = flag_payload_exchanges(plan)
+        flagged = flag_payload_exchanges(plan, allow=ALLOWLIST.get(name, ()))
         if flagged:
             dirty[name] = flagged
     assert not dirty, dirty
