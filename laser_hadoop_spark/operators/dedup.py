@@ -15,6 +15,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# prefix_filter_pairs hot-token sharding (r10): a token whose prefix
+# posting list exceeds _HOT_POSTINGS generates its candidates through
+# the (token, sa, sb) triangle-sharded join — _N_SHARDS^2 tasks per
+# token instead of one. 4096 postings = ~8M generated pairs, about one
+# second of one task's codegen loop: the crossover where splitting
+# starts to pay for its replication.
+_HOT_POSTINGS = 4096
+_N_SHARDS = 8
+
 SIMHASH_BITS = 32
 
 
@@ -512,17 +521,103 @@ def prefix_filter_pairs(
     prefix = ranked.where(
         F.col("rank")
         <= F.col("n") - F.expr(f"({threshold_bp} * n + 9999) DIV 10000") + 1
-    ).select("doc", "token")
-    cand = (
-        prefix.alias("a")
+    ).select("doc", "token", "rank", "n")
+    if materialize:
+        # the cold/hot split (below) makes prefix a FIVE-consumer
+        # relation (posting counts, two cold sides, two hot sides);
+        # inlined, each consumer re-runs the df join + rank window.
+        # The relation is sketch-scale (ids + 3 ints), same tradeoff
+        # as tok above — measured 38.5 -> 28.6 s at sf0.1 (the full
+        # r10 series: 125.9 s original, 21.0 s positional+repartition,
+        # 28.6 s final hybrid whose ~7 s 1x overhead buys the 10x
+        # robustness; HOT=2048 was tried and rejected at 84 s — the
+        # sharded join's replication+sort overhead only pays when a
+        # token's cartesian actually dominates a task).
+        prefix = prefix.localCheckpoint(eager=True)
+    # r10 scale fix (the X135/X79 treatment, measured by
+    # scripts/probe_round10.py): on a small-vocabulary corpus even the
+    # "rare" prefix tokens carry df in the thousands, and raw candidate
+    # generation is sum(df_t^2) — 66M rows at sf0.1, 6.6G at the x10
+    # probe corpus. Three exact countermeasures:
+    # (a) PPJoin's POSITIONAL filter (Xiao et al. 2008), evaluated on
+    #     every generated row BEFORE the distinct: a true pair with
+    #     Jaccard >= t needs overlap alpha = ceil(t(na+nb)/(1+t)), and
+    #     a match at prefix ranks (pa, pb) bounds the achievable
+    #     overlap by min(pa-1, pb-1) + 1 + min(na-pa, nb-pb) — shared
+    #     tokens sort identically under the global rarity order, so
+    #     every shared token of a qualifying pair passes the bound: no
+    #     false negatives (the md5 oracle hash keeps proving this).
+    #     This also subsumes the length filter (size-mismatched pairs
+    #     fail the bound at every rank).
+    # (b) an explicit 64-way repartition of both join sides: AQE
+    #     coalesces this shuffle by INPUT bytes (the prefix relation is
+    #     tiny), which serialized the df^2 OUTPUT blow-up onto a
+    #     handful of tasks at the 10x probe; a user-specified partition
+    #     count is exempt from coalescing and keeps the quadratic
+    #     token blocks spread across the executor pool.
+    # (c) TRIANGLE SHARDING of hot tokens (prefix postings above
+    #     _HOT_POSTINGS): one token is one SMJ group, so (b) cannot
+    #     split a single stopword-class token whose df^2 block
+    #     serializes onto one task (the x10 probe's 38k-posting tokens
+    #     are ~1.5G generated pairs EACH). Hot postings join on
+    #     (token, sa, sb) instead: each side hashes its doc into one
+    #     of _N_SHARDS shards and replicates over the other side's
+    #     shard axis, so every (a, b) pair still meets EXACTLY once
+    #     (a's row with sb = h(b.doc) meets b's row with sa =
+    #     h(a.doc)) but one token spreads over _N_SHARDS^2 tasks.
+    #     Replication is _N_SHARDS x the hot postings only — ids and
+    #     ints, bounded, and hot tokens are by definition few.
+    pc = prefix.groupBy("token").agg(F.count("*").alias("__pc"))
+    pref = prefix.join(pc, "token")
+    cold = pref.where(F.col("__pc") <= _HOT_POSTINGS).drop("__pc")
+    hot = pref.where(F.col("__pc") > _HOT_POSTINGS).drop("__pc")
+    shards = F.sequence(F.lit(0), F.lit(_N_SHARDS - 1))
+    hot_a = hot.withColumn(
+        "sa", F.pmod(F.xxhash64("doc"), F.lit(_N_SHARDS))
+    ).withColumn("sb", F.explode(shards))
+    hot_b = hot.withColumn(
+        "sb", F.pmod(F.xxhash64("doc"), F.lit(_N_SHARDS))
+    ).withColumn("sa", F.explode(shards))
+
+    def _positional(a, b):
+        alpha = F.expr(
+            f"({threshold_bp} * ({a}.n + {b}.n) + {10000 + threshold_bp} - 1)"
+            f" DIV {10000 + threshold_bp}"
+        )
+        ubound = (
+            F.least(F.col(f"{a}.rank") - 1, F.col(f"{b}.rank") - 1)
+            + 1
+            + F.least(
+                F.col(f"{a}.n") - F.col(f"{a}.rank"),
+                F.col(f"{b}.n") - F.col(f"{b}.rank"),
+            )
+        )
+        return ubound >= alpha
+
+    cand_cold = (
+        cold.repartition(64, "token")
+        .alias("a")
         .join(
-            prefix.alias("b"),
+            cold.repartition(64, "token").alias("b"),
             (F.col("a.token") == F.col("b.token"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
+        .where(_positional("a", "b"))
         .select(F.col("a.doc").alias("da"), F.col("b.doc").alias("db"))
-        .distinct()
     )
+    cand_hot = (
+        hot_a.alias("a")
+        .join(
+            hot_b.alias("b"),
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.sa") == F.col("b.sa"))
+            & (F.col("a.sb") == F.col("b.sb"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .where(_positional("a", "b"))
+        .select(F.col("a.doc").alias("da"), F.col("b.doc").alias("db"))
+    )
+    cand = cand_cold.unionByName(cand_hot).distinct()
     overlap = (
         cand.join(tok.alias("ta"), F.col("da") == F.col("ta.doc"))
         .join(

@@ -22,7 +22,7 @@ The audited set comes from the registry's ``tags=("pairs",)`` marker
 future pair query is covered by tagging it at registration, and the
 round-8 hand-list is enforced there as a minimum-coverage floor.
 
-Usage: python scripts/audit_pair_shuffles.py [--discover] [sf_dir]
+Usage: python scripts/audit_pair_shuffles.py [--discover [--strict]] [sf_dir]
 (--discover: instead of auditing the tagged set, build EVERY registered
  query's plan and flag untagged queries whose physical plan is
  pair-shaped — self-scan of a table + a no-function dedup aggregate

@@ -69,7 +69,8 @@ def main() -> int:
         # registry rotation and its dry-run)
         names = list(registry.all_queries())[:50] + names
     spark = get_spark("check_oracles")
-    if os.environ.get("SPARK_GRAFT_ADVERSARIAL"):
+    adversarial = bool(os.environ.get("SPARK_GRAFT_ADVERSARIAL"))
+    if adversarial:
         spark.conf.set("spark.sql.ansi.enabled", "true")
         spark.conf.set("spark.sql.session.timeZone", "America/New_York")
         spark.conf.set("spark.sql.shuffle.partitions", "7")
@@ -126,7 +127,24 @@ def main() -> int:
         import json
 
         with open(json_out, "w") as f:
-            json.dump({"sf_dir": sf_dir, "queries": results}, f, indent=1)
+            # the artifact must self-describe its session flavor so
+            # plain and adversarial sweeps are distinguishable at HEAD
+            # (VERDICT_r09 item 3)
+            session = (
+                {
+                    "flavor": "adversarial",
+                    "ansi": True,
+                    "timeZone": "America/New_York",
+                    "shuffle_partitions": 7,
+                }
+                if adversarial
+                else {"flavor": "plain"}
+            )
+            json.dump(
+                {"sf_dir": sf_dir, "session": session, "queries": results},
+                f,
+                indent=1,
+            )
             f.write("\n")
         print(f"wrote {json_out}")
     return 1 if failures else 0

@@ -275,7 +275,11 @@ def test_round3_queries_stay_jvm_side_and_shuffle_bounded(spark, sf_dir):
         "q_dq_checks": 4,
         "q_hll_sketch": 6,
         "q_kmeans_exact": 12,         # 3 unrolled iterations x (assign+update)
-        "q_prefix_filter_pairs": 8,   # materialized tok, see operator docstring
+        "q_prefix_filter_pairs": 9,   # materialized tok + prefix; +1 in r10
+                                      # for the hot/cold posting split
+                                      # (pc agg feeding the triangle-
+                                      # sharded hot join — the x10 skew
+                                      # fix, operator docstring)
         "q_point_in_time_join": 1,    # interval pred inside user equi-join
         "q_outlier_count": 2,         # stats agg + broadcast-joined test
         "q_event_transitions": 5,

@@ -191,6 +191,55 @@ def test_canary_verdict_flags_loaded_host_and_missing_samples():
     assert v3["canary_ok"] is False
 
 
+# --- pair-audit pattern anchoring (ADVICE r9) -----------------------------
+
+
+def test_payloadish_patterns_anchor_on_identifier_boundaries():
+    """The ADVICE r9 false-positive class must stay dead: benign
+    identifiers containing payload stems as substrings ('design',
+    'assign', 'renamed', 'signature_ok') never match; real payload
+    columns in plan spelling (name#5, c_name#12, chunk_text#3,
+    vec_a#9, sig_a#2) always match; hash-discipline columns (sig_h,
+    gram_h, vec_id) stay excluded."""
+    from laser_hadoop_spark.plans.pair_audit import PAYLOADISH
+
+    def hit(s: str) -> bool:
+        return any(re.search(p, s) for p in PAYLOADISH)
+
+    for benign in (
+        "design#3", "assign#7", "redesign#1", "renamed#2",
+        "signature_ok#4", "vec_id#8", "sig_h#5", "gram_h#6",
+        "integral#9", "grammar#1",
+    ):
+        assert not hit(benign), benign
+    for payload in (
+        "name#5", "c_name#12", "p_name#3", "chunk_text#3", "text#1",
+        "embedding#4", "vec_a#9", "sig_a#2", "gram#7", "tokens#1",
+        "body#2", "name_a#44",
+    ):
+        assert hit(payload), payload
+
+
+def test_flag_payload_exchanges_covers_all_exchange_variants():
+    """ADVICE r9: range / single-partition / broadcast exchanges that
+    key on payload columns must flag, not just hashpartitioning; the
+    allowlist excuses a specific adjudicated line."""
+    from laser_hadoop_spark.plans.pair_audit import flag_payload_exchanges
+
+    plan = "\n".join(
+        [
+            "Exchange hashpartitioning(text#1, 32)",
+            "Exchange rangepartitioning(c_name#2 ASC, 32)",
+            "BroadcastExchange HashedRelationBroadcastMode(List(embedding#3))",
+            "Exchange hashpartitioning(doc_id#4L, gram_h#5L, 32)",  # clean
+        ]
+    )
+    flagged = flag_payload_exchanges(plan)
+    assert len(flagged) == 3, flagged
+    excused = flag_payload_exchanges(plan, allow=(r"rangepartitioning\(c_name",))
+    assert len(excused) == 2, excused
+
+
 # --- benign-global-window closure (VERDICT_r09 item 6) --------------------
 
 # Every `Window.orderBy(` (no partitionBy -> single-partition WindowExec)
