@@ -131,6 +131,21 @@ CANARY_BANDS = {
     "streaming_rows_per_sec": (65_000.0, None),
 }
 
+# Per-query healthy bands at sf0.1 on a quiet host (VERDICT_r10 items
+# 1/7): the three queries that exhibited the in-session slow mode
+# (storage-memory tenancy -> GC thrash during their big sort/collect —
+# see session.release_persisted). Quiet-host warm times measured round
+# 11 post-fix: jaro 5.2-6.7 s, product_profit 1.1-1.7 s, dup_spans
+# 3.9-4.5 s; bands sit at ~1.5x warm (the verdict's "done" line). A
+# query OVER its band while the HOST canaries are green means the
+# in-process mode is back — flagged separately from host noise so it
+# can never hide behind canary_ok again.
+SLOW_MODE_BANDS_SF01 = {
+    "q_jaro_pairs": 9.0,
+    "q_product_profit": 2.5,
+    "q_dup_spans": 6.5,
+}
+
 
 def canary_verdict(canary_start: dict, canary_end: dict, streaming: dict) -> dict:
     """Adjudicate this run's canaries against CANARY_BANDS.
@@ -150,7 +165,14 @@ def canary_verdict(canary_start: dict, canary_end: dict, streaming: dict) -> dic
                 failures.append(f"{label}.{key}={val} outside ({lo}, {hi})")
     lo, hi = CANARY_BANDS["streaming_rows_per_sec"]
     rps = streaming.get("rows_per_sec")
-    if rps is None:
+    # A streaming ERROR is a code failure, not host noise: report it
+    # under its own key so it can never be adjudicated as contention
+    # (ADVICE r10). Only a *present but out-of-band* throughput reads
+    # as host noise.
+    streaming_error = streaming.get("error")
+    if streaming_error is not None:
+        failures.append(f"streaming errored: {streaming_error}")
+    elif rps is None:
         failures.append("streaming.rows_per_sec: missing")
     elif (lo is not None and rps < lo) or (hi is not None and rps > hi):
         failures.append(f"streaming.rows_per_sec={rps} outside ({lo}, {hi})")
@@ -158,7 +180,24 @@ def canary_verdict(canary_start: dict, canary_end: dict, streaming: dict) -> dic
         "canary_ok": not failures,
         "canary_bands": {k: list(v) for k, v in CANARY_BANDS.items()},
         "canary_failures": failures,
+        **({"streaming_error": streaming_error} if streaming_error else {}),
     }
+
+
+def slow_mode_verdict(timings: dict, sf: float | None, host_ok: bool) -> dict:
+    """Flag the in-session slow mode per-query (VERDICT_r10 item 1).
+
+    Adjudicated only at sf0.1 (where the bands were measured) and only
+    when the host canaries are green — on a loaded host the per-query
+    numbers are contaminated by the host, not by in-process state."""
+    if sf != 0.1 or not host_ok:
+        return {"slow_mode_suspects": None}
+    over = {
+        name: {"sec": timings[name], "band_max": band}
+        for name, band in SLOW_MODE_BANDS_SF01.items()
+        if name in timings and timings[name] > band
+    }
+    return {"slow_mode_suspects": over}
 
 
 def host_canary(spark) -> dict:
@@ -215,8 +254,30 @@ def main() -> None:
     # (Measured: q_broadcast_inner_join reports 1.2s in a cold JVM vs a
     # stable 0.85s warm — rounds where ensure_bucketed_facts was a no-op
     # looked like regressions purely from losing its warmup effect.)
+    #
+    # Session hygiene between queries (VERDICT_r10 items 1/7): each run
+    # rebuilds its plan from scratch, so the previous run's checkpoint
+    # blocks are garbage the moment collect() returns — but without an
+    # explicit unpersist they are freed only when a JVM GC happens to
+    # let the ContextCleaner run. Measured: 3.2 GB of lingering storage
+    # on the shared 8 GB heap puts q_jaro_pairs' 1.17M-row sort+collect
+    # into a 1.8-2.4x GC-thrash slow mode (the bimodal 17 s seen in
+    # BENCH_r09/the r10 judge replay). release_persisted() after every
+    # collect removes the GC-timing dependence; a storage-triggered
+    # System.gc() additionally bounds broadcast-block tenancy (those
+    # are only ContextCleaner-freeable). Both run OUTSIDE the timing
+    # windows.
+    from laser_hadoop_spark.session import release_persisted, storage_memory_used
+
+    def _hygiene() -> None:
+        release_persisted(spark)
+        if storage_memory_used(spark) > 1_000_000_000:
+            spark.sparkContext._jvm.System.gc()
+
+    storage_peak = 0
     for name in HEADLINE:
         specs[name].fn(spark, sf_dir).collect()
+        _hygiene()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = specs[name].fn
@@ -225,7 +286,9 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
+            _hygiene()
         timings[name] = round(best, 3)
+        storage_peak = max(storage_peak, storage_memory_used(spark))
     total = round(sum(timings.values()), 3)
     # streaming micro-bench: PINNED deterministic file stream (1M rows,
     # 5 batches, 100 keys — identical every round, so rows_per_sec in
@@ -240,6 +303,13 @@ def main() -> None:
     canary_end = host_canary(spark)
     verdict = canary_verdict(canary_start, canary_end, streaming)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    sf_num = float(sf) if sf else None
+    # host_ok = the per-core canaries alone (streaming is a code-path
+    # sample, not a host probe) — the gate for per-query band reads
+    host_ok = not [
+        f for f in verdict["canary_failures"] if not f.startswith("streaming")
+    ]
+    slow_mode = slow_mode_verdict(timings, sf_num, host_ok)
     print(
         json.dumps(
             {
@@ -250,8 +320,10 @@ def main() -> None:
                 "streaming": streaming,
                 "canary": {"start": canary_start, "end": canary_end},
                 **verdict,
+                **slow_mode,
+                "storage_peak_mb": round(storage_peak / 1e6, 1),
                 **({"warehouse_error": warehouse_error} if warehouse_error else {}),
-                "sf": float(sf) if sf else None,
+                "sf": sf_num,
             }
         )
     )

@@ -180,8 +180,17 @@ def grouped_procrustes(
             return empty
         left = left.sort_values(id_col, kind="mergesort")
         right = right.sort_values(id_col, kind="mergesort")
-        shared = left[left[id_col].isin(set(right[id_col]))]
-        anchor_r = right[right[id_col].isin(set(shared[id_col]))]
+        # Anchor alignment is positional (sorted id), so the fit keeps
+        # exactly ONE row per id on each side: a duplicated id would
+        # otherwise make the matrices differ in length (kernel
+        # ValueError fails the job) or silently misalign rows and fit
+        # a wrong transform (ADVICE r10). First row per id wins — the
+        # mergesort above makes that deterministic. The projection
+        # below still maps EVERY study row, duplicates included.
+        anchors_l = left.drop_duplicates(id_col)
+        anchors_r = right.drop_duplicates(id_col)
+        shared = anchors_l[anchors_l[id_col].isin(set(anchors_r[id_col]))]
+        anchor_r = anchors_r[anchors_r[id_col].isin(set(shared[id_col]))]
         if len(shared) < 2:
             return empty
         xs = np.array(list(shared[pc_col]), dtype=np.float64)

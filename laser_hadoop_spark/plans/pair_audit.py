@@ -26,21 +26,28 @@ import re
 
 from laser_hadoop_spark import registry
 
-# payload-ish column-name patterns; `gram_h`/`sig_h`-style HASH columns
-# are the discipline, not a violation, so a trailing `_h` is excluded.
+# payload-ish column-name patterns; `gram_h`/`sig_hash`-style HASH/ID
+# columns are the discipline, not a violation, so the whole hash/id
+# suffix FAMILY is excluded: `_h`, `_h2`, `_hash`, `_id`, `_idx` —
+# each terminated boundary-or-underscore so longer spellings
+# (`sig_hash#3`, `gram_h2#1`, `vec_idx#4`) stay excluded exactly like
+# their short forms (ADVICE r10: the r9 word-boundary tightening had
+# narrowed the exclusion to the literal short suffixes, creating new
+# false positives for the longer spellings).
 # Every stem is anchored on identifier-token boundaries (ADVICE r9:
 # the bare substrings false-flagged 'design'/'assign' via `sig` and
 # any '*name*' column via `name`): a stem matches only when it starts
 # at a word/underscore boundary AND ends at one, so `c_name`, `name#5`
 # and `chunk_text` hit while `designator`/`signature_ok`/`renamed` miss.
+_HASH_SUFFIX = r"(?!_(?:h\d*|hash|id|idx)(?:\b|_))"
 _STEMS = (
     r"text",
     r"embedding",
-    r"sig(?!_h\b)",
+    rf"sig{_HASH_SUFFIX}",
     r"name",
     r"tokens",
-    r"vec(?!_id\b)",
-    r"gram(?!_h\b)",
+    rf"vec{_HASH_SUFFIX}",
+    rf"gram{_HASH_SUFFIX}",
     r"body",
 )
 PAYLOADISH = tuple(rf"(?:\b|_){stem}(?:\b|_)" for stem in _STEMS)

@@ -39,7 +39,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 from laser_hadoop_spark import registry
-from laser_hadoop_spark.session import get_spark
+from laser_hadoop_spark.session import get_spark, release_persisted
 from laser_hadoop_spark.testing import compare_query, duckdb_connect
 
 
@@ -108,6 +108,14 @@ def main() -> int:
                 "error": f"{type(exc).__name__}: {exc}",
             }
             continue
+        finally:
+            # session hygiene (VERDICT_r10 item 7): each query's
+            # checkpoint blocks are dead once compared — free them NOW
+            # instead of at the ContextCleaner's GC-timing mercy, so a
+            # 438-query sweep can't build up storage tenancy on the
+            # shared local-mode heap (the q_jaro_pairs slow-mode root
+            # cause, see session.release_persisted)
+            release_persisted(spark)
         dt = time.time() - t0
         results[name] = {
             "ok": bool(res.ok),

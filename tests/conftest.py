@@ -17,6 +17,12 @@ ensure_vendored_protobuf()
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: full-corpus sweeps (minutes; still part of the default suite)"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from laser_hadoop_spark.session import get_spark
