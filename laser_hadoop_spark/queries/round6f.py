@@ -206,3 +206,103 @@ def q_gpd_pot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("beta_centi"),
     )
+
+
+# --- X374: k-dim Procrustes at production dimensionality (corpus entry) -------
+
+# Planted exact transform: block-diagonal Givens rotation from
+# Pythagorean-triple cosines (every entry rational), scale 3/2, integer
+# translation. The study side is the reference side pushed through it,
+# so the fitted Procrustes projection must recover the ORIGINAL integer
+# PCs — analytically known, hence SQL-expressible without an SVD in the
+# oracle. Fit-recovery error is ~1e-11 absolute on integer-valued
+# targets, so rounding to integers is 10 orders from any boundary
+# (X362 exactness discipline at k=8 instead of the 2D closed form).
+_PK_GIVENS = (
+    (0, 1, 3 / 5, 4 / 5),
+    (2, 3, 5 / 13, 12 / 13),
+    (4, 5, 8 / 17, 15 / 17),
+    (6, 7, 7 / 25, 24 / 25),
+)
+_PK_SCALE = 1.5
+_PK_SHIFT = (7.0, -3.0, 11.0, 5.0, -9.0, 2.0, 13.0, -6.0)
+_PK_DIM = 8
+
+
+@register(
+    "q_procrustes_kdim",
+    oracle=f"""
+    SELECT CAST(label AS INT) AS grp,
+           CAST(vec_id AS BIGINT) AS vid,
+           CAST(d.dim AS INT) AS dim,
+           CAST(round(embedding[CAST(d.dim AS INT) + 1] * 1000) AS BIGINT)
+               AS val
+    FROM embeddings,
+         (SELECT UNNEST(range({_PK_DIM})) AS dim) d
+    ORDER BY grp, vid, dim
+    """,
+)
+def q_procrustes_kdim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X374: per-label k-dim orthogonal Procrustes projection (U5's
+    production-dimensionality path, VERDICT_r10 item 4).
+
+    The reference schedules its external trace/procrustes binary per
+    chunk at dim≈8 (LASERInputValidator.java:162,176-177); here the
+    same fit runs as operators/pca.py grouped_procrustes (cogrouped
+    applyInPandas, k x k SVD per group). Corpus verification by
+    planted-transform recovery: the study frame is the reference frame
+    (integer-quantized first-8 embedding dims) pushed through a FIXED
+    rational rotation + scale 3/2 + integer shift; the fitted per-label
+    transform must map every study row back onto the original integers
+    exactly (micro-error ~1e-11 << 0.5), which the DuckDB oracle states
+    directly — no SVD needed on the oracle side.
+
+    100 TB: each label group is one Arrow batch on one task (the
+    reference's per-chunk analyses are thousands of rows); cross-moment
+    is O(n k^2) scan-local per group, SVD is k x k.
+    """
+    from laser_hadoop_spark.operators.pca import grouped_procrustes
+
+    emb = table(spark, sf_dir, "embeddings")
+    pc_ref = emb.select(
+        F.col("label").cast("string").alias("label"),
+        F.col("vec_id").cast("string").alias("id"),
+        F.array(
+            *[
+                F.round(F.col("embedding")[k] * 1000).cast("double")
+                for k in range(_PK_DIM)
+            ]
+        ).alias("pc"),
+    )
+    rot = [None] * _PK_DIM
+    for i, j, c, s in _PK_GIVENS:
+        u, v = F.col("pc")[i], F.col("pc")[j]
+        rot[i] = c * u + s * v
+        rot[j] = -s * u + c * v
+    study = pc_ref.select(
+        "label",
+        "id",
+        F.array(
+            *[
+                (_PK_SCALE * e + F.lit(t)).cast("double")
+                for e, t in zip(rot, _PK_SHIFT)
+            ]
+        ).alias("pc"),
+    )
+    proj = grouped_procrustes(
+        study, pc_ref, group_col="label", id_col="id", pc_col="pc"
+    )
+    return (
+        proj.select(
+            F.col("label").cast("int").alias("grp"),
+            F.col("id").cast("bigint").alias("vid"),
+            F.posexplode("proj").alias("dim", "val"),
+        )
+        .select(
+            "grp",
+            "vid",
+            F.col("dim").cast("int").alias("dim"),
+            F.round("val").cast("bigint").alias("val"),
+        )
+        .orderBy("grp", "vid", "dim")
+    )

@@ -88,81 +88,28 @@ def _load_all() -> None:
 # CORRECTNESS_r0N.json is exactly the first 50 entries of that round's
 # ordering), so dict order is a verification budget.
 #
-# ROUND-10 ROTATION (VERDICT_r09 "Next round" #1): round 9's window came
-# back 50/50 green and dropped the never-driver-checked lag 58 -> 12
-# (10 oracle-backed + 2 rows-only). Slots 1-10: those 10 — this closes
-# driver coverage to 100% of the 432 oracle-backed corpus.
-# q_effect_sizes leads (its oracle carries the r8 DECIMAL-`//` fix and
-# deserves driver proof, per the verdict). Slots 11-39: the 29
-# r1-vintage greens whose LATEST driver check is still round 1 — the
-# oldest unrevisited rows in the whole corpus (regression re-checks;
-# r7/r8/r9 already re-verified the twelve older joins/scalars ahead of
-# them). Slots 40-50: the 11 oldest r2-vintage greens in the same
-# latest-check-then-registration order. The 6 rows-only queries
-# (q_ann_ivf, q_approx_count_distinct, q_approx_percentile, q_pagerank,
-# q_compress_ratio, q_wau_hll) stay EXCLUDED from the prefix — each is
-# accuracy-gated in pytest with a hash-verified exact sibling.
-#
-# After the window: the rest of the r2-vintage greens in vintage order
-# (pre-queueing the r11 window), then registration order via _ordered().
+# ROUND-11 ROTATION (VERDICT_r10 items 2 and 4): round 10's window came
+# back 50/50 green, closing driver coverage to 432/432 oracle-backed.
+# Slots 1-2: q_compress_ratio / q_wau_hll — the LAST two queries never
+# in any driver window (rows-only by design; the driver's rows>0 check
+# is their right tier) — after this window every registered query has
+# a driver row. Slot 3: q_procrustes_kdim, the NEW k-dim Procrustes
+# corpus entry (item 4; oracle-backed via planted-transform recovery).
+# Slots 4-5: the two r1-vintage rows-only re-checks (latest driver row
+# = round 1, the oldest anywhere). Slots 6-44: all 39 r2-vintage greens
+# in the queue order pre-staged last round. Slots 45-50: the 6 oldest
+# r3-vintage greens. After the window: the remaining 40 r3-vintage
+# greens in vintage order (pre-queueing the r12 window), then
+# registration order via _ordered().
 _DRIVER_PRIORITY = [
-    # -- slots 1-10: the 10 never-driver-checked oracle-backed
-    #    queries — closes driver coverage to 432/432 ----------------
-    "q_effect_sizes",
-    "q_cholesky2",
-    "q_haar_wavelet",
-    "q_lsh_scurve_audit",
-    "q_bloom_advisor",
-    "q_doremi_step",
-    "q_hill_tail",
-    "q_psm_match",
-    "q_impute_census",
-    "q_gpd_pot",
-    # -- slots 11-39: r1-vintage regression re-checks (latest
-    #    driver check = round 1, oldest first by registration) ------
-    "q_large_join_multikey",
-    "q_outer_join",
-    "q_range_join",
-    "q_asof_join",
-    "q_salted_join",
-    "q_grouping_sets",
-    "q_text_wordcount",
-    "q_dedup_ngram_jaccard",
-    "q_exists_subquery",
-    "q_lateral_topk",
-    "q_unpivot",
-    "q_first_last_window",
-    "q_min_max_by",
-    "q_regexp_funcs",
-    "q_gap_fill",
-    "q_histogram",
-    "q_edit_distance_join",
-    "q_recursive_cte",
-    "q_cohort_retention",
-    "q_funnel",
-    "q_percent_rank_ntile",
-    "q_order_distribution",
-    "q_rolling_avg_range",
-    "q_profile_stats",
-    "q_scd2_intervals",
-    "q_text_tokens",
-    "q_text_quality",
-    "q_text_langid",
-    "q_text_fingerprint",
-    # -- slots 40-50: oldest r2-vintage regression re-checks --------
-    "q_scalar_subquery",
-    "q_count_conditional",
-    "q_null_semantics",
-    "q_cumulative_distinct",
-    "q_sessionize_batch",
-    "q_variant_json",
-    "q_broadcast_inner_join",
-    "q_embedding_topk",
-    "q_embedding_threshold",
-    "q_curation_pipeline",
-    "q_text_chunks",
-    # -- past the window: remaining r2-vintage greens in vintage
-    #    order (the r11 window head), then registration order -------
+    # -- slots 1-5: never-driver-checked (2 rows-only + the new
+    #    corpus entry) + the two r1-vintage rows-only re-checks ------
+    "q_compress_ratio",
+    "q_wau_hll",
+    "q_procrustes_kdim",
+    "q_approx_count_distinct",
+    "q_pagerank",
+    # -- slots 6-44: r2-vintage regression re-checks ----------------
     "q_text_tfidf",
     "q_dedup_clusters",
     "q_sample_quota",
@@ -201,6 +148,56 @@ _DRIVER_PRIORITY = [
     "q_rank_topk_per_group",
     "q_window_running_sum",
     "q_lag_lead",
+    "q_approx_percentile",
+    # -- slots 45-50: oldest r3-vintage regression re-checks --------
+    "q_regression_stats",
+    "q_hll_sketch",
+    "q_stat_aggs",
+    "q_time_rollup",
+    "q_time_weighted_avg",
+    "q_ohlc_candles",
+    # -- past the window: remaining r3-vintage greens in vintage
+    #    order (the r12 window head), then registration order -------
+    "q_market_basket",
+    "q_attribution",
+    "q_resample_linear",
+    "q_pagerank_exact",
+    "q_max_concurrent",
+    "q_dq_checks",
+    "q_zorder_stats",
+    "q_key_skew_profile",
+    "q_triangle_count",
+    "q_kmeans_exact",
+    "q_best_split",
+    "q_bucketed_fact_join",
+    "q_bloom_semi_join",
+    "q_text_lm_score",
+    "q_ann_ivf",
+    "q_contamination",
+    "q_doc_repetition",
+    "q_embedding_centroid",
+    "q_pack_sequences",
+    "q_line_dedup",
+    "q_redact_pii",
+    "q_quantize_embeddings",
+    "q_inverted_index",
+    "q_winnow_fingerprints",
+    "q_prefix_filter_pairs",
+    "q_feature_hashing",
+    "q_naive_bayes_train",
+    "q_disjunctive_pred",
+    "q_forecast_revenue",
+    "q_volume_shipping",
+    "q_market_share",
+    "q_returned_items",
+    "q_large_volume_orders",
+    "q_min_cost_supplier",
+    "q_potential_promotion",
+    "q_product_profit",
+    "q_important_stock",
+    "q_top_supplier",
+    "q_parts_supplier_count",
+    "q_waiting_suppliers",
 ]
 
 
