@@ -88,76 +88,17 @@ def _load_all() -> None:
 # CORRECTNESS_r0N.json is exactly the first 50 entries of that round's
 # ordering), so dict order is a verification budget.
 #
-# ROUND-11 ROTATION (VERDICT_r10 items 2 and 4): round 10's window came
-# back 50/50 green, closing driver coverage to 432/432 oracle-backed.
-# Slots 1-2: q_compress_ratio / q_wau_hll — the LAST two queries never
-# in any driver window (rows-only by design; the driver's rows>0 check
-# is their right tier) — after this window every registered query has
-# a driver row. Slot 3: q_procrustes_kdim, the NEW k-dim Procrustes
-# corpus entry (item 4; oracle-backed via planted-transform recovery).
-# Slots 4-5: the two r1-vintage rows-only re-checks (latest driver row
-# = round 1, the oldest anywhere). Slots 6-44: all 39 r2-vintage greens
-# in the queue order pre-staged last round. Slots 45-50: the 6 oldest
-# r3-vintage greens. After the window: the remaining 40 r3-vintage
-# greens in vintage order (pre-queueing the r12 window), then
-# registration order via _ordered().
+# ROUND-12 ROTATION (VERDICT_r11 item 3): round 11's window came back
+# 45 hash-green + 5 rows-only (the intentional no-oracle set), closing
+# total driver coverage at 439/439 with zero regressions. Slots 1-40:
+# the 40 remaining r3-vintage greens, exactly as pre-staged past last
+# round's window (vintage = latest round in any CORRECTNESS_r0N.json,
+# per LEDGER.json). Slots 41-50: the 10 oldest r4-vintage greens, in
+# their CORRECTNESS_r04 window order. After the window: the remaining
+# 40 r4-vintage greens in r4 window order (pre-queueing the r13
+# window), then registration order via _ordered().
 _DRIVER_PRIORITY = [
-    # -- slots 1-5: never-driver-checked (2 rows-only + the new
-    #    corpus entry) + the two r1-vintage rows-only re-checks ------
-    "q_compress_ratio",
-    "q_wau_hll",
-    "q_procrustes_kdim",
-    "q_approx_count_distinct",
-    "q_pagerank",
-    # -- slots 6-44: r2-vintage regression re-checks ----------------
-    "q_text_tfidf",
-    "q_dedup_clusters",
-    "q_sample_quota",
-    "q_semantic_dedup",
-    "q_pretrain_pipeline",
-    "q_pricing_summary",
-    "q_shipping_priority",
-    "q_local_supplier_volume",
-    "q_shipmode_priority",
-    "q_promo_revenue",
-    "q_inactive_customers",
-    "q_string_funcs",
-    "q_string_key_concat",
-    "q_math_funcs",
-    "q_date_funcs",
-    "q_array_funcs",
-    "q_map_funcs",
-    "q_pivot",
-    "q_scan_project_filter",
-    "q_filter_compound",
-    "q_having_threshold",
-    "q_route_by_arity",
-    "q_json_extract",
-    "q_union_all",
-    "q_intersect",
-    "q_except",
-    "q_tumbling_window_agg",
-    "q_sliding_window_agg",
-    "q_session_window",
-    "q_grouped_map_normalize",
-    "q_scalar_udf",
-    "q_grouped_agg_udf",
-    "q_python_udtf",
-    "q_row_number_chunking",
-    "q_ntile_batching",
-    "q_rank_topk_per_group",
-    "q_window_running_sum",
-    "q_lag_lead",
-    "q_approx_percentile",
-    # -- slots 45-50: oldest r3-vintage regression re-checks --------
-    "q_regression_stats",
-    "q_hll_sketch",
-    "q_stat_aggs",
-    "q_time_rollup",
-    "q_time_weighted_avg",
-    "q_ohlc_candles",
-    # -- past the window: remaining r3-vintage greens in vintage
-    #    order (the r12 window head), then registration order -------
+    # -- slots 1-40: r3-vintage regression re-checks (pre-staged) ----
     "q_market_basket",
     "q_attribution",
     "q_resample_linear",
@@ -198,6 +139,59 @@ _DRIVER_PRIORITY = [
     "q_top_supplier",
     "q_parts_supplier_count",
     "q_waiting_suppliers",
+    # -- slots 41-50: oldest r4-vintage regression re-checks --------
+    "q_naive_bayes_score",
+    "q_point_in_time_join",
+    "q_outlier_count",
+    "q_event_transitions",
+    "q_ab_test",
+    "q_rfm_segments",
+    "q_hamming_neighbors",
+    "q_top_paths",
+    "q_max_drawdown",
+    "q_pareto_customers",
+    # -- past the window: remaining r4-vintage greens in r4 window
+    #    order (the r13 window head), then registration order -------
+    "q_ship_latency",
+    "q_repeat_interval",
+    "q_new_vs_returning",
+    "q_dow_seasonality",
+    "q_rolling_active_users",
+    "q_funnel_windowed",
+    "q_cart_abandonment",
+    "q_gini_revenue",
+    "q_value_deciles",
+    "q_duplicate_invoices",
+    "q_benford",
+    "q_monthly_growth",
+    "q_abc_analysis",
+    "q_mad",
+    "q_pivot_table",
+    "q_weighted_median",
+    "q_interval_union",
+    "q_skyline",
+    "q_bigram_pmi",
+    "q_minhash_signatures",
+    "q_run_length",
+    "q_nearest_event",
+    "q_zipf_fit",
+    "q_latest_state",
+    "q_mode_per_group",
+    "q_entropy",
+    "q_chi_squared",
+    "q_heavy_hitters",
+    "q_table_diff",
+    "q_ewma",
+    "q_bfs_distances",
+    "q_simhash_exact",
+    "q_sample_hash_stratified",
+    "q_boxplot_stats",
+    "q_copurchase_degree",
+    "q_equidepth_histogram",
+    "q_partition_checksum",
+    "q_incremental_merge",
+    "q_audience_jaccard",
+    "q_bm25_search",
 ]
 
 
