@@ -155,6 +155,10 @@ def test_slow_mode_verdict_flags_in_process_mode():
     # healthy run -> empty dict (machine-readably "checked, clean")
     ok = bench.slow_mode_verdict({"q_jaro_pairs": 5.9}, 0.1, host_ok=True)
     assert ok["slow_mode_suspects"] == {}
-    # loaded host or non-sf0.1 -> None ("not adjudicated")
-    assert bench.slow_mode_verdict(timings, 0.1, host_ok=False)["slow_mode_suspects"] is None
+    # loaded host -> over-band list still emitted, marked host_ambiguous
+    # (VERDICT_r11 item 4; the detailed contract is pinned in
+    # tests/test_round12_fixes.py); non-sf0.1 -> None ("no bands")
+    loaded = bench.slow_mode_verdict(timings, 0.1, host_ok=False)
+    assert set(loaded["slow_mode_suspects"]) == {"q_jaro_pairs"}
+    assert loaded["host_ambiguous"] is True
     assert bench.slow_mode_verdict(timings, 0.01, host_ok=True)["slow_mode_suspects"] is None
