@@ -40,16 +40,20 @@ from laser_hadoop_spark import registry
 # at a word/underscore boundary AND ends at one, so `c_name`, `name#5`
 # and `chunk_text` hit while `designator`/`signature_ok`/`renamed` miss.
 _HASH_SUFFIX = r"(?!_(?:h\d*|hash|id|idx)(?:\b|_))"
-_STEMS = (
+# ADVICE r11: the hash/id suffix exclusion applies to EVERY stem, not
+# just sig/vec/gram — `name_hash#3` / `text_hash` / `tokens_id` are the
+# same hashed/id discipline as `sig_hash` and must not false-flag.
+_BARE_STEMS = (
     r"text",
     r"embedding",
-    rf"sig{_HASH_SUFFIX}",
+    r"sig",
     r"name",
     r"tokens",
-    rf"vec{_HASH_SUFFIX}",
-    rf"gram{_HASH_SUFFIX}",
+    r"vec",
+    r"gram",
     r"body",
 )
+_STEMS = tuple(rf"{stem}{_HASH_SUFFIX}" for stem in _BARE_STEMS)
 PAYLOADISH = tuple(rf"(?:\b|_){stem}(?:\b|_)" for stem in _STEMS)
 
 # Adjudicated-benign exchange lines (ADVICE r9: the escape hatch that

@@ -260,6 +260,15 @@ def q_procrustes_kdim(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: each label group is one Arrow batch on one task (the
     reference's per-chunk analyses are thousands of rows); cross-moment
     is O(n k^2) scan-local per group, SVD is k x k.
+
+    Data assumption (ADVICE r11): every label group must have >= 2
+    shared anchor rows — grouped_procrustes DROPS smaller groups (a
+    k x k fit from one anchor is underdetermined), while the oracle
+    emits a row for every embeddings row, so a dataset with a
+    singleton label group would fail the corpus check as a row-count
+    mismatch. Pinned loudly by
+    tests/test_round12_fixes.py::test_procrustes_kdim_label_groups_fittable
+    (current data: min group size 42 at sf0.001).
     """
     from laser_hadoop_spark.operators.pca import grouped_procrustes
 

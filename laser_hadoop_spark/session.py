@@ -83,7 +83,11 @@ def ensure_vendored_protobuf() -> bool:
         return False
 
 
-def release_persisted(spark: SparkSession, blocking: bool = False) -> int:
+def release_persisted(
+    spark: SparkSession,
+    blocking: bool = False,
+    keep_ids: set[int] | None = None,
+) -> int:
     """Unpersist every persisted RDD/DataFrame block in the session.
 
     The engine's operators use ``localCheckpoint(eager=True)`` /
@@ -107,13 +111,28 @@ def release_persisted(spark: SparkSession, blocking: bool = False) -> int:
     blocks are per-executor storage-memory tenants, and a pipeline
     driver that submits many queries from one SparkSession should free
     them as each stage's consumers finish.
+
+    ``keep_ids`` (ADVICE r11): RDD ids to leave persisted. Callers that
+    must not disturb blocks pinned by OTHER live DataFrames in the
+    shared session (``testing.compare_query``) snapshot
+    ``persisted_rdd_ids`` before running their query and pass the
+    snapshot here, releasing only blocks created since — a caller
+    holding a localCheckpoint'ed DataFrame across the call keeps its
+    (lineage-truncated, hence otherwise unrecoverable) blocks.
     """
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     n = 0
-    for jrdd in jmap.values():
+    for jid, jrdd in jmap.items():
+        if keep_ids is not None and int(jid) in keep_ids:
+            continue
         jrdd.unpersist(blocking)
         n += 1
     return n
+
+
+def persisted_rdd_ids(spark: SparkSession) -> set[int]:
+    """Ids of currently persisted RDDs — snapshot for scoped release."""
+    return {int(i) for i in spark.sparkContext._jsc.getPersistentRDDs().keys()}
 
 
 def storage_memory_used(spark: SparkSession) -> int:
