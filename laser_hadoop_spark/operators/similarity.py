@@ -647,6 +647,82 @@ def ann_lsh_topk_pinned(
         F.col("tb.table").alias("table"),
         F.col("tb.bucket").alias("bucket"),
     )
+    return _lsh_pairs_topk(df, bucketed, id_col=id_col, vec_col=vec_col, k=k)
+
+
+def ann_lsh_topk_banded(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 32,
+    key: str = "annlsh",
+) -> DataFrame:
+    """ann_lsh_topk_pinned at production band widths — same md5-
+    Rademacher plane family, same candidate/scoring pipeline, different
+    bucketing PLAN.
+
+    ann_lsh_topk_pinned inlines every plane component as a literal —
+    fine at the oracle setting (2 planes x 8 tables: the DuckDB oracle
+    must be able to spell the identical expression), but at production
+    widths the unrolled tree is n_tables x n_planes x dim Column
+    constructions (32x8x64 = 16k py4j calls + a 16k-term Catalyst
+    projection — measured 140 s of plan BUILD at sf0.001 before a
+    single task ran). Here the planes ship as DATA instead: one
+    broadcast n_tables-row relation carrying array<array<double>>, and
+    bucketing is ONE HOF expression (transform over planes ->
+    zip_with/aggregate dot -> bit-weight fold), so plan size is
+    O(1) in every width parameter and the per-row work runs in the
+    same Spark 4 HOF codegen the measured-fast dot/norm folds use
+    (PERF_NOTES round 11: HOF folds beat unrolled GetArrayItem chains
+    2-4x at execution too).
+
+    At 100 TB the same shape holds: the planes relation is a few KB
+    broadcast to every executor; bucketing stays scan-local; the
+    candidate equi-join on (table, bucket) shuffles id pairs only.
+    """
+    first = df.select(vec_col).first()
+    dim = len(first[0])
+    tables = rademacher_planes(n_tables, n_planes, dim, key)
+    planes_df = df.sparkSession.createDataFrame(
+        [(t, tables[t]) for t in range(n_tables)], "table int, planes array<array<double>>"
+    )
+    weights = F.array(*[F.lit(1 << p).cast("bigint") for p in range(n_planes)])
+    dot = lambda p: F.aggregate(  # noqa: E731
+        F.zip_with(F.col(vec_col), p, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    bucket = F.aggregate(
+        F.zip_with(
+            F.transform(F.col("planes"), dot),
+            weights,
+            lambda d, w: F.when(d > 0, w).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    bucketed = (
+        df.select(id_col, vec_col)
+        .crossJoin(F.broadcast(planes_df))
+        .select(id_col, "table", bucket.alias("bucket"))
+    )
+    return _lsh_pairs_topk(df, bucketed, id_col=id_col, vec_col=vec_col, k=k)
+
+
+def _lsh_pairs_topk(
+    df: DataFrame,
+    bucketed: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Shared candidate + scoring stage for the pinned/banded LSH forms
+    (see ann_lsh_topk_pinned's shuffle-discipline note: id-only pairs,
+    vectors join back at scoring, mirror by projection)."""
     a = bucketed.select(F.col(id_col).alias("id_a"), "table", "bucket")
     b = bucketed.select(F.col(id_col).alias("id_b"), "table", "bucket")
     pairs = (

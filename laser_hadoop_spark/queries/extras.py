@@ -1413,6 +1413,29 @@ def q_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bounded sweep variant (VERDICT_r11 item 5, q_damerau_pairs
+# precedent): the DuckDB oracle is the quadratic all-pairs levenshtein
+# join — 289 s at sf0.1, all oracle-side cost — so above driver scale
+# BOTH sides restrict to the same deterministic md5 quarter-sample of
+# custkeys (first hex nibble in {0..3} => 1/4 of rows => 1/16 of
+# pairs). The Spark kernel under test is IDENTICAL — same deletion-
+# neighborhood blocking, same verify — so the bounded hash match still
+# certifies the blocking lossless at sf0.1; the driver (sf0.01) always
+# runs the full oracle.
+_HAMMING_SAMPLE_NIBBLES = ("0", "1", "2", "3")
+_HAMMING_SAMPLE_SQL = (
+    "substring(md5(CAST(c_custkey AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')"
+)
+
+
+def _hamming_neighbors_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_hamming_neighbors restricted to the deterministic md5 sample."""
+    sample = F.substring(
+        F.md5(F.col("c_custkey").cast("string")), 1, 1
+    ).isin(*_HAMMING_SAMPLE_NIBBLES)
+    return _hamming_neighbors(spark, sf_dir, cust_filter=sample)
+
+
 @register(
     "q_hamming_neighbors",
     tags=("pairs",),
@@ -1421,6 +1444,17 @@ def q_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_neighbors,
            CAST(MIN(b.c_custkey) AS BIGINT) AS nearest_key
     FROM customer a JOIN customer b
+      ON a.c_custkey <> b.c_custkey
+     AND levenshtein(a.c_name, b.c_name) <= 1
+    GROUP BY a.c_custkey
+    """,
+    bounded_fn=_hamming_neighbors_bounded,
+    bounded_oracle=f"""
+    WITH cs AS (SELECT * FROM customer WHERE {_HAMMING_SAMPLE_SQL})
+    SELECT a.c_custkey AS custkey,
+           COUNT(*) AS n_neighbors,
+           CAST(MIN(b.c_custkey) AS BIGINT) AS nearest_key
+    FROM cs a JOIN cs b
       ON a.c_custkey <> b.c_custkey
      AND levenshtein(a.c_name, b.c_name) <= 1
     GROUP BY a.c_custkey
@@ -1446,8 +1480,22 @@ def q_hamming_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     match proves the deletion-neighborhood blocking lossless on this
     corpus (the q_prefix_filter_pairs verification pattern). At 100 TB
     the asymmetry is the point: |s|+1 keys/record vs n² comparisons.
+    Above driver scale the sweep uses the registered bounded variant
+    (same kernel, md5 quarter-sampled customer relation on BOTH
+    engines) because the oracle-side all-pairs join is quadratic —
+    see _HAMMING_SAMPLE_SQL.
     """
+    return _hamming_neighbors(spark, sf_dir)
+
+
+def _hamming_neighbors(
+    spark: SparkSession, sf_dir: str, cust_filter=None
+) -> DataFrame:
+    """Shared kernel for the full + bounded forms: the only difference
+    is an optional pre-filter on the customer relation."""
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    if cust_filter is not None:
+        c = c.where(cust_filter)
     n_chars = F.length("c_name")
     # deletion key at position i: prefix before i + suffix after i
     del_keys = F.transform(

@@ -271,6 +271,29 @@ def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- X225: frequent triple itemsets (A-priori step) ------------------------
 
 
+# Bounded sweep variant (VERDICT_r11 item 5, q_damerau_pairs
+# precedent): the DuckDB oracle's per-order triple self-join costs
+# sum-over-orders C(brands,3) — 223 s at sf0.1, all oracle-side cost —
+# so above driver scale BOTH sides restrict to the same deterministic
+# md5 eighth-sample of orderkeys (first hex nibble in {0,1} => 1/8 of
+# orders => 1/8 of the triple fanout). Support counts shrink but the
+# top-20 ordering ties break deterministically (support DESC, then
+# lexicographic), so the bounded hash match certifies the identical
+# Spark kernel; the driver (sf0.01) always runs the full oracle.
+_ITEMSET_SAMPLE_NIBBLES = ("0", "1")
+_ITEMSET_SAMPLE_SQL = (
+    "substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')"
+)
+
+
+def _itemset_triples_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_itemset_triples restricted to the deterministic md5 order sample."""
+    sample = F.substring(
+        F.md5(F.col("l_orderkey").cast("string")), 1, 1
+    ).isin(*_ITEMSET_SAMPLE_NIBBLES)
+    return _itemset_triples(spark, sf_dir, order_filter=sample)
+
+
 @register(
     "q_itemset_triples",
     tags=("pairs",),
@@ -278,6 +301,25 @@ def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ob AS (
         SELECT DISTINCT l_orderkey AS ok, p_brand AS b
         FROM lineitem JOIN part ON p_partkey = l_partkey
+    ),
+    tri AS (
+        SELECT a.b AS b1, bb.b AS b2, c.b AS b3, COUNT(*) AS support
+        FROM ob a
+        JOIN ob bb ON bb.ok = a.ok AND bb.b > a.b
+        JOIN ob c ON c.ok = a.ok AND c.b > bb.b
+        GROUP BY 1, 2, 3
+    )
+    SELECT b1, b2, b3, CAST(support AS BIGINT) AS support
+    FROM tri
+    ORDER BY support DESC, b1, b2, b3
+    LIMIT 20
+    """,
+    bounded_fn=_itemset_triples_bounded,
+    bounded_oracle=f"""
+    WITH ob AS (
+        SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE {_ITEMSET_SAMPLE_SQL}
     ),
     tri AS (
         SELECT a.b AS b1, bb.b AS b2, c.b AS b3, COUNT(*) AS support
@@ -303,9 +345,23 @@ def q_itemset_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: the triple fanout is per-order C(brands,3) with brands
     bounded by order size — scan-local after ONE shuffle on orderkey
-    that both self-joins reuse; the part dimension broadcasts.
+    that both self-joins reuse; the part dimension broadcasts. Above
+    driver scale the sweep uses the registered bounded variant (same
+    kernel, md5 eighth-sampled order domain on BOTH engines) because
+    the oracle-side triple join dominates the sf0.1 sweep — see
+    _ITEMSET_SAMPLE_SQL.
     """
+    return _itemset_triples(spark, sf_dir)
+
+
+def _itemset_triples(
+    spark: SparkSession, sf_dir: str, order_filter=None
+) -> DataFrame:
+    """Shared kernel for the full + bounded forms: the only difference
+    is an optional pre-filter on the lineitem order domain."""
     li = table(spark, sf_dir, "lineitem")
+    if order_filter is not None:
+        li = li.where(order_filter)
     p = table(spark, sf_dir, "part")
     ob = (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
