@@ -136,6 +136,13 @@ CANARY_BANDS = {
     "py_single_sec": (None, 0.50),
     "spark_parallel_sec": (None, 0.60),
     "streaming_rows_per_sec": (65_000.0, None),
+    # VERDICT_r11 item 7: the Spark-4 typed-state path
+    # (transformWithStateInPandas on RocksDB, ST20's moments
+    # processor) gets its own pinned line. Floor from three r12
+    # measured sessions at 49.5-51.0k warm under ambient load
+    # (first-ever run 26.9k = JIT/RocksDB cold start, removed by the
+    # untimed warmup pass bench runs before the timed one).
+    "streaming_tws_rows_per_sec": (30_000.0, None),
 }
 
 # Per-query healthy bands at sf0.1 on a quiet host (VERDICT_r10 items
@@ -171,13 +178,20 @@ SLOW_MODE_BANDS_SF01 = {
 STORAGE_BAND_MB = 500.0
 
 
-def canary_verdict(canary_start: dict, canary_end: dict, streaming: dict) -> dict:
+def canary_verdict(
+    canary_start: dict,
+    canary_end: dict,
+    streaming: dict,
+    streaming_tws: dict | None = None,
+) -> dict:
     """Adjudicate this run's canaries against CANARY_BANDS.
 
     The per-core canaries must sit in-band at START and END (a host
     that loads up mid-run contaminates the tail queries); streaming
-    throughput is one mid-run sample. Returns the machine-readable
-    verdict embedded in the bench JSON."""
+    throughput is one mid-run sample per pipeline (the
+    applyInPandasWithState line, and — VERDICT_r11 item 7 — the
+    typed-state transformWithStateInPandas line when provided).
+    Returns the machine-readable verdict embedded in the bench JSON."""
     failures = []
     for label, sample in (("start", canary_start), ("end", canary_end)):
         for key in ("py_single_sec", "spark_parallel_sec"):
@@ -187,24 +201,30 @@ def canary_verdict(canary_start: dict, canary_end: dict, streaming: dict) -> dic
                 failures.append(f"{label}.{key}: missing")
             elif (lo is not None and val < lo) or (hi is not None and val > hi):
                 failures.append(f"{label}.{key}={val} outside ({lo}, {hi})")
-    lo, hi = CANARY_BANDS["streaming_rows_per_sec"]
-    rps = streaming.get("rows_per_sec")
     # A streaming ERROR is a code failure, not host noise: report it
     # under its own key so it can never be adjudicated as contention
     # (ADVICE r10). Only a *present but out-of-band* throughput reads
     # as host noise.
-    streaming_error = streaming.get("error")
-    if streaming_error is not None:
-        failures.append(f"streaming errored: {streaming_error}")
-    elif rps is None:
-        failures.append("streaming.rows_per_sec: missing")
-    elif (lo is not None and rps < lo) or (hi is not None and rps > hi):
-        failures.append(f"streaming.rows_per_sec={rps} outside ({lo}, {hi})")
+    errors: dict[str, str] = {}
+    checks = [("streaming", "streaming_rows_per_sec", streaming)]
+    if streaming_tws is not None:
+        checks.append(("streaming_tws", "streaming_tws_rows_per_sec", streaming_tws))
+    for label, band_key, sample in checks:
+        lo, hi = CANARY_BANDS[band_key]
+        rps = sample.get("rows_per_sec")
+        err = sample.get("error")
+        if err is not None:
+            failures.append(f"{label} errored: {err}")
+            errors[f"{label}_error"] = err
+        elif rps is None:
+            failures.append(f"{label}.rows_per_sec: missing")
+        elif (lo is not None and rps < lo) or (hi is not None and rps > hi):
+            failures.append(f"{label}.rows_per_sec={rps} outside ({lo}, {hi})")
     return {
         "canary_ok": not failures,
         "canary_bands": {k: list(v) for k, v in CANARY_BANDS.items()},
         "canary_failures": failures,
-        **({"streaming_error": streaming_error} if streaming_error else {}),
+        **errors,
     }
 
 
@@ -346,8 +366,20 @@ def main() -> None:
         streaming = pinned_stream_bench(spark)
     except Exception as exc:  # noqa: BLE001
         streaming = {"error": f"{type(exc).__name__}: {exc}"}
+    # second streaming line (VERDICT_r11 item 7): the Spark-4
+    # typed-state path — transformWithStateInPandas on RocksDB — same
+    # pinned-input discipline. One untimed small warmup first: the
+    # first-ever TWS trigger pays JIT + RocksDB library load (measured
+    # 26.9k cold vs 49.5-51.0k warm on identical code).
+    try:
+        from laser_hadoop_spark.streaming.ops import pinned_tws_bench
+
+        pinned_tws_bench(spark, n_rows=100_000, n_files=1)
+        streaming_tws = pinned_tws_bench(spark)
+    except Exception as exc:  # noqa: BLE001
+        streaming_tws = {"error": f"{type(exc).__name__}: {exc}"}
     canary_end = host_canary(spark)
-    verdict = canary_verdict(canary_start, canary_end, streaming)
+    verdict = canary_verdict(canary_start, canary_end, streaming, streaming_tws)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     sf_num = float(sf) if sf else None
     # host_ok = the per-core canaries alone (streaming is a code-path
@@ -366,6 +398,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "streaming": streaming,
+                "streaming_tws": streaming_tws,
                 "canary": {"start": canary_start, "end": canary_end},
                 **verdict,
                 **slow_mode,

@@ -376,6 +376,106 @@ def pinned_stream_bench(
     }
 
 
+def pinned_tws_bench(
+    spark,
+    *,
+    n_rows: int = 1_000_000,
+    n_files: int = 5,
+    n_keys: int = 100,
+    work_dir: str | None = None,
+) -> dict:
+    """Pinned-workload bench for the Spark-4 typed-state streaming path
+    (VERDICT_r11 item 7).
+
+    ``pinned_stream_bench`` covers the applyInPandasWithState pipeline;
+    this drives ST20's ``moments_stream_tws`` — transformWithStateInPandas
+    on the RocksDB state store — through the SAME pinned-input
+    discipline (exactly ``n_rows`` synthetic events in ``n_files``
+    parquet files, one file per trigger, Trigger.AvailableNow, no wall
+    clock anywhere), so the two committed rows/s numbers are each
+    trendable across rounds and comparable to each other: same input
+    volume, same key cardinality, different state runtime (JVM
+    HDFSBackedStateStore + Arrow-batched pandas closure vs RocksDB +
+    the typed-state server protocol).
+
+    rows_per_sec = n_rows / sum(triggerExecution). Values are exact
+    micro-integers derived from the row id, so the per-key moments the
+    processor folds are identical every run.
+    """
+    import shutil
+    import tempfile
+    import time
+
+    tmp = work_dir or tempfile.mkdtemp(prefix="lh_tws_bench_")
+    in_dir = f"{tmp}/input"
+    rows = spark.range(n_rows).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+        (F.col("id") % n_keys).alias("user_id"),
+        F.lit("click").alias("event_type"),
+        ((F.col("id") % 997).cast("double") / 7.0).alias("value"),
+    )
+    rows.repartition(n_files).write.mode("overwrite").parquet(in_dir)
+
+    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    t0 = time.perf_counter()
+    try:
+        src = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            moments_stream_tws(src)
+            .writeStream.outputMode("update")
+            .format("noop")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        wall_s = time.perf_counter() - t0
+        input_rows = 0
+        busy_ms = 0
+        state_rows_max = 0
+        batches = 0
+        for p in q.recentProgress:
+            r = p.get("numInputRows", 0) or 0
+            if r == 0:
+                continue
+            input_rows += r
+            busy_ms += (p.get("durationMs") or {}).get("triggerExecution", 0) or 0
+            batches += 1
+            for so in p.get("stateOperators", []) or []:
+                state_rows_max = max(state_rows_max, so.get("numRowsTotal", 0) or 0)
+    finally:
+        if prior is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        if work_dir is None:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "rows_per_sec": round(input_rows / (busy_ms / 1000.0), 1) if busy_ms else 0.0,
+        "input_rows": input_rows,
+        "batches": batches,
+        "state_rows_max": state_rows_max,
+        "n_keys": n_keys,
+        "wall_sec": round(wall_s, 3),
+        "pinned": True,
+    }
+
+
 def start_upsert_sink(
     stream: DataFrame,
     spark,

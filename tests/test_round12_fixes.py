@@ -218,3 +218,44 @@ def test_ann_lsh_prod_recall_vs_exact_topk(spark):
                     cand_pairs.add((members[x], members[y]))
     cand_frac = 2 * len(cand_pairs) / (n * (n - 1))
     assert cand_frac <= 0.20, f"candidate fraction {cand_frac:.3f}"
+
+
+def test_canary_verdict_tws_line_is_adjudicated():
+    """VERDICT_r11 item 7: the typed-state streaming line
+    (transformWithStateInPandas on RocksDB) carries its own band. A
+    TWS ERROR is a code failure reported under streaming_tws_error
+    (never host noise, the ADVICE-r10 discipline); an under-floor
+    throughput is a canary failure; absence (older callers) changes
+    nothing."""
+    quiet = {"py_single_sec": 0.36, "spark_parallel_sec": 0.31}
+    ok_stream = {"rows_per_sec": 90_000.0}
+
+    v = bench.canary_verdict(quiet, quiet, ok_stream, {"rows_per_sec": 49_500.0})
+    assert v["canary_ok"], v["canary_failures"]
+
+    v2 = bench.canary_verdict(quiet, quiet, ok_stream, {"rows_per_sec": 12_000.0})
+    assert not v2["canary_ok"]
+    assert any("streaming_tws.rows_per_sec" in f for f in v2["canary_failures"])
+    assert "streaming_tws_error" not in v2
+
+    v3 = bench.canary_verdict(quiet, quiet, ok_stream, {"error": "ImportError: x"})
+    assert not v3["canary_ok"]
+    assert v3["streaming_tws_error"] == "ImportError: x"
+
+    v4 = bench.canary_verdict(quiet, quiet, ok_stream)  # no TWS sample
+    assert v4["canary_ok"], v4["canary_failures"]
+    assert "streaming_tws_rows_per_sec" in v4["canary_bands"]
+
+
+def test_pinned_tws_bench_measures_the_typed_state_path(spark):
+    """The TWS bench drives ST20's moments processor over the pinned
+    deterministic input and reports a positive throughput with bounded
+    state (one row per key)."""
+    from laser_hadoop_spark.streaming.ops import pinned_tws_bench
+
+    out = pinned_tws_bench(spark, n_rows=50_000, n_files=2, n_keys=20)
+    assert out["pinned"] is True
+    assert out["input_rows"] == 50_000
+    assert out["batches"] == 2
+    assert out["state_rows_max"] == 20
+    assert out["rows_per_sec"] > 0
