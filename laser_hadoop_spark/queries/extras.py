@@ -1450,7 +1450,7 @@ def _hamming_neighbors_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     bounded_fn=_hamming_neighbors_bounded,
     bounded_oracle=f"""
-    WITH cs AS (SELECT * FROM customer WHERE {_HAMMING_SAMPLE_SQL})
+    WITH cs AS MATERIALIZED (SELECT * FROM customer WHERE {_HAMMING_SAMPLE_SQL})
     SELECT a.c_custkey AS custkey,
            COUNT(*) AS n_neighbors,
            CAST(MIN(b.c_custkey) AS BIGINT) AS nearest_key

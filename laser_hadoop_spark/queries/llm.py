@@ -1705,8 +1705,8 @@ def _prefix_filter_pairs_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     bounded_fn=_prefix_filter_pairs_bounded,
     bounded_oracle=f"""
-    WITH ds AS (SELECT * FROM documents WHERE {_PREFIX_SAMPLE_SQL}),
-    tok AS (
+    WITH ds AS MATERIALIZED (SELECT * FROM documents WHERE {_PREFIX_SAMPLE_SQL}),
+    tok AS MATERIALIZED (
         SELECT DISTINCT doc_id AS doc, token FROM (
             SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
             FROM ds

@@ -316,7 +316,10 @@ def _itemset_triples_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     bounded_fn=_itemset_triples_bounded,
     bounded_oracle=f"""
-    WITH ob AS (
+    -- MATERIALIZED is load-bearing: ob is referenced three times and
+    -- DuckDB otherwise inlines the md5-filtered join into each —
+    -- measured >180 s inlined vs 10.9 s materialized at sf0.1
+    WITH ob AS MATERIALIZED (
         SELECT DISTINCT l_orderkey AS ok, p_brand AS b
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE {_ITEMSET_SAMPLE_SQL}
