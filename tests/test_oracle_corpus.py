@@ -80,12 +80,13 @@ def test_local_oracle_artifact_covers_registry():
     assert not bad, f"locally failing queries recorded: {bad}"
 
 
-# Rows-only queries DELIBERATELY rotated into the r11 window so every
-# registered query has a driver row (VERDICT_r10 item 2): the driver's
-# rows>0 check is the right tier for them — each is pytest-accuracy-
-# gated with a hash-verified exact sibling. Only names listed here may
-# occupy window slots without an oracle; an ACCIDENTAL rotation of any
-# other rows-only query still fails.
+# Rows-only queries DELIBERATELY rotated into the driver window
+# (r11: VERDICT_r10 item 2 closed total coverage; r12: vintage-order
+# regression re-checks): the driver's rows>0 check is the right tier
+# for them — each is pytest-accuracy-gated with a hash-verified exact
+# sibling. Only names listed here may occupy window slots without an
+# oracle; an ACCIDENTAL rotation of any other rows-only query still
+# fails.
 WINDOW_ROWS_ONLY_DECLARED = frozenset(
     [
         "q_compress_ratio",
@@ -94,6 +95,10 @@ WINDOW_ROWS_ONLY_DECLARED = frozenset(
         "q_pagerank",
         # r2-vintage rows-only re-check riding the r2 regression block
         "q_approx_percentile",
+        # r3-vintage rows-only re-check riding the r12 window's r3
+        # regression block (recall pytest-gated vs brute force;
+        # assignment hash-verified via q_nearest_hub)
+        "q_ann_ivf",
     ]
 )
 
