@@ -169,7 +169,8 @@ def test_canary_verdict_quiet_host_passes():
     v = b.canary_verdict(quiet, quiet, {"rows_per_sec": 90_000.0})
     assert v["canary_ok"] is True
     assert v["canary_failures"] == []
-    assert set(v["canary_bands"]) == {
+    # superset: r12 added streaming_tws_rows_per_sec (VERDICT_r11 item 7)
+    assert set(v["canary_bands"]) >= {
         "py_single_sec", "spark_parallel_sec", "streaming_rows_per_sec",
     }
 
