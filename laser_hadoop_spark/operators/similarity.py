@@ -604,50 +604,29 @@ def ann_lsh_topk_pinned(
 ) -> DataFrame:
     """ann_lsh_topk with md5-Rademacher planes and integer scoring.
 
-    Same multi-table sign-LSH shape as ann_lsh_topk (bucket equi-join
-    for candidates, exact cosine only within buckets), with two changes
+    Same multi-table sign-LSH shape as ann_lsh_topk (bucketed
+    candidates, exact cosine only within buckets), with two changes
     that make the WHOLE output oracle-checkable: the hyperplanes come
-    from rademacher_planes (deterministic literals, not np.random), and
+    from rademacher_planes (deterministic, engine-neutral), and
     ranking uses the micro-rounded cosine (bigint) with the neighbor id
     as tiebreaker, so no float ordering ever decides a row.
 
     Output: (id_a, id_b, cosine_micro, rnk), rnk <= k per id_a.
 
-    Shuffle discipline (round 8): candidates are generated, deduped and
-    SCORED as ID PAIRS ONLY, once per unordered pair (id_a < id_b), and
-    the scored rows are mirrored by projection — the vectors join back
-    on id just before scoring, so the bucket join and the union-over-
-    tables dedup shuffle 16-byte rows, never the embedding payload
-    (carrying two 64-dim arrays through the candidate stream was
-    measured at 32 s vs ~7 s end-to-end at sf0.1 — the shuffled bytes,
-    not the cosine math, were the cost). The mirror is exact:
-    dot(va,vb) == dot(vb,va) bit-for-bit (elementwise products commute,
-    summation order unchanged), and the hoisted per-vector norms keep
-    cosine_expr's dot/(na*nb) structure — same operands, same op order
-    — while running the norm aggregates n times, not |candidates|
-    times. At corpus scale the join-back is one shuffle hash join per
-    side on id.
+    Round 12: executes via the shared numpy kernel — see
+    _ann_lsh_topk_np for the plan shape and the measured equivalence
+    evidence (bit-identical to the former JVM HOF pipeline at every
+    test scale; the oracle hash check on q_ann_lsh pins it).
     """
-    first = df.select(vec_col).first()
-    dim = len(first[0])
-    tables = rademacher_planes(n_tables, n_planes, dim, key)
-    bucket_entries = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table"),
-                hyperplane_bucket_expr(vec_col, np.array(planes)).alias("bucket"),
-            )
-            for t, planes in enumerate(tables)
-        ]
+    return _ann_lsh_topk_np(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        key=key,
     )
-    bucketed = df.select(
-        F.col(id_col), F.explode(bucket_entries).alias("tb")
-    ).select(
-        id_col,
-        F.col("tb.table").alias("table"),
-        F.col("tb.bucket").alias("bucket"),
-    )
-    return _lsh_pairs_topk(df, bucketed, id_col=id_col, vec_col=vec_col, k=k)
 
 
 def ann_lsh_topk_banded(
@@ -661,100 +640,232 @@ def ann_lsh_topk_banded(
     key: str = "annlsh",
 ) -> DataFrame:
     """ann_lsh_topk_pinned at production band widths — same md5-
-    Rademacher plane family, same candidate/scoring pipeline, different
-    bucketing PLAN.
+    Rademacher plane family, same kernel, wider banding defaults.
 
-    ann_lsh_topk_pinned inlines every plane component as a literal —
-    fine at the oracle setting (2 planes x 8 tables: the DuckDB oracle
-    must be able to spell the identical expression), but at production
-    widths the unrolled tree is n_tables x n_planes x dim Column
+    ann_lsh_topk_pinned's former unrolled-literal bucketing tree at
+    production widths is n_tables x n_planes x dim Column
     constructions (32x8x64 = 16k py4j calls + a 16k-term Catalyst
     projection — measured 140 s of plan BUILD at sf0.001 before a
-    single task ran). Here the planes ship as DATA instead: one
-    broadcast n_tables-row relation carrying array<array<double>>, and
-    bucketing is ONE HOF expression (transform over planes ->
-    zip_with/aggregate dot -> bit-weight fold), so plan size is
-    O(1) in every width parameter and the per-row work runs in the
-    same Spark 4 HOF codegen the measured-fast dot/norm folds use
-    (PERF_NOTES round 11: HOF folds beat unrolled GetArrayItem chains
-    2-4x at execution too).
-
-    At 100 TB the same shape holds: the planes relation is a few KB
-    broadcast to every executor; bucketing stays scan-local; the
-    candidate equi-join on (table, bucket) shuffles id pairs only.
+    single task ran). Both forms now run the shared numpy kernel whose
+    plan size is O(1) in every width parameter (the planes ride in the
+    function closure); see _ann_lsh_topk_np.
     """
-    first = df.select(vec_col).first()
-    dim = len(first[0])
-    tables = rademacher_planes(n_tables, n_planes, dim, key)
-    planes_df = df.sparkSession.createDataFrame(
-        [(t, tables[t]) for t in range(n_tables)], "table int, planes array<array<double>>"
+    return _ann_lsh_topk_np(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        key=key,
     )
-    weights = F.array(*[F.lit(1 << p).cast("bigint") for p in range(n_planes)])
-    dot = lambda p: F.aggregate(  # noqa: E731
-        F.zip_with(F.col(vec_col), p, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    bucket = F.aggregate(
-        F.zip_with(
-            F.transform(F.col("planes"), dot),
-            weights,
-            lambda d, w: F.when(d > 0, w).otherwise(F.lit(0).cast("bigint")),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    bucketed = (
-        df.select(id_col, vec_col)
-        .crossJoin(F.broadcast(planes_df))
-        .select(id_col, "table", bucket.alias("bucket"))
-    )
-    return _lsh_pairs_topk(df, bucketed, id_col=id_col, vec_col=vec_col, k=k)
 
 
-def _lsh_pairs_topk(
+# Pair-index chunk size for the per-bucket scoring kernel: bounds the
+# transient gather arrays at CH x dim x 8 bytes x 2 (~270 MB at dim=64)
+# per concurrently-running task regardless of bucket size.
+_LSH_SCORE_CHUNK = 262_144
+
+
+def _ann_lsh_topk_np(
     df: DataFrame,
-    bucketed: DataFrame,
     *,
     id_col: str,
     vec_col: str,
     k: int,
+    n_planes: int,
+    n_tables: int,
+    key: str,
 ) -> DataFrame:
-    """Shared candidate + scoring stage for the pinned/banded LSH forms
-    (see ann_lsh_topk_pinned's shuffle-discipline note: id-only pairs,
-    vectors join back at scoring, mirror by projection)."""
-    a = bucketed.select(F.col(id_col).alias("id_a"), "table", "bucket")
-    b = bucketed.select(F.col(id_col).alias("id_b"), "table", "bucket")
-    pairs = (
-        a.join(b, on=["table", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates()  # union over tables; 16-byte rows
+    """Shared md5-Rademacher LSH top-k kernel (round-12 rework).
+
+    Guide §4.2 (batch the Python boundary, hand whole batches to
+    vectorized native code) applied to both hot stages, replacing the
+    r8 JVM pipeline [HOF bucketing -> (table,bucket) id self-join ->
+    dropDuplicates -> two vector join-backs -> HOF cosine -> mirrored
+    union]:
+
+    1. BUCKETING is one Arrow batch GEMM per scan split: the
+       (dim x n_tables*n_planes) plane matrix rides in the closure (a
+       few KB at any width), each batch computes all table buckets in
+       one V @ M, and the row fans out to its n_tables (table, bucket)
+       entries carrying the vector and the full bucket array. Plan
+       size is O(1) in every width parameter (the r12 plan-build
+       lesson); measured 4.0 s (HOF fold) / 1.46 s (unrolled 2x8
+       literals) -> 0.25 s at sf0.1.
+    2. CANDIDATES + SCORING fuse into one per-(table,bucket) numpy
+       kernel after a single hash repartition on (table, bucket): each
+       bucket sorts its members by id, enumerates its i<j triangle,
+       keeps a pair only when NO EARLIER table already bucketed it
+       together (the min-table rule — closed-form dedup, so the former
+       14M-row dropDuplicates exchange and the two join-backs
+       disappear), and scores survivors vectorized:
+       (V[i]*V[j]).sum(1) / (norm[i]*norm[j]). The repartition is
+       pinned to defaultParallelism: AQE's byte-based coalescing sees
+       ~MBs of vectors and would serialize a compute-bound stage (the
+       skew rule inverted: partition count here must follow CPU, not
+       bytes).
+    3. The mirror is a 2-element explode (posexplode-free generator)
+       instead of a self-union, so the scored half-stream is computed
+       once — no reliance on exchange reuse.
+
+    Exactness (the oracle contract): numpy's pairwise row sums,
+    np.sqrt, and HALF_UP micro-rounding (sign * floor(|c|*1e6 + 0.5))
+    reproduce the former dot_expr/l2_norm_expr/F.round pipeline
+    bit-for-bit — verified by full-output equality at sf0.001/0.01/0.1
+    for both the 8x2 (oracle-pinned, hash-checked vs DuckDB) and 32x8
+    (production) settings, and regression-pinned by
+    tests/test_round12_opt.py. GEMM is deliberately NOT used for
+    scoring: blocked BLAS accumulation (V @ V.T) was measured to
+    differ from the per-pair sum in the last ulp, flipping
+    micro-rounding on real rows; per-pair products with a pairwise
+    axis-sum are batch-size-independent and matched on every tested
+    pair (1.78M at sf0.1).
+
+    100 TB shape: bucketing stays scan-local (one GEMM per batch); the
+    single shuffle carries n_tables copies of (id, vec, buckets) —
+    linear in the corpus, vs the former candidate-pair stream whose
+    row count is the SUM OF BUCKET-PAIR counts (superlinear whenever
+    buckets outgrow the n_planes scaling rule); per-bucket work is
+    bounded by the same rule that bounds bucket size. A hot bucket
+    still lands on one task — exactly as it did under the join form,
+    where one (table,bucket) join key was one partition's work.
+    """
+    first = df.select(vec_col).first()
+    dim = len(first[0])
+    tables = rademacher_planes(n_tables, n_planes, dim, key)
+    plane_mat = np.array(tables).reshape(n_tables * n_planes, dim).T
+    bit_weights = 1 << np.arange(n_planes, dtype=np.int64)
+    id_type = df.schema[id_col].dataType.simpleString()
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+
+    def bucket_batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            n = len(pdf)
+            mat = np.vstack(pdf[vec_col].values)
+            buckets = (
+                ((mat @ plane_mat) > 0).reshape(n, n_tables, n_planes)
+                * bit_weights
+            ).sum(axis=2).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "__id": np.repeat(pdf[id_col].values, n_tables),
+                    "table": np.tile(np.arange(n_tables, dtype=np.int32), n),
+                    "bucket": np.ascontiguousarray(buckets).reshape(-1),
+                    "__vec": [
+                        v for v in pdf[vec_col].values for _ in range(n_tables)
+                    ],
+                    "__allb": [
+                        row for row in buckets.tolist() for _ in range(n_tables)
+                    ],
+                }
+            )
+
+    # __vec is declared array<double> regardless of the source element
+    # type: the former JVM pipeline upcast every element to double
+    # before ANY arithmetic (dot_expr/l2_norm_expr), and float->double
+    # is exact, so the Arrow cast here reproduces those semantics for
+    # float32 embeddings (scoring in float32 was measured to flip
+    # micro-rounding on real rows).
+    bucketed = df.select(id_col, vec_col).mapInPandas(
+        bucket_batches,
+        f"__id {id_type}, table int, bucket bigint, "
+        f"__vec array<double>, __allb array<bigint>",
     )
-    va = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        l2_norm_expr(F.col(vec_col)).alias("norm_a"),
-    )
-    vb = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        l2_norm_expr(F.col(vec_col)).alias("norm_b"),
-    )
-    cos = dot_expr(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))
-    micro = F.round(cos * 1000000).cast("bigint")
-    half = (
-        pairs.join(va, "id_a")
-        .join(vb, "id_b")
-        .select("id_a", "id_b", micro.alias("cosine_micro"))
-    )
-    scored = half.unionByName(
-        half.select(
-            F.col("id_b").alias("id_a"),
-            F.col("id_a").alias("id_b"),
-            "cosine_micro",
+
+    def score_bucket(t, ids, vecs, allb, norms):
+        iu, ju = np.triu_indices(len(ids), 1)
+        out = []
+        for s in range(0, len(iu), _LSH_SCORE_CHUNK):
+            i, j = iu[s : s + _LSH_SCORE_CHUNK], ju[s : s + _LSH_SCORE_CHUNK]
+            if t:  # min-table dedup: drop pairs an earlier table emitted
+                keep = np.ones(len(i), dtype=bool)
+                for tp in range(t):
+                    keep &= allb[i, tp] != allb[j, tp]
+                i, j = i[keep], j[keep]
+            if not len(i):
+                continue
+            cos = (vecs[i] * vecs[j]).sum(axis=1) / (norms[i] * norms[j])
+            micro = (np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5)).astype(
+                np.int64
+            )
+            out.append((ids[i], ids[j], micro))
+        return out
+
+    def score_partition(it):
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cosine_micro": pd.Series([], dtype="int64"),
+            }
         )
+        chunks = [pdf for pdf in it if len(pdf)]
+        if not chunks:
+            yield empty
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        order = np.lexsort(
+            (pdf["__id"].values, pdf["bucket"].values, pdf["table"].values)
+        )
+        ids_all = pdf["__id"].values[order]
+        tb = pdf["table"].values[order]
+        bk = pdf["bucket"].values[order]
+        vecs_all = pdf["__vec"].values[order]
+        allb_all = pdf["__allb"].values[order]
+        brk = np.flatnonzero((tb[1:] != tb[:-1]) | (bk[1:] != bk[:-1])) + 1
+        starts = np.concatenate(([0], brk))
+        ends = np.concatenate((brk, [len(tb)]))
+        outs = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            vecs = np.vstack(vecs_all[s:e])
+            allb = np.array(allb_all[s:e].tolist(), dtype=np.int64)
+            outs.extend(
+                score_bucket(
+                    int(tb[s]),
+                    ids_all[s:e],
+                    vecs,
+                    allb,
+                    np.sqrt((vecs * vecs).sum(axis=1)),
+                )
+            )
+        if not outs:
+            yield empty
+            return
+        yield pd.DataFrame(
+            {
+                "id_a": np.concatenate([o[0] for o in outs]),
+                "id_b": np.concatenate([o[1] for o in outs]),
+                "cosine_micro": np.concatenate([o[2] for o in outs]),
+            }
+        )
+
+    scored_half = bucketed.repartition(n_part, "table", "bucket").mapInPandas(
+        score_partition,
+        f"id_a {id_type}, id_b {id_type}, cosine_micro bigint",
     )
+    scored = scored_half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a"), F.col("id_b"), F.col("cosine_micro")
+                ),
+                F.struct(
+                    F.col("id_b").alias("id_a"),
+                    F.col("id_a").alias("id_b"),
+                    F.col("cosine_micro"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b", "p.cosine_micro")
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine_micro"), F.col("id_b"))
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))

@@ -1269,33 +1269,35 @@ def test_dup_spans_no_broadcast_of_dup_gram_set(spark, sf_dir):
 
 
 def test_round8_ann_candidate_shuffles_are_id_only(spark, sf_dir):
-    """Round-8 ANN restructure: the candidate union-over-tables dedup
-    must aggregate (and therefore shuffle) ID PAIRS ONLY — the
-    embedding payload joins back on id after dedup. Carrying the
-    vectors through the candidate stream was the measured 32 s -> 7 s
-    difference at sf0.1. Also pins the symmetric-pair discipline for
-    the LSH variant (a<b residual + mirror Union) and the runtime AQE
-    exchange reuse that makes the mirror a pure projection."""
+    """Round-12 ANN kernel shape (supersedes the round-8 join-form
+    pins): bucketing and candidate+scoring are two MapInPandas numpy
+    kernels separated by EXACTLY ONE hash exchange on (table, bucket)
+    — the single, linear-in-corpus payload move — the pair dedup is
+    closed-form (min-table rule) so NO distinct aggregate exists, the
+    mirror is a 2-element explode Generate (not a self-union, so the
+    scored half-stream is computed once), and the top-k window gets
+    rank-pushdown (WindowGroupLimit) so the id_a exchange carries only
+    per-id survivors of the partial limit."""
     spark.catalog.clearCache()
     df = registry.get("q_ann_lsh").fn(spark, sf_dir)
     plan = _plan(df)
-    # dedup aggregate carries exactly the two id columns, nothing else
-    assert re.search(
-        r"HashAggregate\(keys=\[id_a#\d+L, id_b#\d+L\], functions=\[\], "
-        r"output=\[id_a#\d+L, id_b#\d+L\]\)",
-        plan,
-    ), plan
-    # no exchange partitions on (or carries) the embedding column
+    # two numpy kernels, one (table, bucket) exchange between them
+    assert plan.count("MapInPandas") >= 2, plan
+    assert re.search(r"hashpartitioning\(table#\d+, bucket#\d+L", plan), plan
+    # no candidate-dedup aggregate (the min-table rule replaced it) and
+    # no join anywhere (vectors never join back)
+    assert not re.search(r"HashAggregate\(keys=\[id_a#\d+L, id_b#\d+L\]", plan), plan
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    # mirror = explode Generate over the scored half-stream
+    assert re.search(r"Generate[\s\S]{0,200}explode", plan), plan
+    assert "Union" not in plan, plan
+    # top-k rank pushdown reaches below the id_a exchange
+    assert "WindowGroupLimit" in plan, plan
+    # every exchange except the (table,bucket) fan-out keys on id/rank
+    # columns only — the vector payload crosses the wire exactly once
     for ln in plan.splitlines():
-        if "Exchange" in ln:
-            assert "embedding" not in ln, ln
-    # unordered-pair residual + mirror union, no cartesian anywhere
-    assert re.search(r"\(id_a#\d+L < id_b#\d+L\)", plan), plan
-    assert "Union" in plan and "CartesianProduct" not in plan, plan
-    # the mirror's second branch must be deduped by AQE at runtime
-    df.collect()
-    final = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in final, final
+        if "Exchange" in ln and "hashpartitioning(table#" not in ln:
+            assert "__vec" not in ln and "embedding" not in ln, ln
 
     # IVF: same id-only dedup; ordered pairs kept (probe-cell
     # candidacy is asymmetric), so no mirror union is expected
