@@ -577,16 +577,23 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # Guard: sequence(1, 0) DESCENDS in Spark ([1, 0]); a doc
                 # shorter than the gram width must emit zero grams (the
                 # DuckDB oracle's generate_series(1, n) is empty for n < 1).
+                #
+                # Round 12: xxhash64 runs INSIDE the transform, so the
+                # exploded array is long[] — the generator and both its
+                # consumers stream 8-byte fingerprints instead of 20-char
+                # strings hashed in a later Project (guide §2.3 narrower
+                # types; with the min/max dup test below: 3.77 -> 3.24 s
+                # at sf0.1).
                 f"transform(CASE WHEN length(text) >= {_SPAN_GRAM}"
                 f"               THEN sequence(1, length(text) - {_SPAN_GRAM} + 1)"
                 f"               ELSE array() END,"
-                f" i -> substring(text, i, {_SPAN_GRAM}))"
+                f" i -> xxhash64(substring(text, i, {_SPAN_GRAM})))"
             )
-        ).alias("idx", "gram"),
+        ).alias("idx", "gram_h"),
     ).select(
         "doc_id",
         (F.col("idx") + 1).alias("pos"),
-        F.xxhash64("gram").alias("gram_h"),
+        "gram_h",
     ).hint("shuffle_hash")
     # ^ round 8: without the hint the dup-gram semi-join BROADCASTS the
     # duplicate-hash set (millions of 8-byte keys at sf0.1 — measured
@@ -595,10 +602,14 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle plan at every sf (no plan cliff at the autoBroadcast
     # threshold). A collect-positions one-pass spelling was measured
     # SLOWER (4.2 s) and adds a hot-gram list-skew hazard — rejected.
+    # "appears in MORE THAN ONE doc" == min(doc_id) != max(doc_id):
+    # two 8-byte partial-agg slots instead of count_distinct's
+    # per-group distinct set (which plans as a second keyed aggregate
+    # over (gram_h, doc_id)) — guide §2.3 partial/map-side aggregation.
     dup = (
         grams.groupBy("gram_h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") > 1)
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .where(F.col("mn") != F.col("mx"))
         .select("gram_h")
     )
     hits = grams.join(dup, "gram_h", "left_semi").select("doc_id", "pos")
