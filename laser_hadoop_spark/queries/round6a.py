@@ -471,12 +471,15 @@ def q_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cellx = F.floor(F.col("x") / _DB_EPS)
     celly = F.floor(F.col("y") / _DB_EPS)
-    # side B: each point registered under its own cell
+    # side B: each point registered under its own cell. Round 12: the
+    # cell key is a packed LONG (cellx*100 + celly — injective: celly
+    # spans [-1, 26] << 100), not a concat_ws string: 8-byte join keys,
+    # no per-row string building (guide §2.3 narrower types).
     b = pts.select(
         F.col("id").alias("b_id"),
         F.col("x").alias("bx"),
         F.col("y").alias("by"),
-        F.concat_ws(":", cellx, celly).alias("cell"),
+        (cellx * 100 + celly).alias("cell"),
     )
     # side A: each point probes its 9 surrounding cells
     offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
@@ -486,17 +489,26 @@ def q_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         F.explode(
             F.array(
-                *[
-                    F.concat_ws(":", cellx + dx, celly + dy)
-                    for dx, dy in offsets
-                ]
+                *[(cellx + dx) * 100 + (celly + dy) for dx, dy in offsets]
             )
         ).alias("cell"),
     )
-    matched = a.join(b, "cell").where(
-        (F.col("b_id") != F.col("id"))
-        & (F.abs(F.col("x") - F.col("bx")) <= _DB_EPS)
-        & (F.abs(F.col("y") - F.col("by")) <= _DB_EPS)
+    # Round 12: the matched id-pairs are pinned (1.4M x 16 B at sf0.1)
+    # — nb's count and near_core's semi-join both consume them, and
+    # without the checkpoint the whole grid join executed TWICE (the
+    # plan scanned customer 7x; measured 2.78 -> 2.15 s noop at
+    # sf0.1). Ids only: the coordinates never outlive the distance
+    # filter (guide §2.4 remove shuffles outright / §5 cache the
+    # cheap-to-store, expensive-to-recompute side).
+    matched = (
+        a.join(b, "cell")
+        .where(
+            (F.col("b_id") != F.col("id"))
+            & (F.abs(F.col("x") - F.col("bx")) <= _DB_EPS)
+            & (F.abs(F.col("y") - F.col("by")) <= _DB_EPS)
+        )
+        .select("id", "b_id")
+        .localCheckpoint(eager=True)
     )
     nb = matched.groupBy("id").agg(F.count("*").alias("n_nb"))
     core_ids = nb.where(F.col("n_nb") >= _DB_MINPTS).select(
