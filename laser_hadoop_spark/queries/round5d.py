@@ -44,6 +44,19 @@ def _pois_case(u_expr: str) -> str:
     return f"(CASE {branches} ELSE {len(_POIS_T)} END)"
 
 
+def _pois_case_hex(s_expr: str) -> str:
+    """_pois_case with the draw kept as its 6-char lowercase-hex digest
+    slice: equal-width lowercase hex compares lexicographically exactly
+    like the 24-bit number it spells, so the thresholds become string
+    literals and the per-draw conv(…, 16, 10) disappears (round 12 —
+    the q_relabel_test finding; the 32 radix conversions per row were
+    the scan's second-biggest cost after md5 itself)."""
+    branches = " ".join(
+        f"WHEN {s_expr} < '{t:06x}' THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"(CASE {branches} ELSE {len(_POIS_T)} END)"
+
+
 def _bootstrap_oracle() -> str:
     # 5 independent 24-bit uniforms per 128-bit digest: replicate r
     # reads hex chars [6*(r%5)+1 .. +6] of md5(key || '|' || r DIV 5)
@@ -114,19 +127,30 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
     )
     cents = F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")
+    # Round 12: the 7 digests are PROJECTED once per row before the
+    # aggregate (the q_relabel_test discipline — inline md5 inside each
+    # of the 64 aggregate expressions defeats codegen subexpression
+    # elimination across aggregates), and each draw stays a 6-char hex
+    # SLICE compared against hex-literal thresholds (_pois_case_hex)
+    # instead of a conv(…, 16, 10) radix conversion. Together:
+    # 1.66 -> 0.95 s noop at sf0.1, identical draws.
+    digests = [
+        F.md5(
+            F.concat(F.col("o_orderkey").cast("string"), F.lit(f"|{j}"))
+        ).alias(f"m{j}")
+        for j in range((_N_REPS + 4) // 5)
+    ]
+    base = o.select(cents.alias("cents"), *digests)
     aggs = [
         F.count("*").alias("point_n"),
-        F.sum(cents).alias("point_s"),
+        F.sum("cents").alias("point_s"),
     ]
     for r in range(_N_REPS):
-        u = (
-            f"CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), "
-            f"'|', '{r // 5}')), {6 * (r % 5) + 1}, 6), 16, 10) AS BIGINT)"
-        )
-        c = F.expr(_pois_case(u))
+        u = f"substring(m{r // 5}, {6 * (r % 5) + 1}, 6)"
+        c = F.expr(_pois_case_hex(u))
         aggs.append(F.sum(c).alias(f"n_{r}"))
-        aggs.append(F.sum(c * cents).alias(f"s_{r}"))
-    one = o.agg(*aggs)
+        aggs.append(F.sum(c * F.col("cents")).alias(f"s_{r}"))
+    one = base.agg(*aggs)
     stack_args = ", ".join(f"'{r}', n_{r}, s_{r}" for r in range(_N_REPS))
     reps = one.selectExpr(
         "point_s DIV point_n AS point_mean",

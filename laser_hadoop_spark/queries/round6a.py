@@ -120,10 +120,18 @@ def q_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: one distinct-projection shuffle, then a 64-row census —
     register construction is scan-local arithmetic on md5 hex.
     """
+    # Round 12: distinct on the 8-byte l_partkey BEFORE the string cast
+    # (the cast is injective, so the distinct set is identical — the
+    # former spelling shuffled 600k strings instead of longs), and the
+    # ~20k-row distinct-key table is pinned: `hashed` and the
+    # exact-distinct count both consume it, and without the checkpoint
+    # the lineitem distinct ran twice. 1.55 -> 0.83 s noop at sf0.1.
     vals = (
         table(spark, sf_dir, "lineitem")
-        .select(F.col("l_partkey").cast("string").alias("k"))
+        .select("l_partkey")
         .distinct()
+        .select(F.col("l_partkey").cast("string").alias("k"))
+        .localCheckpoint(eager=True)
     )
     hashed = vals.select(
         (_md5i(F.col("k")) % _HLL_REGS).alias("reg"),
