@@ -284,10 +284,18 @@ def test_round3_queries_stay_jvm_side_and_shuffle_bounded(spark, sf_dir):
         "q_outlier_count": 2,         # stats agg + broadcast-joined test
         "q_event_transitions": 5,
         "q_ab_test": 3,
-        "q_rfm_segments": 5,      # +1 exchange from the closed-form ntile
-                                  # two-pass rank (r4 verdict #3): the extra
-                                  # shuffle moves per-partition offset rows,
-                                  # and retires the single-partition funnel
+        "q_rfm_segments": 14,     # r12: the three rank passes run as
+                                  # CONCURRENT jobs (guide §2.6; 2.90 ->
+                                  # 1.02 s wall) joined back on user_id,
+                                  # so the final plan holds three
+                                  # checkpoint-rooted branches (window +
+                                  # offset agg each) + three user-level
+                                  # equi-joins instead of one chained
+                                  # lineage: more exchange NODES, but
+                                  # every one moves user-level rows and
+                                  # three of them overlap in wall time;
+                                  # still no single-partition funnel
+                                  # (companion test below)
         "q_hamming_neighbors": 3,     # deletion-key self-join + id-pair
                                       # distinct + census; the mirror
                                       # union re-PRINTS the distinct's

@@ -151,9 +151,12 @@ def test_slow_mode_verdict_flags_in_process_mode():
     timings = {"q_jaro_pairs": 17.35, "q_product_profit": 1.2, "q_dup_spans": 4.0}
     v = bench.slow_mode_verdict(timings, 0.1, host_ok=True)
     assert set(v["slow_mode_suspects"]) == {"q_jaro_pairs"}
-    assert v["slow_mode_suspects"]["q_jaro_pairs"]["band_max"] == 9.0
+    assert (
+        v["slow_mode_suspects"]["q_jaro_pairs"]["band_max"]
+        == bench.SLOW_MODE_BANDS_SF01["q_jaro_pairs"]
+    )
     # healthy run -> empty dict (machine-readably "checked, clean")
-    ok = bench.slow_mode_verdict({"q_jaro_pairs": 5.9}, 0.1, host_ok=True)
+    ok = bench.slow_mode_verdict({"q_jaro_pairs": 1.7}, 0.1, host_ok=True)
     assert ok["slow_mode_suspects"] == {}
     # loaded host -> over-band list still emitted, marked host_ambiguous
     # (VERDICT_r11 item 4; the detailed contract is pinned in
