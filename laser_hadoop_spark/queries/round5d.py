@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from laser_hadoop_spark.registry import register
-from laser_hadoop_spark.tables import table
+from laser_hadoop_spark.tables import spread_scan, table
 
 # --- X218: deterministic Poisson bootstrap CI ------------------------------
 
@@ -120,11 +120,13 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The 32 per-replicate md5 draws dominate; a single-file scan runs
     # them in ONE task. Repartition the 16-byte projection first so the
     # hash work spreads across the cluster (q_minhash_signatures' fix;
-    # measured 4.2 s -> sub-second at sf0.1 on 32 cores).
-    o = (
-        table(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_totalprice")
-        .repartition(spark.sparkContext.defaultParallelism)
+    # measured 4.2 s -> sub-second at sf0.1 on 32 cores). Round 13:
+    # spread_scan — hash partitioning on the unique key instead of
+    # round-robin (no sortBeforeRepartition pass, deterministic under
+    # retry), guarded no-op once the scan has >= cores splits.
+    o = spread_scan(
+        table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        "o_orderkey",
     )
     cents = F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")
     # Round 12: the 7 digests are PROJECTED once per row before the

@@ -29,11 +29,12 @@ per SURVEY.md §2.13.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from laser_hadoop_spark.registry import register
-from laser_hadoop_spark.tables import table
+from laser_hadoop_spark.tables import spread_scan, table
 
 # --- X290: Kendall tau-b -----------------------------------------------------
 
@@ -561,16 +562,24 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     points. X26's repetition ratio is within-doc; this is the
     cross-doc substring census the suffix-array pipeline feeds dedup.
 
-    100 TB: gram extraction is scan-local; the only full shuffle
-    carries (hash(gram), doc_id, pos) — 20-byte windows reduced to
-    8-byte xxhash64 fingerprints, never text (collision odds over
-    corpus-scale gram counts are the standard 2^-64 regime, and the
-    oracle's string-keyed check pins exactness at test scale). The
-    duplicate-gram filter is a partial-aggregated HAVING; span
-    merging is a per-doc window over hit positions only.
+    100 TB: gram extraction is scan-local (spread_scan's repartition
+    is a no-op once the scan has >= cores splits); the only full
+    shuffle carries (hash(gram), doc_id, pos) — 20-byte windows
+    reduced to 8-byte xxhash64 fingerprints, never text (collision
+    odds over corpus-scale gram counts are the standard 2^-64 regime,
+    and the oracle's string-keyed check pins exactness at test scale).
+    The duplicate-gram filter is a vectorized per-partition kernel
+    over that single exchange (round 13 — the stream is exploded and
+    hashed ONCE; the r12 aggregate+semi-join form consumed it twice);
+    span merging is a per-doc window over hit positions only.
     """
     d = table(spark, sf_dir, "documents")
-    grams = d.select(
+    # Round 13: the gram explode + per-char xxhash64 is the query's
+    # dominant compute and it sat on the scan stage — ONE task on the
+    # single-row-group test parquet (measured 1.83 s of the 3.5 s).
+    # spread_scan parallelizes it across cores; guarded no-op at
+    # corpus scale (see tables.spread_scan).
+    grams = spread_scan(d.select("doc_id", "text"), "doc_id").select(
         "doc_id",
         F.posexplode(
             F.expr(
@@ -594,25 +603,61 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.col("idx") + 1).alias("pos"),
         "gram_h",
-    ).hint("shuffle_hash")
-    # ^ round 8: without the hint the dup-gram semi-join BROADCASTS the
-    # duplicate-hash set (millions of 8-byte keys at sf0.1 — measured
-    # 5.59 -> 3.91 s from the hint alone), and at corpus scale that
-    # broadcast is impossible anyway; the hint pins the scale-correct
-    # shuffle plan at every sf (no plan cliff at the autoBroadcast
-    # threshold). A collect-positions one-pass spelling was measured
-    # SLOWER (4.2 s) and adds a hot-gram list-skew hazard — rejected.
-    # "appears in MORE THAN ONE doc" == min(doc_id) != max(doc_id):
-    # two 8-byte partial-agg slots instead of count_distinct's
-    # per-group distinct set (which plans as a second keyed aggregate
-    # over (gram_h, doc_id)) — guide §2.3 partial/map-side aggregation.
-    dup = (
-        grams.groupBy("gram_h")
-        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
-        .where(F.col("mn") != F.col("mx"))
-        .select("gram_h")
     )
-    hits = grams.join(dup, "gram_h", "left_semi").select("doc_id", "pos")
+    # Round 13 (guide §2.4 remove shuffles outright / §4.2 batch the
+    # boundary): the r12 form consumed the gram stream TWICE — a
+    # min/max dup-set aggregate plus a shuffle_hash semi-join probe —
+    # so the explode + xxhash64 pass over every character ran twice
+    # and the stream crossed two exchanges (grams by gram_h + the
+    # partial-agg relation). Here the stream is exploded ONCE, crosses
+    # ONE hash exchange on gram_h, and the "gram appears in >1 doc"
+    # test runs as a vectorized per-partition numpy kernel: lexsort by
+    # (gram_h, doc_id), a run of equal hashes is duplicated iff its
+    # first and last doc differ (docs are sorted within the run — the
+    # same min!=max test as the r12 aggregate). Measured 3.69 ->
+    # 2.42 s noop best-of-3 at sf0.1 (plan: 2 Generate -> 1,
+    # 3 Exchange -> 2, semi-join gone); hash-green vs the DuckDB
+    # oracle at sf0.001/0.01/0.1.
+    #
+    # Partition-output determinism: a row's emission depends only on
+    # the global multiset of (gram_h, doc_id) pairs sharing its hash —
+    # all of which land in its partition — never on batch or partition
+    # boundaries. The kernel holds one partition's gram slice
+    # (~24 B/row); adaptive_kernel_partitions bounds that slice by
+    # bytes at corpus scale (x24: Catalyst's estimate is the text scan
+    # size, the gram stream is ~24 bytes per character) while pinning
+    # the r12 defaultParallelism floor here, where AQE coalescing
+    # would serialize the kernel stage.
+    from laser_hadoop_spark.session import adaptive_kernel_partitions
+
+    n_part = adaptive_kernel_partitions(grams, multiplier=24.0)
+
+    def dup_hits(it):
+        import pandas as pd
+
+        chunks = [pdf for pdf in it if len(pdf)]
+        if not chunks:
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        gh = pdf["gram_h"].values
+        doc = pdf["doc_id"].values
+        order = np.lexsort((doc, gh))
+        gh_s = gh[order]
+        doc_s = doc[order]
+        new_run = np.empty(len(gh_s), dtype=bool)
+        new_run[0] = True
+        np.not_equal(gh_s[1:], gh_s[:-1], out=new_run[1:])
+        starts = np.flatnonzero(new_run)
+        ends = np.concatenate((starts[1:], [len(gh_s)]))  # exclusive
+        dup = doc_s[starts] != doc_s[ends - 1]
+        sel = order[dup[np.cumsum(new_run) - 1]]
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].values[sel], "pos": pdf["pos"].values[sel]}
+        )
+
+    hits = grams.repartition(n_part, "gram_h").mapInPandas(
+        dup_hits, "doc_id bigint, pos int"
+    )
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("pos")

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from laser_hadoop_spark.operators.cumulative import ordered_cumsum
 from laser_hadoop_spark.queries.round6a import _GRAPH_SQL, _hash_graph, _md5i, _md5i_sql
 from laser_hadoop_spark.registry import register
-from laser_hadoop_spark.tables import table
+from laser_hadoop_spark.tables import spread_scan, table
 
 # --- X356: Wilcoxon signed-rank test -------------------------------------------
 
@@ -317,7 +317,14 @@ def q_relabel_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the q_bootstrap_ci shape) — the relabeled datasets never exist.
     """
     o = table(spark, sf_dir, "orders")
-    v = o.select(
+    # Round 13: the 7-digest md5 projection below is the measured
+    # bottleneck and it ran on the one-task single-row-group scan;
+    # spread_scan parallelizes the scan stage (guarded no-op at corpus
+    # scale — tables.spread_scan). Both consumers (the sizes aggregate
+    # and the flagged projection) sit above the same spread relation.
+    v = spread_scan(
+        o.select("o_orderkey", "o_totalprice", "o_orderpriority"), "o_orderkey"
+    ).select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
         F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("ga"),
@@ -328,13 +335,21 @@ def q_relabel_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("16777216 * SUM(ga) DIV COUNT(*)").alias("t"),
         # round 12: the threshold ALSO as a 6-digit lowercase hex string
         # — equal-width lowercase hex compares lexicographically exactly
-        # like the numbers it spells (t < 2^24 always: na < n), so each
-        # draw's assignment is ONE substring < t_hex instead of
-        # conv(substring, 16, 10) < t. The 32 radix conversions per row
-        # were 34% of the query (measured 5.46 -> 3.61 s at sf0.1);
-        # the md5 digests themselves are oracle-pinned and stay.
+        # like the numbers it spells, so each draw's assignment is ONE
+        # substring < t_hex instead of conv(substring, 16, 10) < t. The
+        # 32 radix conversions per row were 34% of the query (measured
+        # 5.46 -> 3.61 s at sf0.1); the md5 digests themselves are
+        # oracle-pinned and stay.
+        #
+        # Round 13 (ADVICE r12): t <= 2^24 with equality exactly when
+        # na == n (every order URGENT); hex(2^24) is SEVEN chars and
+        # lpad TRUNCATES to '  100000', silently turning the always-
+        # true assignment into a ~6% draw. Guard the width: 'g' sorts
+        # after every lowercase hex string, so it spells the same
+        # always-true compare the numeric conv(...) < t form had.
         F.expr(
-            "lower(lpad(hex(16777216 * SUM(ga) DIV COUNT(*)), 6, '0'))"
+            "CASE WHEN SUM(ga) = COUNT(*) THEN 'g' "
+            "ELSE lower(lpad(hex(16777216 * SUM(ga) DIV COUNT(*)), 6, '0')) END"
         ).alias("t_hex"),
         F.sum("v").alias("s"),
         F.sum(F.when(F.col("ga") == 1, F.col("v")).otherwise(0)).alias("sa0"),

@@ -146,6 +146,45 @@ def storage_memory_used(spark: SparkSession) -> int:
     return int(env.blockManager().memoryStore().memoryUsed())
 
 
+def adaptive_kernel_partitions(
+    df, *, multiplier: float = 1.0, target_mb: int = 64
+) -> int:
+    """Partition count for a compute-bound Arrow-kernel shuffle:
+    ``max(defaultParallelism, estimated_input_bytes * multiplier /
+    target_mb)``.
+
+    AQE's byte-based coalescing serializes compute-bound mapInPandas
+    stages (PERF_NOTES round 12), so those stages pin an explicit
+    ``repartition(N)``. But pinning N to defaultParallelism alone ties
+    partition COUNT to cores while partition BYTES grow with the data
+    (VERDICT_r12 what's-wrong #2): at 100 TB a kernel task would hold
+    corpus/cores bytes — a spill/OOM cliff instead of a serialization
+    one. This derives N from Catalyst's size estimate of the kernel's
+    input relation, floored at defaultParallelism. ``multiplier``
+    scales a pre-fan-out estimate to the actual kernel stream (e.g.
+    x n_tables when every row is replicated per LSH table, or x24 when
+    a text scan explodes into per-character gram rows — Catalyst's
+    Generate estimate does not model output multiplicity). At bench
+    scale the estimate stays under target_mb x cores so the floor
+    rules and plans are byte-identical to the r12 pinned form; the
+    bytes term exists for corpus scale, where partition size — not
+    count — is the binding constraint.
+
+    An unknown or absurd estimate (<=0, or the optimizer's
+    Long.MaxValue default for unsized relations) falls back to the
+    defaultParallelism floor rather than exploding the task count.
+    """
+    sc = df.sparkSession.sparkContext
+    dp = sc.defaultParallelism
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 - the estimate is a safety valve only
+        return dp
+    if est <= 0 or est >= (1 << 50):
+        return dp
+    return max(dp, int(est * multiplier) // (target_mb << 20))
+
+
 def get_spark(
     app_name: str = "laser_hadoop_spark",
     master: str | None = None,

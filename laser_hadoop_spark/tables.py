@@ -65,6 +65,38 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread_scan(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Parallelize the compute ABOVE a small, unsplittable scan.
+
+    The test tables are single-row-group parquet files, and a parquet
+    split must contain a row-group start to read anything — so every
+    scan here is ONE task regardless of spark.sql.files.minPartitionNum,
+    and all scan-stage compute above it (per-char gram hashing, per-row
+    md5 draws, Arrow GEMM bucketing) runs serially while the other
+    cores idle. Guide §2.5's unsplittable-input rule: "repartition
+    immediately after the read". Measured at sf0.1/local[32]: the
+    q_dup_spans gram explode 1.83 -> 0.29 s, the 7-digest md5
+    projection 0.48 -> 0.20 s.
+
+    Scale discipline: the repartition is GUARDED — a no-op whenever the
+    scan already has >= defaultParallelism splits, which is every real
+    multi-row-group corpus at cluster scale, so no production plan ever
+    pays an extra exchange of raw payload bytes (the 100 TB
+    "text/vectors are never shuffled" contracts in the query docstrings
+    hold exactly where they matter). The exchange is HASH partitioning
+    on ``key_cols`` (deterministic under task retry, no
+    sortBeforeRepartition pass, and a unique id key spreads evenly) —
+    never round-robin.
+    """
+    sc = df.sparkSession.sparkContext
+    dp = sc.defaultParallelism
+    if not key_cols:
+        raise ValueError("spread_scan needs a deterministic partition key")
+    if df.rdd.getNumPartitions() >= dp:
+        return df
+    return df.repartition(dp, *[F.col(c) for c in key_cols])
+
+
 def register_views(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
 ) -> None:

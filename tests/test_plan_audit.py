@@ -1259,20 +1259,23 @@ def test_jaro_blocked_plan_shape(spark, sf_dir):
 
 
 def test_dup_spans_no_broadcast_of_dup_gram_set(spark, sf_dir):
-    """X294 (round-8 fix): the duplicate-gram semi-join must be a
-    SHUFFLE join — broadcasting the multi-million-key dup-hash set was
-    the measured 1.43x regression at sf0.1 and is impossible at corpus
-    scale. The window stages stay partitioned by doc_id (no
-    single-partition exchange)."""
+    """X294, round-13 shape: the gram stream is exploded ONCE and the
+    duplicate-gram test is a per-partition numpy kernel after a single
+    hash exchange on gram_h (the r8-r12 form consumed the stream twice
+    — dup-set aggregate + shuffle_hash semi-join — so the per-char
+    explode+xxhash64 pass ran twice). Pins: exactly one gram_h
+    exchange feeding a MapInPandas kernel, exactly one Generate (the
+    explode never reruns), NO semi-join (so the impossible-at-scale
+    broadcast of the multi-million-key dup-hash set can't reappear),
+    and no single-partition exchange in the window stages."""
     spark.catalog.clearCache()
     plan = _plan(registry.get("q_dup_spans").fn(spark, sf_dir))
     import re as _re
 
-    # the gram_h semi-join must shuffle; the one remaining broadcast is
-    # the benign final doc-count-scale n_chars join, never a LeftSemi
-    assert _re.search(r"ShuffledHashJoin \[gram_h\S*\], \[gram_h", plan), plan
-    assert "BroadcastHashJoin" not in plan or "LeftSemi, BuildRight" not in \
-        _re.sub(r"ShuffledHashJoin.*", "", plan), plan
+    assert len(_re.findall(r"hashpartitioning\(gram_h#\d+L", plan)) == 1, plan
+    assert "MapInPandas" in plan, plan
+    assert len(_re.findall(r"\bGenerate posexplode", plan)) == 1, plan
+    assert "LeftSemi" not in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
 
 
