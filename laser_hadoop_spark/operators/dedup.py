@@ -122,10 +122,13 @@ def ngram_jaccard_pairs(
     # 100 TB the shingle table could never broadcast anyway.
     # Raw rows are repartitioned BEFORE the shingle/hash projection: a
     # single sub-split input file would otherwise serialize all the
-    # hashing into one scan task (PERF_NOTES round 4b).
+    # hashing into one scan task (PERF_NOTES round 4b). Round 13:
+    # spread_scan — keyed hash partitioning (no sortBeforeRepartition
+    # pass) and a guarded no-op once the scan has >= cores splits.
+    from laser_hadoop_spark.tables import spread_scan
+
     shingles = (
-        df.select(id_col, text_col)
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        spread_scan(df.select(id_col, text_col), id_col)
         .select(
             F.col(id_col).alias("doc"), word_shingle_hashes(text_col, n).alias("sh")
         )
@@ -268,16 +271,26 @@ def simhash(
             if not len(pdf):
                 continue
             sketches = np.empty(len(pdf), dtype=np.int64)
+            # NULL text -> NULL token array -> NULL sketch, matching the
+            # former SQL fold's null propagation (ADVICE r12: the bare
+            # np.asarray(None) raised and failed the whole task).
+            nulls: list[int] = []
             for r, hs in enumerate(pdf["__hs"].values):
+                if hs is None:
+                    nulls.append(r)
+                    sketches[r] = 0
+                    continue
                 h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
                 counts = ((h[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
                 majority = (2 * counts > len(h)).astype(np.uint64)
                 sketches[r] = (
                     (majority << shifts).sum(dtype=np.uint64).astype(np.int64)
                 )
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].values, "simhash": sketches}
-            )
+            col = pd.Series(sketches)
+            if nulls:
+                col = col.astype(object)
+                col.iloc[nulls] = None
+            yield pd.DataFrame({id_col: pdf[id_col].values, "simhash": col})
 
     return token_hashes.mapInPandas(bit_vote, f"{id_col} {id_type}, simhash bigint")
 

@@ -430,7 +430,12 @@ def ivf_topk(
             )
 
     vec_type = dict(df.dtypes)[vec_col]
-    assigned = df.select(id_col, vec_col).mapInPandas(
+    # Round 13: the assignment kernel ran on the one-task unsplittable
+    # scan — spread_scan parallelizes the batches (guarded no-op at
+    # corpus scale, tables.spread_scan).
+    from laser_hadoop_spark.tables import spread_scan
+
+    assigned = spread_scan(df.select(id_col, vec_col), id_col).mapInPandas(
         assign,
         f"{id_col} long, {vec_col} {vec_type}, cell int, probe_cells array<int>",
     )
@@ -438,18 +443,22 @@ def ivf_topk(
         F.col(id_col).alias("id_a"), F.explode("probe_cells").alias("cell")
     )
     b = assigned.select(F.col(id_col).alias("id_b"), "cell")
-    # id-only candidate dedup, vectors joined back from the source
-    # relation on id (round 8 — see ann_lsh_topk_pinned's shuffle-
-    # discipline note): the cell join and the union-over-probes dedup
-    # shuffle 16-byte rows, never the embedding payload. No a<b mirror
-    # here: the relation is ASYMMETRIC ((x,y) needs y's home cell in
-    # x's probe set — not implied the other way), unlike the LSH
-    # variants where both sides bucket identically.
+    # id-only candidates, vectors joined back from the source relation
+    # on id (round 8 — see ann_lsh_topk_pinned's shuffle-discipline
+    # note): the cell join shuffles 16-byte rows, never the embedding
+    # payload. No a<b mirror here: the relation is ASYMMETRIC ((x,y)
+    # needs y's home cell in x's probe set — not implied the other
+    # way), unlike the LSH variants where both sides bucket
+    # identically. Round 13: the former dropDuplicates "union over
+    # probed cells" was a provable NO-OP paying a full exchange of the
+    # pair stream — id_b contributes exactly its ONE home cell and a's
+    # probe list is distinct (an argsort prefix), so a pair can match
+    # on at most one cell; verified pairs.count()==distinct at
+    # sf0.01/0.1 before removal, full output bit-equal at 3 scales.
     pairs = (
         a.join(b, on="cell")
         .where(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b")
-        .dropDuplicates()  # union over probed cells
     )
     # norms hoisted to the per-VECTOR side: the pair expression keeps
     # cosine_expr's exact structure dot/(na*nb) — same operands, same

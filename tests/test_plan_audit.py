@@ -1310,12 +1310,15 @@ def test_round8_ann_candidate_shuffles_are_id_only(spark, sf_dir):
         if "Exchange" in ln and "hashpartitioning(table#" not in ln:
             assert "__vec" not in ln and "embedding" not in ln, ln
 
-    # IVF: same id-only dedup; ordered pairs kept (probe-cell
-    # candidacy is asymmetric), so no mirror union is expected
+    # IVF: id-only candidate stream, ordered pairs kept (probe-cell
+    # candidacy is asymmetric), so no mirror union is expected.
+    # Round 13: the (id_a, id_b) dropDuplicates aggregate is GONE — it
+    # was a provable no-op (one home cell per id_b, distinct probe
+    # cells per id_a) paying a full pair-stream exchange; pin its
+    # absence so it can't quietly return.
     plan = _plan(registry.get("q_ann_ivf").fn(spark, sf_dir))
-    assert re.search(
-        r"HashAggregate\(keys=\[id_a#\d+L, id_b#\d+L\], functions=\[\], "
-        r"output=\[id_a#\d+L, id_b#\d+L\]\)",
+    assert not re.search(
+        r"HashAggregate\(keys=\[id_a#\d+L, id_b#\d+L\], functions=\[\]",
         plan,
     ), plan
     for ln in plan.splitlines():

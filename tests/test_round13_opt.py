@@ -187,3 +187,17 @@ def test_relabel_threshold_survives_all_urgent_groups(spark):
         ).alias("t_hex")
     ).collect()[0][0]
     assert t2 == f"{(16777216 * 1) // 2:06x}"
+
+
+def test_simhash_null_text_propagates_null(spark):
+    """ADVICE r12: the numpy bit-vote kernel crashed on NULL text where
+    the former SQL fold propagated a NULL sketch."""
+    from laser_hadoop_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None), (3, "alpha beta gamma")],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r.simhash for r in simhash(df, bits=64).collect()}
+    assert rows[2] is None
+    assert rows[1] == rows[3] and rows[1] is not None
