@@ -128,7 +128,6 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
         "o_orderkey",
     )
-    cents = F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")
     # Round 12: the 7 digests are PROJECTED once per row before the
     # aggregate (the q_relabel_test discipline — inline md5 inside each
     # of the 64 aggregate expressions defeats codegen subexpression
@@ -136,22 +135,25 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SLICE compared against hex-literal thresholds (_pois_case_hex)
     # instead of a conv(…, 16, 10) radix conversion. Together:
     # 1.66 -> 0.95 s noop at sf0.1, identical draws.
+    # Round 13: expressions built as SQL strings (the q_relabel_test
+    # plan-build lesson — nested Column chains for 7 digests + 64 wide
+    # aggregates are py4j-bound plan BUILD time inside the timed fn()).
     digests = [
-        F.md5(
-            F.concat(F.col("o_orderkey").cast("string"), F.lit(f"|{j}"))
-        ).alias(f"m{j}")
+        f"md5(concat(CAST(o_orderkey AS STRING), '|{j}')) AS m{j}"
         for j in range((_N_REPS + 4) // 5)
     ]
-    base = o.select(cents.alias("cents"), *digests)
+    base = o.selectExpr(
+        "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents", *digests
+    )
     aggs = [
-        F.count("*").alias("point_n"),
-        F.sum("cents").alias("point_s"),
+        F.expr("COUNT(*) AS point_n"),
+        F.expr("SUM(cents) AS point_s"),
     ]
     for r in range(_N_REPS):
         u = f"substring(m{r // 5}, {6 * (r % 5) + 1}, 6)"
-        c = F.expr(_pois_case_hex(u))
-        aggs.append(F.sum(c).alias(f"n_{r}"))
-        aggs.append(F.sum(c * F.col("cents")).alias(f"s_{r}"))
+        c = _pois_case_hex(u)
+        aggs.append(F.expr(f"SUM({c}) AS n_{r}"))
+        aggs.append(F.expr(f"SUM({c} * cents) AS s_{r}"))
     one = base.agg(*aggs)
     stack_args = ", ".join(f"'{r}', n_{r}, s_{r}" for r in range(_N_REPS))
     reps = one.selectExpr(

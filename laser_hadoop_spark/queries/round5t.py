@@ -412,6 +412,23 @@ def _damerau(s1: str, s2: str) -> int:
     return d[l1 + 1][l2 + 1]
 
 
+# Round 13: the pandas UDF wrappers are MODULE-LEVEL — F.pandas_udf
+# construction (py4j + function pickling) measured ~0.1 s per call
+# when rebuilt inside each query fn, inside the bench's timed fn().
+@F.pandas_udf(LongType())
+def _jaro_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    return pd.Series(
+        [_jaro_micro(a, b) for a, b in zip(s1, s2)], dtype="int64"
+    )
+
+
+@F.pandas_udf(IntegerType())
+def _dl_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    return pd.Series(
+        [_damerau(a, b) for a, b in zip(s1, s2)], dtype="int32"
+    )
+
+
 def _scored_blocked_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -520,20 +537,20 @@ def q_jaro_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic in block size); see PERF_NOTES for the measured bound.
     """
 
-    @F.pandas_udf(LongType())
-    def jaro_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
-        return pd.Series(
-            [_jaro_micro(a, b) for a, b in zip(s1, s2)], dtype="int64"
-        )
-
     scored = (
         _name_vocab_pairs(spark, sf_dir)
-        .select("s1", "s2", jaro_udf("s1", "s2").alias("jaro_micro"))
+        .select("s1", "s2", _jaro_udf("s1", "s2").alias("jaro_micro"))
         .where(F.col("jaro_micro") >= _JARO_MIN_MICRO)
     )
+    # Round 13: pin the 1.17M-row join output (lazily) before the
+    # declared output sort — orderBy's range-boundary sampling job
+    # otherwise re-executes the whole dictionary+join subtree a second
+    # time (measured 1.59 -> 1.33 s noop at sf0.1). Lazy: the sampling
+    # job materializes the checkpoint, the sort's shuffle map reads it.
     return (
         _scored_blocked_pairs(spark, sf_dir, scored)
         .select("k1", "k2", "jaro_micro")
+        .localCheckpoint(eager=False)
         .orderBy("k1", "k2")
     )
 
@@ -575,22 +592,19 @@ def q_jaro_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     round 7 (coarse key stays ~quadratic on the same probe data).
     """
 
-    @F.pandas_udf(LongType())
-    def jaro_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
-        return pd.Series(
-            [_jaro_micro(a, b) for a, b in zip(s1, s2)], dtype="int64"
-        )
-
     scored = (
         _name_vocab_pairs(spark, sf_dir)
-        .select("s1", "s2", jaro_udf("s1", "s2").alias("jaro_micro"))
+        .select("s1", "s2", _jaro_udf("s1", "s2").alias("jaro_micro"))
         .where(F.col("jaro_micro") >= _JARO_MIN_MICRO)
     )
+    # Same lazy pin before the declared sort as q_jaro_pairs (the
+    # sampling job otherwise re-runs the dictionary+join subtree).
     return (
         _scored_blocked_pairs(
             spark, sf_dir, scored, blocking_cols=("p_brand", "p_size")
         )
         .select("k1", "k2", "jaro_micro")
+        .localCheckpoint(eager=False)
         .orderBy("k1", "k2")
     )
 
@@ -617,15 +631,9 @@ _DAMERAU_SAMPLE_SQL = (
 def _damerau_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """vocab²-bounded full-DL scores (shared by full + bounded forms)."""
 
-    @F.pandas_udf(IntegerType())
-    def dl_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
-        return pd.Series(
-            [_damerau(a, b) for a, b in zip(s1, s2)], dtype="int32"
-        )
-
     return (
         _name_vocab_pairs(spark, sf_dir)
-        .select("s1", "s2", dl_udf("s1", "s2").alias("dl"))
+        .select("s1", "s2", _dl_udf("s1", "s2").alias("dl"))
         .where(F.col("dl") <= _DAMERAU_MAX)
     )
 

@@ -360,88 +360,61 @@ def q_relabel_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1; 12.5 s warm pre-fix, 3.9 s after). Assignment compares
     # against t = 2^24*na DIV n — Bernoulli(na/n) to within 2^-24,
     # no modulo bias.
+    # Round 13: the wide stages are built as SQL STRINGS (selectExpr /
+    # F.expr), not nested Column chains — the 7 digests + 32 draws +
+    # 64 aggregates + 32 explode structs cost ~1.1 s of py4j plan
+    # BUILD per run under the Column API (the bench times fn() + the
+    # action, so plan build is 40% of the line); one parsed string per
+    # expression brings build to ~0.3 s with a bit-identical plan
+    # (full-output equality verified, oracle hash green x3 scales).
     digests = [
-        F.md5(
-            F.concat(F.lit(f"{j}|"), F.col("o_orderkey").cast("string"))
-        ).alias(f"m{j}")
+        f"md5(concat('{j}|', CAST(o_orderkey AS STRING))) AS m{j}"
         for j in range((_PERM_B + 4) // 5)
     ]
-    vn = v.crossJoin(F.broadcast(sizes)).select(
+    vn = v.crossJoin(F.broadcast(sizes)).selectExpr(
         "v", "n", "na", "t_hex", "s", "sa0", *digests
     )
-
-    def assign(b: int) -> F.Column:
-        j, slot = divmod(b, 5)
-        return F.substring(F.col(f"m{j}"), 6 * slot + 1, 6) < F.col("t_hex")
-
     # booleans projected once: s{b} and c{b} both reference a{b}, so
     # each 24-bit draw is extracted and compared exactly once per row
-    # (inlining assign(b) into both aggregates doubled the conv work)
-    flagged = vn.select(
+    # (inlining the compare into both aggregates doubled the draw work)
+    flagged = vn.selectExpr(
         "v", "n", "na", "s", "sa0",
-        *[assign(b).alias(f"a{b}") for b in range(_PERM_B)],
+        *[
+            f"substring(m{b // 5}, {6 * (b % 5) + 1}, 6) < t_hex AS a{b}"
+            for b in range(_PERM_B)
+        ],
     )
     aggs = []
     for b in range(_PERM_B):
-        aggs.append(
-            F.sum(F.when(F.col(f"a{b}"), F.col("v")).otherwise(0)).alias(f"s{b}")
-        )
-        aggs.append(
-            F.sum(F.when(F.col(f"a{b}"), 1).otherwise(0)).alias(f"c{b}")
-        )
+        aggs.append(F.expr(f"SUM(CASE WHEN a{b} THEN v ELSE 0 END) AS s{b}"))
+        aggs.append(F.expr(f"SUM(CASE WHEN a{b} THEN 1 ELSE 0 END) AS c{b}"))
     wide = flagged.groupBy("n", "na", "s", "sa0").agg(*aggs)
-    dec = "decimal(38,0)"
-    perms = wide.select(
+    dec = "DECIMAL(38,0)"
+    entries = ", ".join(
+        f"struct({b} AS b, s{b} AS sa, c{b} AS ca)" for b in range(_PERM_B)
+    )
+    perms = wide.selectExpr(
+        "n", "na", "s", "sa0", f"explode(array({entries})) AS p"
+    ).selectExpr("n", "na", "s", "sa0", "p.b", "p.sa", "p.ca")
+    num0 = f"abs(CAST(sa0 AS {dec}) * (n - na) - CAST(s - sa0 AS {dec}) * na)"
+    den0 = f"(CAST(na AS {dec}) * (n - na))"
+    nump = f"abs(CAST(sa AS {dec}) * (n - ca) - CAST(s - sa AS {dec}) * ca)"
+    denp = f"(CAST(ca AS {dec}) * (n - ca))"
+    cmp = perms.selectExpr(
         "n",
         "na",
-        "s",
-        "sa0",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("b"),
-                        F.col(f"s{b}").alias("sa"),
-                        F.col(f"c{b}").alias("ca"),
-                    )
-                    for b in range(_PERM_B)
-                ]
-            )
-        ).alias("p"),
-    ).select("n", "na", "s", "sa0", "p.b", "p.sa", "p.ca")
-    num0 = F.abs(
-        F.col("sa0").cast(dec) * (F.col("n") - F.col("na"))
-        - (F.col("s") - F.col("sa0")).cast(dec) * F.col("na")
+        f"{num0} AS num0",
+        f"{den0} AS den0",
+        f"CASE WHEN ca > 0 AND ca < n AND {nump} * {den0} >= {num0} * {denp} "
+        f"THEN 1 ELSE 0 END AS ge",
     )
-    den0 = F.col("na").cast(dec) * (F.col("n") - F.col("na"))
-    nump = F.abs(
-        F.col("sa").cast(dec) * (F.col("n") - F.col("ca"))
-        - (F.col("s") - F.col("sa")).cast(dec) * F.col("ca")
-    )
-    denp = F.col("ca").cast(dec) * (F.col("n") - F.col("ca"))
-    cmp = perms.select(
-        "n",
-        "na",
-        num0.alias("num0"),
-        den0.alias("den0"),
-        F.when(
-            (F.col("ca") > 0)
-            & (F.col("ca") < F.col("n"))
-            & (nump * den0 >= num0 * denp),
-            1,
-        )
-        .otherwise(0)
-        .alias("ge"),
-    )
-    out = cmp.groupBy("num0", "den0").agg(F.sum("ge").alias("n_ge"))
-    return out.select(
-        F.col("n_ge").cast("bigint").alias("n_ge"),
-        F.lit(_PERM_B).cast("int").alias("n_perms"),
-        F.expr(f"CAST((1 + n_ge) * 10000 DIV ({_PERM_B} + 1) AS BIGINT)").alias(
-            "p_bp"
-        ),
-        F.col("num0").cast("string").alias("obs_num"),
-        F.col("den0").cast("string").alias("obs_den"),
+    out = cmp.groupBy("num0", "den0").agg(F.expr("SUM(ge) AS n_ge"))
+    return out.selectExpr(
+        "CAST(n_ge AS BIGINT) AS n_ge",
+        f"CAST({_PERM_B} AS INT) AS n_perms",
+        f"CAST((1 + n_ge) * 10000 DIV ({_PERM_B} + 1) AS BIGINT) AS p_bp",
+        "CAST(num0 AS STRING) AS obs_num",
+        "CAST(den0 AS STRING) AS obs_den",
     )
 
 

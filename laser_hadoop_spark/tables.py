@@ -26,6 +26,21 @@ TABLE_NAMES = (
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
+# Session-scoped RELATION cache (round 13): spark.read.parquet pays a
+# file listing + footer schema read (~0.1 s locally) on EVERY call, and
+# a query that reads 4 tables re-pays it on every plan build — ~0.1 s x
+# reads x queries of pure driver-side metadata work inside the timed
+# fn() (guide §7.3's "driver is doing something single-threaded"). A
+# catalog-backed warehouse resolves a table ONCE per session; this dict
+# is that catalog for the path-based test layout. It caches the
+# UNEXECUTED scan DataFrame (immutable logical plan — metadata only,
+# never rows, never execution state), keyed by (application, sf_dir,
+# table) so different sessions, scale factors, or test fixtures never
+# collide. Plans built on top of a cached relation are fresh per query;
+# AQE stage state lives in query executions, not in the relation.
+_RELATION_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one star-schema table as a DataFrame (columnar parquet scan).
 
@@ -42,6 +57,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), name)
+    cached = _RELATION_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _read_table(spark, sf_dir, name)
+    _RELATION_CACHE[key] = df
+    return df
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # Deterministic event-time semantics regardless of the caller's
         # session defaults (the driver builds its own SparkSession).
