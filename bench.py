@@ -151,11 +151,16 @@ CANARY_BANDS = {
     "streaming_rows_per_sec": (65_000.0, None),
     # VERDICT_r11 item 7: the Spark-4 typed-state path
     # (transformWithStateInPandas on RocksDB, ST20's moments
-    # processor) gets its own pinned line. Floor from three r12
-    # measured sessions at 49.5-51.0k warm under ambient load
-    # (first-ever run 26.9k = JIT/RocksDB cold start, removed by the
-    # untimed warmup pass bench runs before the timed one).
-    "streaming_tws_rows_per_sec": (30_000.0, None),
+    # processor) gets its own pinned line. The provisional 30k floor
+    # came from loaded-host r12 sessions; re-banded round 13
+    # (VERDICT_r12 item 8) from the five quiet samples now on record
+    # — 105.1k (r12 builder), 122.9k (r12 driver), 109.0k (r12
+    # anchor), 89.3k / 138.1k (r13 builder) — at ~0.67x the slowest
+    # quiet sample, the same margin discipline as the 65k
+    # applyInPandas floor. Loaded-host sessions (49-51k) now flag as
+    # out-of-band, which is the canary's job: such a run's numbers
+    # are not comparable. Dated note in PERF_NOTES.
+    "streaming_tws_rows_per_sec": (60_000.0, None),
 }
 
 # Per-query healthy bands at sf0.1 on a quiet host (VERDICT_r10 items
@@ -180,12 +185,22 @@ CANARY_BANDS = {
 # 0.82, survivors 1.67, dbscan 1.34). Old collect-methodology bands
 # (9.0/2.5/6.5/2.2/3.1/3.4) must not be cross-read against noop
 # timings.
+#
+# Round-13 re-baseline (dated note in PERF_NOTES "Round 13
+# optimization"): four of the six banded queries got materially faster
+# (q_dup_spans one-pass kernel 3.9 -> 1.2 s, q_jaro_pairs checkpoint-
+# before-sort + relation cache, q_dedup_survivors fused CC round,
+# q_product_profit relation cache), so their bands re-derive from the
+# r13 optimized in-bench warms at ~1.6x margin. q_bootstrap_ci keeps
+# its 1.3 band — the r12 breach (1.536, then 1.384 in the r13 baseline
+# run) is adjudicated FIXED by this round's speedups (string-built
+# plan + keyed spread: 0.78 in-bench), not re-banded looser.
 SLOW_MODE_BANDS_SF01 = {
-    "q_jaro_pairs": 2.5,
-    "q_product_profit": 1.3,
-    "q_dup_spans": 5.4,
+    "q_jaro_pairs": 2.0,
+    "q_product_profit": 1.0,
+    "q_dup_spans": 2.0,
     "q_bootstrap_ci": 1.3,
-    "q_dedup_survivors": 2.5,
+    "q_dedup_survivors": 2.3,
     "q_dbscan_core": 2.0,
 }
 

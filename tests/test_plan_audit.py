@@ -18,6 +18,34 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _plan_through_ckpts(spark, sf_dir, fn) -> str:
+    """Top-level plan PLUS every localCheckpoint input's plan.
+
+    Round 13: queries that pin a relation (lazily or eagerly) truncate
+    their visible plan at a Scan ExistingRDD; auditing only the top
+    plan goes blind to everything upstream of the pin (the r12 simhash
+    blind spot, VERDICT_r12 item 9). Same capture discipline as
+    scripts/measure_r13.py."""
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _CDF
+    except ImportError:  # pragma: no cover - older Spark
+        from pyspark.sql import DataFrame as _CDF
+
+    frags = []
+    orig = _CDF.localCheckpoint
+
+    def capturing(self, eager=True):
+        frags.append(_plan(self))
+        return orig(self, eager=eager)
+
+    _CDF.localCheckpoint = capturing
+    try:
+        top = _plan(fn(spark, sf_dir))
+    finally:
+        _CDF.localCheckpoint = orig
+    return "\n".join([top, *frags])
+
+
 def _n_shuffles(plan: str) -> int:
     """Count shuffle exchanges (not broadcast exchanges / reuses)."""
     return len(re.findall(r"\bExchange (?:hashpartitioning|SinglePartition|rangepartitioning)", plan))
@@ -553,7 +581,12 @@ def test_round5d_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
     never exists as rows; everything after is a 32-row relation."""
     spark.catalog.clearCache()
     budgets = {
-        "q_bootstrap_ci": 1,        # one 64-col agg; CI math on 32 rows
+        "q_bootstrap_ci": 2,        # spread_scan's keyed exchange (r13:
+                                    # the former round-robin repartition
+                                    # did the same data move but wasn't
+                                    # hashpartitioning, so the counter
+                                    # missed it) + the one 64-col agg;
+                                    # CI math on 32 rows
         "q_mann_kendall": 5,        # monthly agg + per-group pair join +
                                     # pair/size aggs (month relation only)
         "q_revenue_proration": 1,   # bounded explode + one month agg
@@ -835,14 +868,22 @@ def test_round5t_queries_shuffle_bounded(spark, sf_dir):
     checkpointed."""
     spark.catalog.clearCache()
     budgets = {
-        "q_lttb_downsample": 6,     # checkpointed series + 60-row stats
+        "q_lttb_downsample": 7,     # checkpointed series + 60-row stats
+                                    # (r13: counted THROUGH the pin —
+                                    # the old 6 missed the fragment's
+                                    # series window exchange)
         "q_matrix_profile": 7,      # diagonal window + broadcast stats
         "q_jaro_pairs": 3,          # vocab dict + brand pair join + sort
         "q_damerau_pairs": 3,
         "q_triangle_support": 8,    # edge distinct + 3-way join + census
     }
+    # Round 13: the jaro/damerau queries pin the joined relation before
+    # the declared output sort, which truncates the visible plan at a
+    # Scan ExistingRDD — audit THROUGH the checkpoint (see
+    # _plan_through_ckpts), so the Arrow-kernel and broadcast-join pins
+    # can't go blind.
     for name, budget in budgets.items():
-        plan = _plan(registry.get(name).fn(spark, sf_dir))
+        plan = _plan_through_ckpts(spark, sf_dir, registry.get(name).fn)
         got = _n_shuffles(plan)
         assert got <= budget, (name, got, budget)
         if name in ("q_lttb_downsample", "q_matrix_profile", "q_triangle_support"):
@@ -871,7 +912,8 @@ def test_round7_queries_shuffle_bounded(spark, sf_dir):
     distinct exchange; the pinned q_sample_stratified stays a
     zero-shuffle scan filter."""
     spark.catalog.clearCache()
-    plan = _plan(registry.get("q_jaro_blocked").fn(spark, sf_dir))
+    # r13: audited through the pre-sort pin (see _plan_through_ckpts)
+    plan = _plan_through_ckpts(spark, sf_dir, registry.get("q_jaro_blocked").fn)
     assert _n_shuffles(plan) <= 3, plan
     assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
@@ -1122,7 +1164,9 @@ def test_round6b_queries_jvm_side_and_shuffle_bounded(spark, sf_dir):
         # exchange fewer but funnelled 2.9M rows into one task's sort
         # (9.8 s -> 2.1 s at sf0.1).
         "q_hodges_lehmann": 9,
-        "q_relabel_test": 4,     # sizes agg + 64-col wide agg + compare
+        "q_relabel_test": 5,  # r13: + spread_scan's keyed
+                                 # exchange (was an uncounted
+                                 # round-robin-free 1-task scan)     # sizes agg + 64-col wide agg + compare
         "q_jackknife": 13,       # 5-row relation plumbing (broadcast-joined)
         "q_modularity": 11,      # LP rounds + intra/deg censuses (dim-sized)
         "q_hop2_census": 3,      # hop2 join + union distinct + census
@@ -1241,7 +1285,8 @@ def test_jaro_blocked_plan_shape(spark, sf_dir):
     funnels through a single partition except the final ORDER BY's
     range exchange (which rangepartitioning handles)."""
     spark.catalog.clearCache()
-    plan = _plan(registry.get("q_jaro_blocked").fn(spark, sf_dir))
+    # r13: audited through the pre-sort pin (see _plan_through_ckpts)
+    plan = _plan_through_ckpts(spark, sf_dir, registry.get("q_jaro_blocked").fn)
     assert "BroadcastHashJoin" in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
     # Arrow evals only in the dictionary subtree: Spark plans the
@@ -1361,7 +1406,9 @@ def test_pair_shape_detector_separates_known_shapes(spark, sf_dir):
     stay quiet on a plain single-scan aggregate."""
     from laser_hadoop_spark.plans.pair_audit import looks_pair_shaped
 
-    pair_plan = _plan(registry.get("q_jaro_pairs").fn(spark, sf_dir))
+    pair_plan = _plan_through_ckpts(
+        spark, sf_dir, registry.get("q_jaro_pairs").fn
+    )
     assert looks_pair_shaped(pair_plan), pair_plan
     agg_plan = _plan(registry.get("q_grouped_counts").fn(spark, sf_dir))
     assert not looks_pair_shaped(agg_plan), agg_plan

@@ -233,8 +233,12 @@ def test_canary_verdict_tws_line_is_adjudicated():
     quiet = {"py_single_sec": 0.36, "spark_parallel_sec": 0.31}
     ok_stream = {"rows_per_sec": 90_000.0}
 
-    v = bench.canary_verdict(quiet, quiet, ok_stream, {"rows_per_sec": 49_500.0})
+    # round 13 (VERDICT_r12 item 8): floor raised 30k -> 60k from the
+    # five quiet samples on record; a loaded-host 49.5k now flags.
+    v = bench.canary_verdict(quiet, quiet, ok_stream, {"rows_per_sec": 89_000.0})
     assert v["canary_ok"], v["canary_failures"]
+    v1b = bench.canary_verdict(quiet, quiet, ok_stream, {"rows_per_sec": 49_500.0})
+    assert not v1b["canary_ok"]
 
     v2 = bench.canary_verdict(quiet, quiet, ok_stream, {"rows_per_sec": 12_000.0})
     assert not v2["canary_ok"]
